@@ -1,0 +1,32 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture (SURVEY.md §4/§7): AQE on (runtime join selection, skew
+splitting, partition coalescing), Arrow on (every pandas_udf boundary is
+vectorized), shuffle partitions sized to the local core count rather than
+the 200 default — on a real cluster this is set to ~2-3x total cores and
+AQE coalesces down.  Session timezone is pinned to UTC so timestamp
+semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "politician-etl-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
