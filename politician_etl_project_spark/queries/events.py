@@ -1,1 +1,252 @@
-"""Populated incrementally — see queries/__init__.load_all."""
+"""Event-stream operators, batch-checkable form (SURVEY.md §2.11, §2.9).
+
+The reference's incremental pipeline is watermark-filtered micro-batch
+(update_log + since-date skip, scripts/update_donations.py:52-65,184-186);
+its true streaming surface is what the north star adds.  Each operator
+here is declared as a *batch* query over the ``events`` table so the
+DuckDB oracle can check it; the same logic runs under Structured
+Streaming in ``politician_etl_project_spark.streaming`` (tested in
+tests/test_streaming.py with Trigger.availableNow).
+
+Timestamp convention: boundaries are compared as ``unix micros`` BIGINTs
+(Spark ``unix_micros`` ≡ DuckDB ``epoch_us``) — exact, no format
+ambiguity; round bucket starts are rendered as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.catalog import load_table
+from politician_etl_project_spark.functions.scalar import money
+from politician_etl_project_spark.queries.registry import declared_query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@declared_query(
+    "q_tumbling_window",
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_DUCK_TS_FMT}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    ops=("T3", "A4"),
+    doc="Tumbling 1-hour window aggregate — Spark window() grouping; the "
+    "streaming twin (readStream + withWatermark) is "
+    "streaming/pipelines.py:windowed_counts.",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(money("value")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@declared_query(
+    "q_sliding_window",
+    oracle=f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, user_id FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS win_start, user_id FROM events
+)
+SELECT strftime(win_start, '{_DUCK_TS_FMT}') AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM assigned
+GROUP BY win_start
+ORDER BY window_start
+""",
+    ops=("T3",),
+    doc="Sliding window (1 h window, 30 min slide): each event lands in two "
+    "overlapping windows. Spark window(ts, '1 hour', '30 minutes'); oracle "
+    "materializes the two bucket assignments explicitly.",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
+@declared_query(
+    "q_session_windows",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    ops=("T6", "W1"),
+    doc="Gap-based sessionization (30-min gap) via lag + cumulative-sum "
+    "windows — the batch-checkable twin of Structured Streaming "
+    "session_window (streaming/pipelines.py:session_counts). Timestamps "
+    "compared as unix-micros BIGINT for exactness.",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    gap_us = 30 * 60 * 1_000_000
+    w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = (
+        events.select("user_id", F.unix_micros("ts").alias("ts_us"), "ts", "event_id")
+        .withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w_order))
+        .withColumn(
+            "is_new",
+            F.when(F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > gap_us), 1).otherwise(0),
+        )
+    )
+    return (
+        marked.withColumn("session_id", F.sum("is_new").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@declared_query(
+    "q_event_dedup",
+    oracle="""
+SELECT user_id, event_type, first_event_id, first_ts_us
+FROM (
+  SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    ops=("T6", "A14"),
+    doc="Keyed dedup keep-earliest (reference cross-batch donor dedup dict, "
+    "scripts/update_donations.py:237 — as a deterministic row_number; the "
+    "streaming twin is dropDuplicatesWithinWatermark, "
+    "streaming/pipelines.py:dedup_stream).",
+)
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.unix_micros("ts").alias("first_ts_us"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id", "event_type")
+    )
+
+
+@declared_query(
+    "q_json_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_high,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+GROUP BY event_type
+ORDER BY event_type
+""",
+    ops=("N7", "P5"),
+    doc="JSON field extraction + predicate + aggregate (reference LLM JSON "
+    "parse with schema, app/app.py:374-398; vote JSON flatten family "
+    "SURVEY §2.9).",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_high"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared_query(
+    "q_watermark_cutoff",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_recent
+FROM events
+WHERE ts >= (SELECT MAX(ts) - INTERVAL '7 days' FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""",
+    ops=("T1", "T2", "A13"),
+    doc="Watermark read + late/old-data skip as batch (reference "
+    "max(last_update) from update_log then transaction_date >= since, "
+    "scripts/update_donations.py:52-65,184-186). The scalar max is "
+    "broadcast into the filter — no driver round-trip.",
+)
+def q_watermark_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    return (
+        events.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_recent"))
+        .orderBy("event_type")
+    )
