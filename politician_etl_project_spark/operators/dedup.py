@@ -1,0 +1,160 @@
+"""Deduplication operator family for LLM-data-pipeline scale (north-star
+extension per BASELINE.json; exact-dedup analog in the reference is
+drop_duplicates / ON CONFLICT DO NOTHING, SURVEY A14/S13).
+
+Five operators, all built from *native* Column expressions — md5, array
+lambdas (transform/aggregate/array_min), bit ops — so the entire pipeline
+stays inside whole-stage codegen with zero Python in the hot path:
+
+- exact:      md5 fingerprint of normalized text, groupBy
+- minhash:    k lexicographic-min md5 signatures over the token set
+- LSH:        band the signature, shuffle once on (band_id, band_key),
+              emit candidate pairs inside buckets
+- n-gram Jaccard: exact verify on shingle sets (array_intersect-free
+              portable form)
+- simhash:    16-bit sign-of-weighted-bits sketch + hamming distance
+
+Scale design (100 TB): near-dup via LSH is the only operator that
+shuffles by content; its shuffle key is the *band hash*, so volume is
+O(docs × bands) tiny rows, never O(docs²).  Candidate pairs are verified
+with exact Jaccard only inside buckets.  Skewed buckets (a band key
+shared by thousands of near-identical docs) are handled by AQE skew
+splitting; for pathological cases cap bucket size before pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tokenization ----------------------------------------------------------
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens of trimmed text (reference-free; SURVEY §7 text analysis)."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def distinct_tokens(col: str = "text") -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (no explode — the
+    whole shingle set is built per-row inside codegen)."""
+    toks = f"split(trim({col}), '\\\\s+')"
+    # i is 1-based over the sequence; array access t[...] is 0-based
+    parts = ", ".join(f"{toks}[i + {j} - 1]" for j in range(n))
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "))
+
+
+def exact_dup_groups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with count and
+    the keeper id (min id — deterministic, matching the engine's
+    first-wins upsert policy)."""
+    return (
+        df.select(fingerprint(col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+# --- minhash + LSH ---------------------------------------------------------
+
+
+def minhash_signature(col: str = "text", n_hashes: int = 4) -> list[Column]:
+    """k minhash values over the distinct-token set.  Hash family j is
+    md5('<j>|' || token); the minimum is taken lexicographically on the
+    hex digest — portable across engines (no 64-bit int parsing needed)
+    and uniform enough for banding."""
+    toks = "array_distinct(split(trim({col}), '\\\\s+'))".format(col=col)
+    return [
+        F.expr(f"array_min(transform({toks}, t -> md5(concat('{j}|', t))))").alias(f"sig{j}")
+        for j in range(n_hashes)
+    ]
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n_hashes: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: sign, band, bucket-join.
+
+    One shuffle on (band_id, band_key); pairs are generated only within
+    buckets via a self-join, so cost is sum(bucket²) not n².  Returns
+    (id_a, id_b) with id_a < id_b, distinct across bands."""
+    sigs = df.select(F.col(id_col), *minhash_signature(col, n_hashes))
+    n_bands = n_hashes // rows_per_band
+    bands = None
+    for b in range(n_bands):
+        cols = [f"sig{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band = sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard verify -------------------------------------------------
+
+
+def jaccard(a: str | Column, b: str | Column) -> Column:
+    """Exact Jaccard of two string-array columns, written as
+    filter+contains so Spark and SQL oracles share one formula."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return (inter.cast("decimal(18,4)") / F.greatest(union, F.lit(1))).cast("decimal(18,6)")
+
+
+# --- simhash ---------------------------------------------------------------
+
+
+def simhash16(col: str = "text") -> Column:
+    """16-bit SimHash over distinct tokens.  Token hash = first 16 bits of
+    md5 (hex→int via conv); per-bit vote = sum of ±1; bit set iff vote>0.
+    Pure expression — 16 array-aggregates fused by codegen."""
+    toks = f"array_distinct(split(trim({col}), '\\\\s+'))"
+    th = "cast(conv(substring(md5(t), 1, 4), 16, 10) as int)"
+    bit_terms = []
+    for b in range(16):
+        vote = (
+            f"aggregate({toks}, 0, (acc, t) -> acc + "
+            f"(case when (shiftright({th}, {b}) & 1) = 1 then 1 else -1 end))"
+        )
+        bit_terms.append(f"(case when ({vote}) > 0 then {1 << b} else 0 end)")
+    return F.expr(" + ".join(bit_terms)).cast("int")
+
+
+def hamming16(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")

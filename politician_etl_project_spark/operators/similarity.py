@@ -1,0 +1,150 @@
+"""Similarity-search operators (SURVEY §2.10 V1-V3 + north-star ANN).
+
+The reference delegates vector search to Pinecone (top-k cosine over
+1536-dim bill embeddings, app/app.py:338-367).  Here the embedding is a
+first-class ``array<float>`` column and search is a Spark job:
+
+- ``cosine`` / ``dot`` / ``l2_norm``: native higher-order-function
+  expressions (zip_with + aggregate) — JVM-side, left-fold summation so
+  results are bit-deterministic.
+- ``knn_bruteforce``: broadcast the query vector, score every row,
+  TakeOrderedAndProject top-k.  O(n·d) — the exact baseline.
+- ``ann_lsh``: random-hyperplane LSH — deterministic plane family from
+  md5 of (plane, dim), bucket by sign bits, score only within the probe's
+  bucket (multi-probe over hamming-1 neighbors).  The 100 TB path: one
+  narrow map for bucketing + a bucket-pruned scan; recall/latency trade
+  set by n_planes.
+- ``token_sort_ratio``: Arrow-batched pandas UDF fuzzy scorer
+  (reference's fuzz.token_sort_ratio, scripts/ingest_fec_links.py:130)
+  for the entity-resolution join when native levenshtein isn't enough.
+"""
+
+import pandas as pd  # noqa: F401  (module-level so pandas_udf type hints resolve)
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine: broadcast the 1-row query, score all, take-ordered.
+
+    ``query_vec`` must have one row with column ``q`` (array<float>).
+    Ordering ties broken by id so results are deterministic."""
+    scored = emb.crossJoin(F.broadcast(query_vec)).select(
+        F.col(id_col),
+        F.round(cosine(vec_col, "q"), 4).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_bits(vec_col: str, n_planes: int, dim: int) -> Column:
+    """Sign-bit bucket id from deterministic pseudo-random hyperplanes.
+
+    Plane p's component d = (md5-derived int of 'p|d') scaled to [-1, 1].
+    Everything is expression-level: the plane family needs no driver-side
+    state, no broadcast, and is identical on every executor."""
+    terms = []
+    for p in range(n_planes):
+        comps = " + ".join(
+            f"(cast(conv(substring(md5('{p}|{d}'), 1, 8), 16, 10) as double) / 2147483647.5 - 1.0)"
+            f" * cast(element_at({vec_col}, {d + 1}) as double)"
+            for d in range(dim)
+        )
+        terms.append(f"(case when ({comps}) >= 0 then {1 << p} else 0 end)")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def ann_lsh(
+    emb: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane sign bits, score only rows
+    whose bucket is the query's bucket (or hamming-1 away when
+    multiprobe).  Scans ~ n/2^planes (+ planes·n/2^planes probes) instead
+    of n."""
+    bucketed = emb.withColumn("bucket", hyperplane_bits(vec_col, n_planes, dim))
+    q = query_vec.withColumn("qbucket", hyperplane_bits("q", n_planes, dim))
+    joined = bucketed.crossJoin(F.broadcast(q))
+    if multiprobe:
+        probe = F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1
+    else:
+        probe = F.col("bucket") == F.col("qbucket")
+    return (
+        joined.filter(probe)
+        .select(F.col(id_col), F.round(cosine(vec_col, "q"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def token_sort_ratio_udf():
+    """Arrow-batched pandas UDF computing token_sort_ratio (0-100), the
+    reference's rapidfuzz scorer (scripts/ingest_fec_links.py:130):
+    tokens sorted, joined, then Levenshtein similarity ratio.  Pure-python
+    Levenshtein over the *sorted-token* strings, vectorized per batch —
+    used only off the hot path (entity resolution after blocking)."""
+    def _lev(a: str, b: str) -> int:
+        if a == b:
+            return 0
+        if not a:
+            return len(b)
+        if not b:
+            return len(a)
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    @F.pandas_udf(IntegerType())
+    def _ratio(left: pd.Series, right: pd.Series) -> pd.Series:
+        def score(a, b):
+            if a is None or b is None:
+                return 0
+            sa = " ".join(sorted(str(a).split()))
+            sb = " ".join(sorted(str(b).split()))
+            longest = max(len(sa), len(sb))
+            if longest == 0:
+                return 100
+            return int(round(100.0 * (longest - _lev(sa, sb)) / longest))
+
+        return pd.Series([score(a, b) for a, b in zip(left, right)])
+
+    return _ratio

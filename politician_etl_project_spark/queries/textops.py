@@ -1,1 +1,305 @@
-"""Populated incrementally — see queries/__init__.load_all."""
+"""Text-analysis + dedup declared queries over ``documents`` (north-star
+LLM-data-pipeline operators; BASELINE.json).  All heavy lifting is native
+expressions from ``operators/dedup.py`` — md5/array-lambda/bit ops inside
+codegen, no Python UDFs.  Each query has a full DuckDB oracle (the md5 /
+list-lambda functions exist on both engines), so even the MinHash-LSH
+near-dup pipeline is hash-verified end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.catalog import load_table
+from politician_etl_project_spark.operators.dedup import (
+    exact_dup_groups,
+    fingerprint,
+    hamming16,
+    jaccard,
+    minhash_signature,
+    simhash16,
+    tokens,
+)
+from politician_etl_project_spark.queries.registry import declared_query
+
+_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_DUCK_DTOKS = f"list_distinct({_DUCK_TOKS})"
+
+
+@declared_query(
+    "q_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(len({_DUCK_DTOKS}) AS INTEGER) AS n_distinct_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+ORDER BY doc_id
+""",
+    ops=("TXT-tokens",),
+    doc="Token counting (whitespace tokenizer) — the text-analysis "
+    "primitive every downstream op builds on. North-star text analysis; "
+    "closest reference op is the summary length guard "
+    "scripts/hydrate_vectors.py:51.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(tokens())).cast("int").alias("n_distinct_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@declared_query(
+    "q_text_quality",
+    oracle=f"""
+SELECT doc_id,
+       n_tokens,
+       CAST(CAST(sum_len AS DECIMAL(18,4)) / greatest(n_tokens, 1) AS DECIMAL(18,6)) AS avg_token_len,
+       CAST(CAST(stop_hits AS DECIMAL(18,4)) / greatest(n_tokens, 1) AS DECIMAL(18,6)) AS stopword_ratio,
+       CAST(CAST(n_distinct AS DECIMAL(18,4)) / greatest(n_tokens, 1) AS DECIMAL(18,6)) AS ttr,
+       (n_tokens >= 30 AND CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) >= 0.02) AS is_quality
+FROM (
+  SELECT doc_id,
+         CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
+         CAST(len({_DUCK_DTOKS}) AS INTEGER) AS n_distinct,
+         CAST(list_sum(list_transform({_DUCK_TOKS}, t -> length(t))) AS INTEGER) AS sum_len,
+         CAST(len(regexp_extract_all(text, '\\b(the|a|of|and)\\b')) AS INTEGER) AS stop_hits
+  FROM documents
+)
+ORDER BY doc_id
+""",
+    ops=("TXT-quality",),
+    doc="Quality scoring: token count, mean token length, stopword ratio, "
+    "type-token ratio, boolean quality gate (north-star text analysis — "
+    "the length/stopword-ratio heuristics used to filter LLM training "
+    "corpora). Exact decimal ratios so the oracle hash-matches.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        F.size(tokens()).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(tokens())).cast("int").alias("n_distinct"),
+        F.expr("cast(aggregate(split(trim(text), '\\\\s+'), 0, (a, t) -> a + length(t)) as int)").alias(
+            "sum_len"
+        ),
+        F.regexp_count("text", F.lit(r"\b(the|a|of|and)\b")).cast("int").alias("stop_hits"),
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("sum_len").cast("decimal(18,4)") / denom).cast("decimal(18,6)").alias("avg_token_len"),
+        (F.col("stop_hits").cast("decimal(18,4)") / denom).cast("decimal(18,6)").alias("stopword_ratio"),
+        (F.col("n_distinct").cast("decimal(18,4)") / denom).cast("decimal(18,6)").alias("ttr"),
+        ((F.col("n_tokens") >= 30) & (F.col("stop_hits").cast("double") / denom >= 0.02)).alias(
+            "is_quality"
+        ),
+    ).orderBy("doc_id")
+
+
+@declared_query(
+    "q_lang_id",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN en_hits > fn_hits THEN 'en' ELSE 'xx' END AS pred_lang,
+       (CASE WHEN en_hits > fn_hits THEN 'en' ELSE 'xx' END) = lang AS agrees
+FROM (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and)\\b')) AS INTEGER) AS en_hits,
+         CAST(len(regexp_extract_all(lower(text), '\\b(data|spark|merge)\\b')) AS INTEGER) AS fn_hits
+  FROM documents
+)
+ORDER BY doc_id
+""",
+    ops=("TXT-langid",),
+    doc="Language-ID n-gram/stopword heuristic (north-star). The testdata's "
+    "lang column is decorative (all langs share one vocabulary), so this "
+    "demonstrates the operator shape — marker-frequency vote — with a "
+    "deterministic oracle, not real accuracy.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.lower("text"), F.lit(r"\b(the|a|of|and)\b")).cast("int").alias("en_hits"),
+        F.regexp_count(F.lower("text"), F.lit(r"\b(data|spark|merge)\b")).cast("int").alias("fn_hits"),
+    )
+    pred = F.when(F.col("en_hits") > F.col("fn_hits"), "en").otherwise("xx")
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agrees"),
+    ).orderBy("doc_id")
+
+
+@declared_query(
+    "q_dedup_exact",
+    oracle="""
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_id
+FROM documents
+GROUP BY 1
+ORDER BY fingerprint
+""",
+    ops=("A14", "TXT-dedup-exact"),
+    doc="Exact dedup via content fingerprint hash-groupBy (north-star; "
+    "reference analog drop_duplicates scripts/ingest_bulk_donations.py:102). "
+    "Keeper = min id, deterministic first-wins. At 100 TB this is one "
+    "shuffle on the 32-char digest.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs).orderBy("fingerprint")
+
+
+@declared_query(
+    "q_minhash_signatures",
+    oracle=f"""
+SELECT doc_id,
+       list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('0|' || t)), 'min') AS sig0,
+       list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('1|' || t)), 'min') AS sig1,
+       list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('2|' || t)), 'min') AS sig2,
+       list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('3|' || t)), 'min') AS sig3
+FROM documents
+ORDER BY doc_id
+""",
+    ops=("TXT-minhash",),
+    doc="MinHash signatures (k=4) over the distinct-token set, md5 hash "
+    "family, lexicographic min (north-star near-dup stage 1). Pure "
+    "expression — scales as a narrow map, no shuffle.",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *minhash_signature("text", 4)).orderBy("doc_id")
+
+
+_NEAR_DUP_ORACLE = f"""
+WITH sigs AS (
+  SELECT doc_id, text,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('0|' || t)), 'min') AS sig0,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('1|' || t)), 'min') AS sig1,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('2|' || t)), 'min') AS sig2,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('3|' || t)), 'min') AS sig3
+  FROM documents
+), bands AS (
+  SELECT doc_id, text, 0 AS band_id, md5(sig0 || '|' || sig1) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, text, 1 AS band_id, md5(sig2 || '|' || sig3) AS band_key FROM sigs
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.text AS text_a, r.text AS text_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       CAST(CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
+                                    list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))) AS DECIMAL(18,4))
+            / greatest(len(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')))
+                       + len(list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))
+                       - len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
+                                            list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))), 1)
+            AS DECIMAL(18,6)) AS jaccard
+FROM cand
+WHERE CAST(CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
+                                   list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))) AS DECIMAL(18,4))
+           / greatest(len(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')))
+                      + len(list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))
+                      - len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
+                                           list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))), 1)
+           AS DECIMAL(18,6)) >= 0.80
+ORDER BY id_a, id_b
+"""
+
+
+@declared_query(
+    "q_near_dup_pairs",
+    oracle=_NEAR_DUP_ORACLE,
+    ops=("TXT-minhash-lsh", "J9"),
+    doc="Full MinHash-LSH near-dup pipeline: sign (k=4) → band (2×2) → "
+    "bucket self-join for candidates → exact unigram-Jaccard verify ≥0.8 "
+    "(north-star dedup; same block-then-verify shape as the reference's "
+    "fuzzy FEC join, scripts/ingest_fec_links.py:95-148). Shuffle is on "
+    "band keys only — O(docs·bands) rows, never O(docs²).",
+)
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=4, rows_per_band=2)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.array_distinct(tokens()).alias("toks_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.array_distinct(tokens()).alias("toks_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard("toks_a", "toks_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.80)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_DUCK_SIMHASH = " + ".join(
+    f"(CASE WHEN list_sum(list_transform({_DUCK_DTOKS}, t -> "
+    f"CASE WHEN (CAST('0x' || substr(md5(t), 1, 4) AS INTEGER) >> {b}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+
+@declared_query(
+    "q_simhash",
+    oracle=f"""
+SELECT doc_id, CAST({_DUCK_SIMHASH} AS INTEGER) AS simhash
+FROM documents
+ORDER BY doc_id
+""",
+    ops=("TXT-simhash",),
+    doc="16-bit SimHash sketch per document (north-star near-dup): token "
+    "hash = first 16 md5 bits, per-bit ±1 vote, sign. All bit math in "
+    "codegen (conv/shiftright/bit ops).",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16().alias("simhash")).orderBy("doc_id")
+
+
+@declared_query(
+    "q_simhash_near_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, source, CAST({_DUCK_SIMHASH} AS INTEGER) AS simhash FROM documents
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+ORDER BY id_a, id_b
+""",
+    ops=("TXT-simhash", "J9"),
+    doc="SimHash near-dup pairs: block on source, hamming distance ≤ 2 via "
+    "bit_count(xor). At scale the block key would be simhash byte-bands "
+    "(each near-pair shares ≥1 band under the pigeonhole bound).",
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", simhash16().alias("simhash"))
+    left = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("simhash").alias("sh_a")
+    )
+    right = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        left.join(right, (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("hamming", hamming16("sh_a", "sh_b"))
+        .filter(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

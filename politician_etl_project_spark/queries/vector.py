@@ -1,1 +1,119 @@
-"""Populated incrementally — see queries/__init__.load_all."""
+"""Vector / semantic-search declared queries over ``embeddings`` (SURVEY
+§2.10; reference = Pinecone top-k cosine, app/app.py:338-367, replaced by
+an array<float> column + Spark jobs).
+
+Float determinism: cosine is computed as a left-fold over the array in
+index order in BOTH engines (Spark ``aggregate``/``zip_with``; DuckDB
+``list_sum(list_transform(range ...))``), so the doubles are
+bit-identical and `round(.,4)` hash-matches.  Centroid aggregation floors
+elements to integer micro-units first — order-independent, unlike double
+sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.catalog import load_table
+from politician_etl_project_spark.operators.similarity import ann_lsh, knn_bruteforce, l2_norm
+from politician_etl_project_spark.queries.registry import declared_query
+
+_DUCK_DOT_AB = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_DUCK_NORM = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE))))"
+)
+
+
+@declared_query(
+    "q_knn_bruteforce",
+    oracle=f"""
+SELECT b.vec_id, ROUND({_DUCK_DOT_AB} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='b')}), 4) AS score
+FROM embeddings a, embeddings b
+WHERE a.vec_id = 0
+ORDER BY score DESC, b.vec_id
+LIMIT 10
+""",
+    ops=("V2", "O3"),
+    doc="Brute-force exact top-10 cosine against the vec_id=0 query vector "
+    "(reference Pinecone query top_k=10, app/app.py:347-351). Query row "
+    "broadcast; executes as a narrow scored scan + TakeOrderedAndProject.",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return knn_bruteforce(emb, qv, k=10)
+
+
+@declared_query(
+    "q_vector_norms",
+    oracle=f"""
+SELECT vec_id, label, ROUND({_DUCK_NORM.format(t='embeddings')}, 4) AS l2
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+""",
+    ops=("V1",),
+    doc="Per-vector L2 norm via native array fold (embedding hygiene / "
+    "normalization stage of the reference's hydrate_vectors pipeline, "
+    "scripts/hydrate_vectors.py:72-95).",
+)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return emb.select("vec_id", "label", F.round(l2_norm("embedding"), 4).alias("l2")).orderBy("vec_id")
+
+
+@declared_query(
+    "q_label_centroid",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(embeddings.embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_dim0_micro,
+       CAST(SUM(CAST(FLOOR(CAST(embeddings.embedding[2] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_dim1_micro
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+    ops=("V2", "A2"),
+    doc="Per-label centroid components in integer micro-units (IVF-style "
+    "coarse quantizer training — the scale path for ANN). Elements are "
+    "floored to µ-units in double space (bit-identical across engines — "
+    "float→DECIMAL casts are NOT: Spark rounds the shortest decimal repr, "
+    "DuckDB the binary expansion) and summed as exact BIGINTs, "
+    "order-independent under partial aggregation.",
+)
+def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def micro(idx: int):
+        return F.floor(F.element_at("embedding", idx).cast("double") * 1000000).cast("bigint")
+
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(micro(1)).cast("bigint").alias("sum_dim0_micro"),
+            F.sum(micro(2)).cast("bigint").alias("sum_dim1_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+@declared_query(
+    "q_ann_lsh",
+    oracle=None,  # approximate by construction; recall vs brute force is pytest-checked
+    ops=("V2", "TXT-ann"),
+    doc="Approximate top-10 cosine via random-hyperplane LSH (4 planes, "
+    "multi-probe hamming≤1 → 5/16 of buckets probed). Plane count trades "
+    "recall for scan fraction; random 64-dim data has near-orthogonal "
+    "neighbors, so shallow planes + multiprobe is the right corner. Recall "
+    "vs q_knn_bruteforce is asserted in tests/test_operators.py.",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return ann_lsh(emb, qv, k=10, n_planes=4, dim=64)

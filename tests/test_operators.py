@@ -1,0 +1,99 @@
+"""Unit tests for engine operators not (fully) covered by the oracle:
+approximate ops, pandas-UDF scorers, and the predicate builder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.catalog import load_table
+from politician_etl_project_spark.operators.dedup import lsh_candidate_pairs, simhash16
+from politician_etl_project_spark.operators.filters import build_predicate
+from politician_etl_project_spark.operators.similarity import (
+    ann_lsh,
+    knn_bruteforce,
+    token_sort_ratio_udf,
+)
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """Multi-probe LSH must recover most of the exact top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = {r.vec_id for r in knn_bruteforce(emb, qv, k=10).collect()}
+    approx = {r.vec_id for r in ann_lsh(emb, qv, k=10, n_planes=4, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+    # the query vector itself (cosine 1.0) must always be found
+    assert 0 in approx
+
+
+def test_ann_lsh_buckets_prune(spark, sf_dir):
+    """LSH must score strictly fewer rows than brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    from politician_etl_project_spark.operators.similarity import hyperplane_bits
+
+    bucketed = emb.withColumn("bucket", hyperplane_bits("embedding", 4, 64))
+    qb = qv.withColumn("qbucket", hyperplane_bits("q", 4, 64))
+    probed = bucketed.crossJoin(F.broadcast(qb)).filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1
+    )
+    assert probed.count() < emb.count()
+
+
+def test_token_sort_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            ("SMITH JOHN", "JOHN SMITH"),       # same tokens, different order -> 100
+            ("SMITH JOHN", "SMITH JOHN"),       # identical -> 100
+            ("SMITH JOHN", "SMYTH JON"),        # close
+            ("ALPHA", "OMEGA"),                 # far
+            (None, "X"),                        # null -> 0
+        ],
+        "a string, b string",
+    )
+    ratio = token_sort_ratio_udf()
+    rows = df.select(ratio("a", "b").alias("r")).collect()
+    scores = [r.r for r in rows]
+    assert scores[0] == 100
+    assert scores[1] == 100
+    assert 50 <= scores[2] < 100
+    assert scores[3] < 50
+    assert scores[4] == 0
+
+
+def test_build_predicate_empty_is_true(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    assert orders.filter(build_predicate({})).count() == orders.count()
+
+
+def test_build_predicate_ops(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.filter(
+        build_predicate({"o_orderstatus": "F", "o_totalprice__ge": 1000, "o_totalprice__le": 50000})
+    ).count()
+    expected = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") >= 1000) & (F.col("o_totalprice") <= 50000)
+    ).count()
+    assert n == expected
+
+
+def test_build_predicate_rejects_unknown_op():
+    with pytest.raises(ValueError):
+        build_predicate({"x__regex": "a"})
+
+
+def test_lsh_pairs_symmetric_free(spark, sf_dir):
+    """Candidate pairs are unique and ordered id_a < id_b."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", 4, 2)
+    bad = pairs.filter(F.col("id_a") >= F.col("id_b")).count()
+    assert bad == 0
+    assert pairs.count() == pairs.distinct().count()
+
+
+def test_simhash_range(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mm = docs.select(simhash16().alias("s")).agg(F.min("s"), F.max("s")).collect()[0]
+    assert 0 <= mm[0] and mm[1] < 65536
