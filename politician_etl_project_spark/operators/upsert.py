@@ -1,0 +1,159 @@
+"""Upsert / MERGE-semantics writers (SURVEY S11-S14, S17-S18; §7
+hard-part 1).
+
+The reference leans on Postgres conflict handling: ``ON CONFLICT DO
+UPDATE`` (update wins — politicians/bills/committees,
+``scripts/ingest_politicians.py:209-232``), ``ON CONFLICT DO NOTHING``
+(first wins — donors/cosponsors, ``scripts/ingest_bulk_donations.py:112-116``),
+and ``TRUNCATE`` + reload.  Without assuming Delta Lake, MERGE is
+reproduced as a *deterministic key-dedup rewrite*:
+
+    upsert(existing, incoming) = dedup-by-key(existing ∪ incoming)
+
+where the dedup keeps the incoming row (update-wins) or the existing row
+(first-wins) via an explicit precedence column + row_number — never
+``dropDuplicates``, whose survivor is partition-order dependent.
+
+Scale: the rewrite is one shuffle on the natural key.  On a real lake the
+same functions feed ``MERGE INTO`` (Delta/Iceberg) via foreachBatch; the
+precedence logic is identical.  Parquet table rewrites are
+write-temp-then-swap so a failed job never corrupts the table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_INCOMING = 0
+_EXISTING = 1
+
+
+def merge_keep(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    update_wins: bool = True,
+) -> DataFrame:
+    """Pure merge: one row per key.  update_wins=True replays
+    ON CONFLICT DO UPDATE (S12); False replays DO NOTHING (S13).
+    Deterministic for *any* partitioning: precedence is an explicit
+    column, ties within a side are broken by all non-key columns."""
+    inc = incoming.withColumn("_prec", F.lit(_INCOMING if update_wins else _EXISTING))
+    exi = existing.withColumn("_prec", F.lit(_EXISTING if update_wins else _INCOMING))
+    unioned = inc.unionByName(exi)
+    value_cols = [c for c in unioned.columns if c not in keys and c != "_prec"]
+    w = Window.partitionBy(*keys).orderBy(F.asc("_prec"), *[F.asc(c) for c in value_cols])
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prec")
+    )
+
+
+def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """S13 as a set operation: append only keys not already present
+    (left-anti against existing), deduping incoming on the key first."""
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in incoming.columns])
+    fresh = (
+        incoming.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .join(existing.select(*keys).distinct(), keys, "left_anti")
+    )
+    return existing.unionByName(fresh)
+
+
+class ParquetUpsertTable:
+    """A tiny managed-table abstraction over a parquet directory with the
+    reference's three write modes: append (S11), upsert (S12/S13 via
+    merge_keep), overwrite (S14 TRUNCATE+reload).  Rewrites stage to a
+    temp dir then swap, so readers never see a half-written table."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = keys
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        self._swap_write(df)
+
+    def upsert(self, df: DataFrame, update_wins: bool = True) -> None:
+        if not self.exists():
+            self._swap_write(df)
+            return
+        merged = merge_keep(self.read(), df, self.keys, update_wins=update_wins)
+        self._swap_write(merged)
+
+    def _swap_write(self, df: DataFrame) -> None:
+        staging = tempfile.mkdtemp(prefix="upsert-", dir=os.path.dirname(self.path) or ".")
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            if os.path.isdir(self.path):
+                shutil.rmtree(self.path)
+            os.replace(staging, self.path)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+
+
+def surrogate_ids(df: DataFrame, order_cols: list[str], id_col: str) -> DataFrame:
+    """S18: dense deterministic surrogate keys — row_number over the
+    natural-key order.  NEVER monotonically_increasing_id, whose values
+    depend on partition layout (SURVEY §7 hard-part 2).  The global
+    window is a single-task sort, acceptable for dimension tables; fact
+    tables keep natural/composite keys instead."""
+    w = Window.orderBy(*[F.asc(c) for c in order_cols])
+    return df.withColumn(id_col, F.row_number().over(w))
+
+
+def log_update(
+    spark: SparkSession,
+    table: ParquetUpsertTable | None,
+    table_name: str,
+    n: int,
+    status: str = "success",
+    notes: str | None = None,
+) -> DataFrame:
+    """S17 watermark-log append (reference update_log INSERT,
+    scripts/update_donations.py:37-49).  Returns the 1-row DataFrame; if a
+    table is given, appends to it."""
+    row = spark.sql(
+        "SELECT current_timestamp() AS last_update"
+    ).select(
+        F.lit(table_name).alias("table_name"),
+        "last_update",
+        F.lit(n).cast("int").alias("records_updated"),
+        F.lit(status).alias("status"),
+        F.lit(notes).cast("string").alias("notes"),
+    )
+    if table is not None:
+        table.append(row)
+    return row
+
+
+def latest_watermark(update_log: DataFrame, table_name: str):
+    """T1/A13: last successful update timestamp for a table (reference
+    ORDER BY last_update DESC LIMIT 1 where status='success',
+    scripts/update_donations.py:52-65)."""
+    rows = (
+        update_log.filter((F.col("table_name") == table_name) & (F.col("status") == "success"))
+        .agg(F.max("last_update").alias("wm"))
+        .collect()
+    )
+    return rows[0].wm if rows else None

@@ -1,0 +1,355 @@
+"""ETL-source pipeline tests over FIXTURES.md §B-shaped fixture files:
+FEC pipe-CSV coercion paths, vote-JSON explode incl. the '"VP"' entry,
+billstatus XML, committee YAML flatten, member terms flatten."""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.sources import bills_xml, committees_yaml, fec, members, votes_json
+
+# ---------------------------------------------------------------------------
+# FEC bulk donations (SURVEY S1-S2, F6-F8, A14, J7)
+# ---------------------------------------------------------------------------
+
+ITCONT_LINES = [
+    # CMTE_ID|AMNDT_IND|RPT_TP|PGI|IMG|TP|ENTITY|NAME|CITY|STATE|ZIP|EMPLOYER|OCC|DT|AMT|OTHER|TRAN|FILE|MEMO_CD|MEMO|SUB
+    "C001|N|YE||img|15|IND|SMITH, JOHN|AUSTIN|TX|78701|ACME|ENG|03142024|500|||1|||SUB0000000001",
+    "C001|A|YE||img|15|IND|SMITH, JOHN|AUSTIN|TX|78701|ACME|ENG|03142024|500|||1|||SUB0000000002",  # amendment -> dropped
+    "C002|N|YE||img|15|PAC|MEGA PAC|DC|DC|20001||'|13392024|250|||1|||SUB0000000003",  # bad date -> dropped
+    "C001|N|YE||img|15|IND|DOE, JANE|||||  |01052024|notanum|||1|||SUB0000000004",  # bad amount -> dropped
+    "C001|N|YE||img|15|IND|DOE, JANE|HOUSTON|TX||||02292024|125.50|||1|||SUB0000000005",  # empty zip/emp
+    "C999|N|YE||img|15|IND|OUTSIDER|LA|CA|90001|X|Y|01012024|75|||1|||SUB0000000006",  # cmte not linked -> dropped
+    "C002|N|YE||img|15|COM|MEGA PAC|DC|DC|20001||" + "|01312024|1000|||1|||SUB0000000007",
+]
+
+
+@pytest.fixture(scope="module")
+def fec_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fec")
+    (d / "itcont.txt").write_text("\n".join(ITCONT_LINES) + "\n")
+    (d / "ccl24.txt").write_text("H0TX01|2024|2024|C001|H|P|L1\nH0DC01|2024|2024|C002|H|P|L2\n")
+    (d / "ccl26.txt").write_text("H0TX01|2026|2026|C001|H|P|L1b\nH0DC01|2024|2024|C002|H|P|L2\n")
+    (d / "cn.txt").write_text(
+        "H0TX01|SMITH, JOHN|REP|2024|TX|H|01|I|C|C001||||TX|78701\n"
+        "H0TX01|SMITH, JOHN|REP|2026|TX|H|01|I|C|C001||||TX|78701\n"  # dup CAND_ID, keep-last by year
+        "S0CA01|NADER, RALPH|IND|2024|CA|P|00|I|C|C777||||CA|90001\n"  # office P -> filtered by link
+        "H0DC01|PELOSI, NANCY|DEM|2024|DC|H|98|I|C|C002||||DC|20001\n"
+    )
+    return d
+
+
+def test_itcont_transform(spark, fec_dir):
+    it = fec.read_itcont(spark, str(fec_dir / "itcont.txt"))
+    assert it.count() == 7
+    linked = spark.createDataFrame([("C001",), ("C002",)], "CMTE_ID string")
+    don = fec.transform_donations(it, linked)
+    rows = {r.fec_filing_id: r for r in don.collect()}
+    # survivors: 1 (clean), 5 (empty zip/emp), 7 (COM -> PAC)
+    assert set(rows) == {"SUB0000000001", "SUB0000000005", "SUB0000000007"}
+    assert str(rows["SUB0000000001"].amount) == "500.00"
+    assert rows["SUB0000000001"].donor_uid == "SMITH, JOHN|78701|ACME"
+    assert rows["SUB0000000005"].donor_uid == "DOE, JANE||"  # null-safe composite
+    assert rows["SUB0000000007"].donor_type == "PAC"
+    assert rows["SUB0000000001"].date.isoformat() == "2024-03-14"
+
+
+def test_donor_build_deterministic(spark, fec_dir):
+    it = fec.read_itcont(spark, str(fec_dir / "itcont.txt"))
+    linked = spark.createDataFrame([("C001",), ("C002",)], "CMTE_ID string")
+    donors = fec.build_donors(fec.transform_donations(it, linked))
+    rows = donors.orderBy("donor_id").collect()
+    # dense ids 1..n in donor_uid order, independent of partitioning
+    assert [r.donor_id for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r.donor_source_key for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_ccl_union_dedup(spark, fec_dir):
+    ccl = fec.read_ccl(spark, str(fec_dir / "ccl24.txt"), str(fec_dir / "ccl26.txt"))
+    assert ccl.count() == 3  # 4 lines, 1 exact dup dropped
+
+
+def test_cn_keep_last(spark, fec_dir):
+    cn = fec.read_cn(spark, str(fec_dir / "cn.txt"))
+    smith = cn.filter(F.col("CAND_ID") == "H0TX01").collect()
+    assert len(smith) == 1
+    assert smith[0].CAND_ELECTION_YR == "2026"
+
+
+def test_fuzzy_link(spark, fec_dir):
+    cn = fec.read_cn(spark, str(fec_dir / "cn.txt"))
+    pols = spark.createDataFrame(
+        [
+            (1, "John", "Smith", "TX"),
+            (2, "Nancy", "Pelosi", "DC"),
+            (3, "Alex", "Zzz", "WY"),  # no candidate in state -> unmatched
+        ],
+        "politician_id int, first_name string, last_name string, state string",
+    )
+    linked = fec.fuzzy_link_politicians(pols, cn, threshold=80)
+    got = {r.politician_id: r.fec_candidate_id for r in linked.collect()}
+    assert got == {1: "H0TX01", 2: "H0DC01"}
+
+
+# ---------------------------------------------------------------------------
+# Vote JSON (SURVEY S6, N1-N3, J7/J8)
+# ---------------------------------------------------------------------------
+
+VOTE_DOCS = [
+    {  # normal passage vote with the literal "VP" voter (N2)
+        "category": "passage",
+        "date": "2025-03-14",
+        "bill": {"type": "hr", "number": 123, "congress": 119},
+        "votes": {
+            "Yea": [{"id": "A000001", "party": "D", "state": "CA"}, "VP"],
+            "Nay": [{"id": "B000002", "party": "R", "state": "TX"}],
+        },
+    },
+    {  # nomination -> skipped (N3)
+        "category": "nomination",
+        "date": "2025-03-15",
+        "bill": {"type": "s", "number": 1, "congress": 119},
+        "votes": {"Yea": [{"id": "A000001", "party": "D", "state": "CA"}]},
+    },
+    {  # missing bill -> skipped (N3)
+        "category": "passage",
+        "date": "2025-03-16",
+        "votes": {"Yea": [{"id": "A000001", "party": "D", "state": "CA"}]},
+    },
+    {  # bill key not in bills table -> dropped at resolve
+        "category": "passage",
+        "date": "2025-03-17",
+        "bill": {"type": "hr", "number": 999, "congress": 119},
+        "votes": {"Nay": [{"id": "B000002", "party": "R", "state": "TX"}]},
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def votes_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("votes")
+    for i, doc in enumerate(VOTE_DOCS):
+        sub = d / f"vote{i}"
+        sub.mkdir()
+        (sub / "data.json").write_text(json.dumps(doc))
+    return d
+
+
+def test_vote_explode(spark, votes_dir):
+    raw = votes_json.read_vote_files(spark, str(votes_dir) + "/*/data.json")
+    exploded = votes_json.explode_votes(raw)
+    rows = exploded.collect()
+    # doc0: 2 real voters ("VP" dropped); doc3: 1 voter. nomination + no-bill skipped.
+    assert len(rows) == 3
+    keys = {(r.congress_id, r.bill_key, r.vote_position) for r in rows}
+    assert ("A000001", "HR123-119", "Yea") in keys
+    assert ("B000002", "HR999-119", "Nay") in keys
+
+
+def test_vote_resolve(spark, votes_dir):
+    raw = votes_json.read_vote_files(spark, str(votes_dir) + "/*/data.json")
+    exploded = votes_json.explode_votes(raw)
+    pols = spark.createDataFrame(
+        [(10, "A000001"), (20, "B000002")], "politician_id int, congress_id string"
+    )
+    bills = spark.createDataFrame(
+        [(7, "HR123", 119)], "bill_id int, official_bill_number string, congress int"
+    )
+    resolved = votes_json.resolve_vote_ids(exploded, pols, bills)
+    rows = resolved.collect()
+    assert {(r.politician_id, r.bill_id, r.vote_position) for r in rows} == {
+        (10, 7, "Yea"),
+        (20, 7, "Nay"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Billstatus XML (SURVEY S7, N4, F16)
+# ---------------------------------------------------------------------------
+
+BILL_XML = textwrap.dedent(
+    """\
+    <?xml version="1.0"?>
+    <billStatus>
+      <bill>
+        <congress>119</congress>
+        <type>HR</type>
+        <number>123</number>
+        <title>Clean Water Act</title>
+        <introducedDate>2025-01-15</introducedDate>
+        <sponsors><item><bioguideId>A000001</bioguideId></item></sponsors>
+        <cosponsors>
+          <item>
+            <bioguideId>B000002</bioguideId>
+            <sponsorshipDate>2025-01-16</sponsorshipDate>
+            <isOriginalCosponsor>True</isOriginalCosponsor>
+          </item>
+          <item>
+            <bioguideId>C000003</bioguideId>
+            <sponsorshipDate>2025-02-20</sponsorshipDate>
+            <isOriginalCosponsor>false</isOriginalCosponsor>
+          </item>
+        </cosponsors>
+        <summaries><summary><text>A bill about water.</text></summary></summaries>
+      </bill>
+    </billStatus>
+    """
+)
+
+BILL_XML_SPARSE = textwrap.dedent(
+    """\
+    <?xml version="1.0"?>
+    <billStatus>
+      <bill>
+        <congress>119</congress>
+        <type>S</type>
+        <number>42</number>
+        <title>No Friends Act</title>
+        <introducedDate>bad-date</introducedDate>
+        <cosponsors></cosponsors>
+      </bill>
+    </billStatus>
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def xml_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xml")
+    (d / "b1.xml").write_text(BILL_XML)
+    (d / "b2.xml").write_text(BILL_XML_SPARSE)
+    return d
+
+
+def test_bill_xml_extract(spark, xml_dir):
+    parsed = bills_xml.read_billstatus(spark, str(xml_dir) + "/*.xml")
+    bills = {r.official_bill_number: r for r in bills_xml.extract_bills(parsed).collect()}
+    assert set(bills) == {"HR123", "S42"}
+    assert bills["HR123"].sponsor_bioguide == "A000001"
+    assert bills["HR123"].summary == "A bill about water."
+    assert bills["HR123"].date_introduced.isoformat() == "2025-01-15"
+    assert bills["S42"].date_introduced is None  # bad date -> NULL (F7)
+    assert bills["S42"].sponsor_bioguide is None
+
+
+def test_bill_xml_cosponsors(spark, xml_dir):
+    parsed = bills_xml.read_billstatus(spark, str(xml_dir) + "/*.xml")
+    cos = bills_xml.extract_cosponsors(parsed).collect()
+    assert len(cos) == 2
+    got = {r.congress_id: r.is_original_cosponsor for r in cos}
+    assert got == {"B000002": True, "C000003": False}  # 'True'/'false' parse (F16)
+
+
+# ---------------------------------------------------------------------------
+# Committee YAML (SURVEY S8, N6, J5)
+# ---------------------------------------------------------------------------
+
+COMMITTEE_DOCS = [
+    {
+        "name": "House Committee on Agriculture",
+        "type": "house",
+        "thomas_id": "HSAG",
+        "house_committee_id": "HSAG",
+        "url": "http://ag.example",
+        "subcommittees": [
+            {"name": "Conservation", "thomas_id": "15"},
+            {"name": "Livestock", "thomas_id": "22"},
+        ],
+    },
+    {
+        "name": "Senate Committee on Finance",
+        "type": "senate",
+        "thomas_id": "SSFI",
+        "senate_committee_id": "SSFI",
+        "url": "http://fin.example",
+        "subcommittees": [],
+    },
+]
+
+
+def test_committee_flatten(spark):
+    raw = committees_yaml.committees_df(spark, COMMITTEE_DOCS)
+    flat = committees_yaml.flatten_committees(raw)
+    rows = {r.committee_id: r for r in flat.collect()}
+    assert set(rows) == {"HSAG", "HSAG15", "HSAG22", "SSFI"}
+    assert rows["HSAG15"].parent_committee_id == "HSAG"
+    assert rows["HSAG15"].chamber == "house"  # swapped-field semantics preserved
+    assert rows["SSFI"].parent_committee_id is None
+
+
+def test_committee_hierarchy(spark):
+    raw = committees_yaml.committees_df(spark, COMMITTEE_DOCS)
+    flat = committees_yaml.flatten_committees(raw)
+    h = committees_yaml.committee_hierarchy(flat)
+    rows = {r.committee_id: r.parent_name for r in h.collect()}
+    assert rows == {
+        "HSAG15": "House Committee on Agriculture",
+        "HSAG22": "House Committee on Agriculture",
+    }
+
+
+def test_memberships(spark):
+    doc = {
+        "HSAG": [
+            {"name": "John Smith", "bioguide": "A000001", "rank": 1, "title": "Chair", "party": "majority"},
+            {"name": "Jane Doe", "bioguide": "B000002", "rank": 2, "party": "minority"},
+        ]
+    }
+    m = committees_yaml.memberships_df(spark, doc)
+    rows = m.orderBy("rank").collect()
+    assert rows[0].title == "Chair"
+    assert rows[1].title is None
+
+
+# ---------------------------------------------------------------------------
+# Member JSON (SURVEY S5, N5, F4-F5)
+# ---------------------------------------------------------------------------
+
+MEMBER_RECORDS = [
+    {
+        "bioguideId": "K000383",
+        "name": "King, Angus S., Jr.",  # suffix case: split on FIRST comma
+        "partyName": "Independent",
+        "state": "Maine",
+        "terms": {"item": [{"chamber": "Senate", "startYear": 2013}]},  # no end -> active
+    },
+    {
+        "bioguideId": "P000197",
+        "name": "Pelosi, Nancy",
+        "partyName": "Democratic",
+        "state": "California",
+        "terms": {
+            "item": [
+                {"chamber": "House of Representatives", "startYear": 1987, "endYear": 2023},
+                {"chamber": "House of Representatives", "startYear": 2023, "endYear": 2025},
+            ]
+        },
+    },
+    {
+        "bioguideId": "X000001",
+        "name": "Mononym",  # no comma -> all last_name
+        "partyName": "Republican",
+        "state": "Atlantis",  # unknown state -> dropped
+        "terms": {"item": [{"chamber": "House of Representatives", "startYear": 2020}]},
+    },
+]
+
+
+def test_member_transform(spark):
+    df = members.members_df(spark, MEMBER_RECORDS)
+    out = members.transform_members(df, members.state_lookup(spark))
+    rows = {r.congress_id: r for r in out.collect()}
+    assert set(rows) == {"K000383", "P000197"}  # unknown state dropped
+    king = rows["K000383"]
+    assert (king.first_name, king.last_name) == ("Angus S., Jr.", "King")
+    assert king.state == "ME" and king.chamber == "Senate"
+    assert king.is_active is True and king.end_year is None
+    pelosi = rows["P000197"]
+    assert pelosi.state == "CA" and pelosi.chamber == "House"
+    assert (pelosi.start_year, pelosi.end_year) == (1987, 2025)
+    assert pelosi.is_active is False
