@@ -99,15 +99,20 @@ def lsh_candidate_pairs(
     (id_a, id_b) with id_a < id_b, distinct across bands."""
     sigs = df.select(F.col(id_col), *minhash_signature(col, n_hashes))
     n_bands = n_hashes // rows_per_band
-    bands = None
-    for b in range(n_bands):
-        cols = [f"sig{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band = sigs.select(
-            F.col(id_col),
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    # One projection + posexplode: signatures are computed once per doc and
+    # each doc emits n_bands (band_id, band_key) rows — no per-band union
+    # branches re-reading the source.
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"sig{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key"))
     left = bands.alias("l")
     right = bands.alias("r")
     return (

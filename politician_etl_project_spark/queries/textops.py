@@ -198,23 +198,23 @@ WITH sigs AS (
          l.text AS text_a, r.text AS text_b
   FROM bands l JOIN bands r
     ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), toks AS (
+  SELECT id_a, id_b,
+         list_distinct(regexp_split_to_array(trim(text_a), '\\s+')) AS ta,
+         list_distinct(regexp_split_to_array(trim(text_b), '\\s+')) AS tb
+  FROM cand
+), counts AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ta, tb)) AS n_inter,
+         len(ta) AS n_a, len(tb) AS n_b
+  FROM toks
 )
 SELECT id_a, id_b,
-       CAST(CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
-                                    list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))) AS DECIMAL(18,4))
-            / greatest(len(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')))
-                       + len(list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))
-                       - len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
-                                            list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))), 1)
-            AS DECIMAL(18,6)) AS jaccard
-FROM cand
-WHERE CAST(CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
-                                   list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))) AS DECIMAL(18,4))
-           / greatest(len(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')))
-                      + len(list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))
-                      - len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
-                                           list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))), 1)
-           AS DECIMAL(18,6)) >= 0.80
+       CAST(CAST(n_inter AS DECIMAL(18,4))
+            / greatest(n_a + n_b - n_inter, 1) AS DECIMAL(18,6)) AS jaccard
+FROM counts
+WHERE CAST(CAST(n_inter AS DECIMAL(18,4))
+           / greatest(n_a + n_b - n_inter, 1) AS DECIMAL(18,6)) >= 0.80
 ORDER BY id_a, id_b
 """
 
