@@ -1,0 +1,165 @@
+"""Streaming pipelines: watermarked windows, stateful dedup, custom
+per-key state, and incremental MERGE (SURVEY §2.11 T1-T6).
+
+Each pipeline is the streaming twin of a batch declared query in
+``queries/events.py`` — the tests assert batch/stream equivalence under
+``Trigger.AvailableNow``, which is this engine's analog of the
+reference's watermark-batch update scripts.
+
+Scale notes (100 TB / real cluster):
+- Watermarks bound state: windowed aggregation state is evicted once the
+  watermark passes the window end, dedup state once it passes the event
+  time + gap.  Without them state grows with the keyspace forever.
+- Windowed aggregation shuffles on (window, key) — partial aggregation
+  runs map-side in each micro-batch, same as batch.
+- ``applyInPandasWithState`` keeps per-key state in the state store
+  (RocksDB on a real cluster); the Python worker sees Arrow batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def windowed_totals(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (slide=None) or sliding windowed count+sum per event_type
+    with an event-time watermark (T2/T3; batch twin q_tumbling_window /
+    q_sliding_window).  In append mode a window emits exactly once, when
+    the watermark passes its end — late rows beyond the watermark are
+    dropped, the reference's since-date skip
+    (scripts/update_donations.py:184-186)."""
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: sessions close after `gap` of inactivity
+    (batch twin q_session_windows).  Streaming session windows merge
+    state across micro-batches until the watermark seals the session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), _TS_FMT).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once events by event_id across micro-batches (T6 — the
+    reference retains a donors dict across batches to avoid re-inserting,
+    scripts/update_donations.py:237).  dropDuplicatesWithinWatermark keeps
+    the first arrival and evicts key state once the watermark passes, so
+    state is bounded by the watermark horizon rather than the full key
+    history."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_USER_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _accumulate_user(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running totals carried in the state store across
+    micro-batches; emits the updated totals every batch the user appears
+    in (update-mode semantics)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    lifetime event count + value sum (D5/T5-style accumulator the
+    reference keeps in driver dicts, app/metrics.py:571-576 — here it is
+    distributed, Arrow-batched, and checkpointed)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _accumulate_user,
+            outputStructType=_USER_TOTALS_SCHEMA,
+            stateStructType=_USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def incremental_upsert_stream(
+    events: DataFrame,
+    table,
+    update_log=None,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """T5: per-micro-batch MERGE into a managed table + watermark-log
+    append — the reference's update_donations batch loop
+    (scripts/update_donations.py:258-307) as foreachBatch.  `table` is a
+    ParquetUpsertTable keyed on event_id (first-wins replays ON CONFLICT
+    DO NOTHING)."""
+    from politician_etl_project_spark.operators.upsert import log_update
+    from politician_etl_project_spark.streaming.sources import run_foreach_batch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        table.upsert(batch_df, update_wins=False)
+        if update_log is not None:
+            log_update(batch_df.sparkSession, update_log, "events", n, notes=f"batch={batch_id}")
+
+    run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)

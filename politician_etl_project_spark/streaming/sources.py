@@ -1,0 +1,98 @@
+"""Streaming sources and sinks (SURVEY S1/T3: file-source micro-batches).
+
+The reference consumes "whatever landed since the watermark" from staging
+directories (FEC zip extracts, scraper output dirs —
+``scripts/update_donations.py:68-125``, ``scripts/update_bills.py:94-152``).
+The Spark-native equivalent is a file-source ``readStream`` over the
+staging dir: each newly-landed file becomes part of a micro-batch, and
+``Trigger.AvailableNow`` reproduces the reference's run-to-completion
+batch jobs while keeping checkpointed exactly-once file tracking.
+
+Scale: the file source lists incrementally and checkpoints consumed
+files; ``maxFilesPerTrigger`` bounds per-batch work so one giant backlog
+drop does not produce one giant batch (the reference's 500k-row chunking,
+``scripts/ingest_bulk_donations.py:197``, is the same idea).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of event rows from a staging directory of
+    parquet files (the streaming twin of catalog.load_table('events'))."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a memory
+    sink and return the result as a batch DataFrame.
+
+    AvailableNow processes the entire backlog in watermark-respecting
+    micro-batches then stops — the reference's "run_all_updates" batch
+    semantics (scripts/run_all_updates.py:14-19) with streaming state.
+    """
+    spark = sdf.sparkSession
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_foreach_batch(
+    sdf: DataFrame,
+    fn,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Run a stream to completion through a foreachBatch sink (T5 stateful
+    upsert per micro-batch, scripts/update_donations.py:258-307)."""
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    q = (
+        sdf.writeStream.foreachBatch(fn)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

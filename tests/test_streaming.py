@@ -1,0 +1,172 @@
+"""Structured Streaming tests (SURVEY §2.11): batch/stream equivalence
+under Trigger.AvailableNow on the events fixture.
+
+Strategy: stage events as multiple parquet files in a tmp dir so
+maxFilesPerTrigger forces multi-micro-batch execution, then assert the
+streaming result equals the corresponding batch computation (modulo
+watermark finalization for append-mode windows).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.catalog import load_table
+from politician_etl_project_spark.operators.upsert import ParquetUpsertTable, latest_watermark
+from politician_etl_project_spark.streaming import (
+    dedup_stream,
+    events_stream,
+    incremental_upsert_stream,
+    run_to_memory,
+    session_counts,
+    user_running_totals,
+    windowed_totals,
+)
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, tmp_path_factory):
+    """Events split into 4 files by event_id ranges *in time order* (the
+    fixture's event_id increases with ts), so micro-batches arrive like a
+    real stream and the watermark advances between batches."""
+    src = str(tmp_path_factory.mktemp("events_src"))
+    events = load_table(spark, SF_SMALL, "events")
+    events.withColumn("bucket", (F.col("event_id") / 250).cast("int")).repartitionByRange(
+        4, "bucket"
+    ).drop("bucket").write.mode("overwrite").parquet(src)
+    return src
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_SMALL, "events")
+
+
+def test_tumbling_stream_matches_batch(spark, staged_events, tmp_path):
+    stream = events_stream(spark, staged_events)
+    got = run_to_memory(
+        windowed_totals(stream, "1 hour"),
+        "tumbling_sink",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = windowed_totals(_batch_events(spark), "1 hour")
+    # Append mode emits only windows finalized by the terminal watermark:
+    # max(ts) - 2h.  Compare on that finalized subset.
+    max_ts = _batch_events(spark).agg(F.max("ts")).collect()[0][0]
+    cutoff = (
+        spark.range(1)
+        .select(
+            F.date_format(
+                F.date_trunc("hour", F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")),
+                "yyyy-MM-dd HH:mm:ss",
+            )
+        )
+        .collect()[0][0]
+    )
+    expected = {
+        tuple(map(str, r)) for r in batch.collect() if str(r["window_start"]) < cutoff
+    }
+    actual = {tuple(map(str, r)) for r in got.collect()}
+    assert expected  # watermark must have finalized a non-trivial prefix
+    assert expected.issubset(actual)
+    # nothing emitted disagrees with batch on the finalized prefix
+    batch_all = {tuple(map(str, r)) for r in batch.collect()}
+    assert actual.issubset(batch_all)
+
+
+def test_sliding_stream_matches_batch(spark, staged_events, tmp_path):
+    stream = events_stream(spark, staged_events)
+    got = run_to_memory(
+        windowed_totals(stream, "1 hour", slide="30 minutes"),
+        "sliding_sink",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch_all = {
+        tuple(map(str, r))
+        for r in windowed_totals(_batch_events(spark), "1 hour", slide="30 minutes").collect()
+    }
+    actual = {tuple(map(str, r)) for r in got.collect()}
+    assert actual  # stream produced finalized windows
+    assert actual.issubset(batch_all)
+
+
+def test_session_stream_subset_of_batch(spark, staged_events, tmp_path):
+    stream = events_stream(spark, staged_events)
+    got = run_to_memory(
+        session_counts(stream, gap="30 minutes"),
+        "session_sink",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch_all = {
+        tuple(map(str, r))
+        for r in session_counts(_batch_events(spark), gap="30 minutes").collect()
+    }
+    actual = {tuple(map(str, r)) for r in got.collect()}
+    assert actual
+    assert actual.issubset(batch_all)
+
+
+def test_dedup_stream_exactly_once(spark, staged_events, tmp_path):
+    """Duplicate the whole source dir: every event arrives twice; the
+    stateful dedup must emit each event_id exactly once."""
+    dup_src = str(tmp_path / "dup_src")
+    spark.read.parquet(staged_events).write.mode("overwrite").parquet(dup_src)
+    spark.read.parquet(staged_events).write.mode("append").parquet(dup_src)
+
+    stream = events_stream(spark, dup_src)
+    got = run_to_memory(
+        dedup_stream(stream), "dedup_sink", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    n_unique = _batch_events(spark).select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_user_running_totals_state(spark, staged_events, tmp_path):
+    """applyInPandasWithState accumulator: with maxFilesPerTrigger=1 each
+    user's totals are emitted once per micro-batch they appear in; the
+    *last* emission per user must equal the batch groupBy."""
+    stream = events_stream(spark, staged_events, max_files_per_trigger=1)
+    got = run_to_memory(
+        user_running_totals(stream),
+        "state_sink",
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).collect()
+    # memory sink in update mode appends each emission; last row per user wins
+    last: dict[int, tuple] = {}
+    for r in got:
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    expected = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(last) == set(expected)
+    for uid, (n, total) in expected.items():
+        assert last[uid][0] == n
+        assert abs(last[uid][1] - total) < 1e-6
+
+
+def test_incremental_upsert_foreachbatch(spark, staged_events, tmp_path):
+    """T5: stream MERGEs into a managed table per micro-batch; the final
+    table holds exactly the distinct events, and update_log gained one
+    row per batch with a usable watermark."""
+    table = ParquetUpsertTable(spark, str(tmp_path / "events_tbl"), keys=["event_id"])
+    wm_log = ParquetUpsertTable(spark, str(tmp_path / "update_log"), keys=["table_name"])
+
+    stream = events_stream(spark, staged_events, max_files_per_trigger=2)
+    incremental_upsert_stream(
+        stream, table, update_log=wm_log, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+
+    n_unique = _batch_events(spark).select("event_id").distinct().count()
+    assert table.read().count() == n_unique
+    log = wm_log.read()
+    assert log.count() >= 2  # multiple micro-batches each logged
+    assert log.agg(F.sum("records_updated")).collect()[0][0] == 1000
+    assert latest_watermark(log, "events") is not None
