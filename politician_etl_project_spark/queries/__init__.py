@@ -14,6 +14,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         textops,
         vector,
+        multimodal,
     )
 
     return dict(REGISTRY)

@@ -1,0 +1,102 @@
+"""Multimodal declared queries (north-star; operators/multimodal.py).
+
+The media table is synthesized deterministically from ``documents``
+(payload = UTF-8 bytes of ASCII text), so the DuckDB oracle can verify
+the *byte-level* output of the mapInPandas decode path via ``ascii()``
+arithmetic — the Python-worker plumbing (Arrow batch in, feature rows
+out) is hash-checked end-to-end, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.catalog import load_table
+from politician_etl_project_spark.operators.multimodal import (
+    FRAME_BYTES,
+    pixel_stats,
+    sample_frames,
+    synthesize_media,
+)
+from politician_etl_project_spark.queries.registry import declared_query
+
+_KIND = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+
+@declared_query(
+    "q_media_metadata",
+    oracle=f"""
+SELECT {_KIND} AS kind,
+       COUNT(*) AS n_media,
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(CAST(floor(length(text) / {FRAME_BYTES}) AS INT)) AS BIGINT) AS total_frames
+FROM documents
+GROUP BY 1
+ORDER BY kind
+""",
+    ops=("MM-metadata",),
+    doc="Metadata-only rollup over the media table: counts/bytes/frames "
+    "per kind. The payload column is never read — column pruning keeps "
+    "the scan to the metadata struct (check ReadSchema in explain), which "
+    "is what makes metadata queries cheap on a 100 TB media lake.",
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+            F.sum(F.col("meta.n_frames").cast("long")).alias("total_frames"),
+        )
+        .orderBy("kind")
+    )
+
+
+@declared_query(
+    "q_media_pixel_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(length(text) AS INTEGER) AS n_bytes,
+       CAST(list_sum(list_transform(regexp_split_to_array(text, ''), c -> ascii(c))) AS BIGINT) AS sum_bytes
+FROM documents
+ORDER BY media_id
+""",
+    ops=("MM-decode", "D3"),
+    doc="Decode + feature-extract through mapInPandas: payload bytes -> "
+    "uint8 array -> (count, sum) per media. The oracle recomputes the "
+    "same bytes as ascii() codes, so the Arrow-batched Python decode "
+    "path is value-checked exactly.",
+)
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return pixel_stats(media).orderBy("media_id")
+
+
+@declared_query(
+    "q_frame_sample",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(text, ''), c -> ascii(c)) AS p,
+         CAST(floor(length(text) / {FRAME_BYTES}) AS INT) AS n_frames
+  FROM documents
+  WHERE doc_id % 3 = 2
+), f AS (
+  SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_idx, p
+  FROM px
+)
+SELECT doc_id AS media_id, frame_idx,
+       CAST(list_sum(p[frame_idx * {FRAME_BYTES} + 1 : frame_idx * {FRAME_BYTES} + {FRAME_BYTES}]) AS INTEGER) AS frame_sum
+FROM f
+ORDER BY media_id, frame_idx
+""",
+    ops=("MM-frames", "D4"),
+    doc="Video frame sampling: chunk payload into 16-byte frames, keep "
+    "every 2nd, emit per-frame feature rows (one wide row in, many "
+    "narrow rows out — the UDTF shape through mapInPandas).",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every=2).orderBy("media_id", "frame_idx")

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from politician_etl_project_spark.catalog import load_table
-from politician_etl_project_spark.operators.similarity import ann_lsh, knn_bruteforce, l2_norm
+from politician_etl_project_spark.operators.similarity import ann_lsh, cosine, knn_bruteforce, l2_norm
 from politician_etl_project_spark.queries.registry import declared_query
 
 _DUCK_DOT_AB = (
@@ -100,6 +100,71 @@ def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(micro(2)).cast("bigint").alias("sum_dim1_micro"),
         )
         .orderBy("label")
+    )
+
+
+_NEAR_COS = """
+WITH all_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+), b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN 1 ELSE 0 END) AS bucket
+  FROM all_e
+)
+SELECT id_a, id_b, score FROM (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         ROUND(list_sum(list_transform(range(1, 65),
+                   i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(l.embedding[i] AS DOUBLE) * CAST(l.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE))))), 4) AS score
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+WHERE score >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+@declared_query(
+    "q_embed_near_dup",
+    oracle=_NEAR_COS,
+    ops=("TXT-embed-neardup", "V2", "J9"),
+    doc="Embedding-cosine near-dup pairs (north-star dedup family): "
+    "2-bit sign-LSH blocking (coordinate hyperplanes — identical rows "
+    "always share a bucket, so exact dups are never lost) then cosine "
+    "within buckets, threshold 0.35. The fixture embeddings are random "
+    "(max natural cosine 0.51), so 50 exact copies are planted under "
+    "shifted ids to exercise the dup path; the 0.35 threshold keeps the "
+    "natural-pair path non-trivial too. At 100 TB: more sign bits + "
+    "multiprobe, same plan shape — shuffle on bucket, O(bucket²) scoring.",
+)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    all_e = emb.unionByName(planted)
+    bucket = (
+        F.when(F.element_at("embedding", 1).cast("double") >= 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 2).cast("double") >= 0, 1).otherwise(0)
+    )
+    b = all_e.withColumn("bucket", bucket)
+    left = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    return (
+        left.join(right, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("emb_a", "emb_b"), 4).alias("score"))
+        .filter(F.col("score") >= 0.35)
+        .orderBy("id_a", "id_b")
     )
 
 
