@@ -107,6 +107,9 @@ class ParquetUpsertTable:
             if os.path.isdir(self.path):
                 shutil.rmtree(self.path)
             os.replace(staging, self.path)
+            # drop the session FileStatusCache entry for this path — readers
+            # created after the swap must list the new part files
+            self.spark.catalog.refreshByPath(self.path)
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
