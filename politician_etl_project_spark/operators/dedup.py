@@ -143,20 +143,41 @@ def jaccard(a: str | Column, b: str | Column) -> Column:
 # --- simhash ---------------------------------------------------------------
 
 
-def simhash16(col: str = "text") -> Column:
-    """16-bit SimHash over distinct tokens.  Token hash = first 16 bits of
-    md5 (hex→int via conv); per-bit vote = sum of ±1; bit set iff vote>0.
-    Pure expression — 16 array-aggregates fused by codegen."""
-    toks = f"array_distinct(split(trim({col}), '\\\\s+'))"
-    th = "cast(conv(substring(md5(t), 1, 4), 16, 10) as int)"
+def _token_hashes_sql(col: str) -> str:
+    return (
+        f"transform(array_distinct(split(trim({col}), '\\\\s+')), "
+        "t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"
+    )
+
+
+def token_hashes(col: str = "text") -> Column:
+    """16-bit md5 hash per distinct token, as an int array.  Materialize
+    this ONCE (``withColumn``) before fanning into the per-bit votes —
+    inlining it in all 16 bit expressions tokenizes + md5s the text 16
+    times (measured ~5x slower).  CollapseProject keeps the two-step
+    projection separate because the column is referenced 16 times."""
+    return F.expr(_token_hashes_sql(col))
+
+
+def simhash16_from_hashes(hashes_col: str) -> Column:
+    """16-bit SimHash from a precomputed token-hash array column: per-bit
+    vote = sum of ±1 over hashes; bit set iff vote>0.  16 array-aggregates
+    over a small int array, fused by codegen."""
     bit_terms = []
     for b in range(16):
         vote = (
-            f"aggregate({toks}, 0, (acc, t) -> acc + "
-            f"(case when (shiftright({th}, {b}) & 1) = 1 then 1 else -1 end))"
+            f"aggregate({hashes_col}, 0, (acc, h) -> acc + "
+            f"(case when (shiftright(h, {b}) & 1) = 1 then 1 else -1 end))"
         )
         bit_terms.append(f"(case when ({vote}) > 0 then {1 << b} else 0 end)")
     return F.expr(" + ".join(bit_terms)).cast("int")
+
+
+def simhash16(col: str = "text") -> Column:
+    """One-shot SimHash for single-use contexts; hot paths should
+    materialize :func:`token_hashes` in a withColumn first and use
+    :func:`simhash16_from_hashes`."""
+    return simhash16_from_hashes(_token_hashes_sql(col))
 
 
 def hamming16(a: str | Column, b: str | Column) -> Column:

@@ -18,7 +18,8 @@ from politician_etl_project_spark.operators.dedup import (
     hamming16,
     jaccard,
     minhash_signature,
-    simhash16,
+    simhash16_from_hashes,
+    token_hashes,
     tokens,
 )
 from politician_etl_project_spark.queries.registry import declared_query
@@ -245,36 +246,46 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_SIMHASH = " + ".join(
-    f"(CASE WHEN list_sum(list_transform({_DUCK_DTOKS}, t -> "
-    f"CASE WHEN (CAST('0x' || substr(md5(t), 1, 4) AS INTEGER) >> {b}) & 1 = 1 "
-    f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+# per-bit votes over a PREcomputed token-hash list (computed once in the
+# subquery below — inlining the tokenize+md5 in all 16 bits was the 5x
+# hotspot on both engines)
+_DUCK_SIMHASH_FROM_TH = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(th, h -> "
+    f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
     for b in range(16)
+)
+_DUCK_TH = (
+    f"list_transform({_DUCK_DTOKS}, t -> CAST('0x' || substr(md5(t), 1, 4) AS INTEGER))"
 )
 
 
 @declared_query(
     "q_simhash",
     oracle=f"""
-SELECT doc_id, CAST({_DUCK_SIMHASH} AS INTEGER) AS simhash
-FROM documents
+SELECT doc_id, CAST({_DUCK_SIMHASH_FROM_TH} AS INTEGER) AS simhash
+FROM (SELECT doc_id, {_DUCK_TH} AS th FROM documents)
 ORDER BY doc_id
 """,
     ops=("TXT-simhash",),
     doc="16-bit SimHash sketch per document (north-star near-dup): token "
-    "hash = first 16 md5 bits, per-bit ±1 vote, sign. All bit math in "
-    "codegen (conv/shiftright/bit ops).",
+    "hash = first 16 md5 bits computed once per doc, per-bit ±1 vote, "
+    "sign. All bit math in codegen (conv/shiftright/bit ops).",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16().alias("simhash")).orderBy("doc_id")
+    return (
+        docs.withColumn("_th", token_hashes("text"))
+        .select("doc_id", simhash16_from_hashes("_th").alias("simhash"))
+        .orderBy("doc_id")
+    )
 
 
 @declared_query(
     "q_simhash_near_pairs",
     oracle=f"""
 WITH sh AS (
-  SELECT doc_id, source, CAST({_DUCK_SIMHASH} AS INTEGER) AS simhash FROM documents
+  SELECT doc_id, source, CAST({_DUCK_SIMHASH_FROM_TH} AS INTEGER) AS simhash
+  FROM (SELECT doc_id, source, {_DUCK_TH} AS th FROM documents)
 )
 SELECT l.doc_id AS id_a, r.doc_id AS id_b,
        CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
@@ -289,7 +300,9 @@ ORDER BY id_a, id_b
 )
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", "source", simhash16().alias("simhash"))
+    sh = docs.withColumn("_th", token_hashes("text")).select(
+        "doc_id", "source", simhash16_from_hashes("_th").alias("simhash")
+    )
     left = sh.select(
         F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("simhash").alias("sh_a")
     )

@@ -17,10 +17,18 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "politician-etl-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Split-size governs scan parallelism: the default 128 MiB is right for
+    # a cluster reading TB-scale tables, but the local bench tables are
+    # single ~1-10 MiB parquet files which would scan as 1-3 tasks on 32
+    # cores.  Size splits so the largest bench table fans out across the
+    # local cores; override (or leave default) on a real cluster.
+    max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(2 * 1024 * 1024))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.files.maxPartitionBytes", max_part)
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
