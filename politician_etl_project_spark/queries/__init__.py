@@ -15,6 +15,7 @@ def load_all() -> dict[str, QuerySpec]:
         textops,
         vector,
         multimodal,
+        coverage_ext,
     )
 
     return dict(REGISTRY)

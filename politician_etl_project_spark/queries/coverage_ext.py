@@ -1,0 +1,236 @@
+"""Coverage-extension declared queries: SURVEY §2 operator shapes not yet
+oracle-checked by the core suite — junction/hierarchy joins (J3-J5),
+broadcast lookup joins (J7), multi-key sort (O1), LIMIT-1 probe (O5),
+deterministic surrogate keys (S18), name split / value mapping (F4/F5),
+and vector metadata join-back (V3).  Each re-expresses a reference query
+shape on the testdata schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.catalog import load_table
+from politician_etl_project_spark.operators.similarity import knn_bruteforce
+from politician_etl_project_spark.queries.registry import declared_query
+
+
+@declared_query(
+    "q_junction_hierarchy",
+    oracle="""
+SELECT r.r_name AS region_name,
+       COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+       COUNT(DISTINCT c.c_custkey) AS n_customers
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY r.r_name
+ORDER BY region_name
+""",
+    ops=("J3", "J4", "J5", "A7"),
+    doc="Junction-table rollup: two entity sets (suppliers, customers) "
+    "reached through the nation junction into the region hierarchy — the "
+    "reference's committee_assignments ⋈ committees ⋈ politicians shape "
+    "(app/app.py:317-331, J5) and the sponsorship joins (J3/J4, "
+    "app/metrics.py:70-78). Dims broadcast; COUNT(DISTINCT) shuffles on "
+    "the group key only.",
+)
+def q_junction_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .join(supplier, supplier.s_nationkey == nation.n_nationkey, "left")
+        .join(customer, customer.c_nationkey == nation.n_nationkey, "left")
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("region_name")
+    )
+
+
+@declared_query(
+    "q_broadcast_lookup",
+    oracle="""
+SELECT n.n_name AS nation_name, COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+ORDER BY nation_name
+""",
+    ops=("J7", "J11", "A7"),
+    doc="Broadcast hash-join lookup: the reference's driver dicts + "
+    "Series.map (ingest_votes.py:33-66, J7) and per-row N+1 lookups "
+    "(update_bills.py:259-270, J11) replaced by ONE broadcast join — the "
+    "25-row nation dim ships to every executor; zero shuffle on the "
+    "fact side until the final 25-group aggregate.",
+)
+def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("nation_name")
+    )
+
+
+@declared_query(
+    "q_multikey_sort",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderpriority, o_orderdate DESC, o_orderkey
+LIMIT 50
+""",
+    ops=("O1", "O2"),
+    doc="Multi-key total-order sort with tie-break on the unique key "
+    "(reference ORDER BY last_name, first_name app/app.py:75; ORDER BY "
+    "congress DESC, bill_id update_bill_sponsors.py:48). With LIMIT it "
+    "executes as TakeOrderedAndProject — no full sort materialization.",
+)
+def q_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        .orderBy(F.asc("o_orderpriority"), F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@declared_query(
+    "q_limit1_probe",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate
+FROM orders
+WHERE o_custkey = 7
+ORDER BY o_orderdate DESC, o_orderkey
+LIMIT 1
+""",
+    ops=("O5", "P2"),
+    doc="LIMIT-1 point probe (the reference's CTE sponsor lookup, "
+    "app/app_old.py:228-233): selective filter pushed to the scan, "
+    "then a 1-row take — ordered by key for determinism.",
+)
+def q_limit1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey") == 7)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(1)
+    )
+
+
+@declared_query(
+    "q_surrogate_ids",
+    oracle="""
+SELECT ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS surrogate_id,
+       c_custkey, c_name
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY surrogate_id
+""",
+    ops=("S18",),
+    doc="Deterministic surrogate-key assignment: row_number over the "
+    "natural-key order (SURVEY §7 hard-part 2 — the reference relies on "
+    "Postgres SERIAL, sql/creations.sql:2). NEVER "
+    "monotonically_increasing_id, whose values depend on partition "
+    "layout and would break the hash-exact oracle.",
+)
+def q_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_name", "c_custkey")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.row_number().over(w).alias("surrogate_id"), "c_custkey", "c_name")
+        .orderBy("surrogate_id")
+    )
+
+
+@declared_query(
+    "q_name_split_map",
+    oracle="""
+SELECT c_custkey,
+       split_part(c_name, '#', 1) AS name_prefix,
+       split_part(c_name, '#', 2) AS name_number,
+       CASE c_mktsegment
+         WHEN 'AUTOMOBILE' THEN 'AUTO'
+         WHEN 'HOUSEHOLD' THEN 'HOME'
+         ELSE c_mktsegment
+       END AS segment_abbr
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+""",
+    ops=("F4", "F5"),
+    doc="Name split on a delimiter + small-domain value mapping — the "
+    "reference's 'Last, First' split (ingest_politicians.py:124-136, F4) "
+    "and 56-state name→abbr dict (ingest_politicians.py:31-51, F5) as "
+    "split()/CASE expressions (a broadcast lookup table at larger "
+    "domain sizes).",
+)
+def q_name_split_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    parts = F.split("c_name", "#", 2)
+    seg = (
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", "AUTO")
+        .when(F.col("c_mktsegment") == "HOUSEHOLD", "HOME")
+        .otherwise(F.col("c_mktsegment"))
+    )
+    return (
+        customer.filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            F.element_at(parts, 1).alias("name_prefix"),
+            F.element_at(parts, 2).alias("name_number"),
+            seg.alias("segment_abbr"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_DUCK_N = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE))))"
+)
+
+
+@declared_query(
+    "q_knn_with_metadata",
+    oracle=f"""
+SELECT b.vec_id, b.label,
+       ROUND({_DUCK_DOT} / ({_DUCK_N.format(t='a')} * {_DUCK_N.format(t='b')}), 4) AS score
+FROM embeddings a, embeddings b
+WHERE a.vec_id = 0
+ORDER BY score DESC, b.vec_id
+LIMIT 10
+""",
+    ops=("V2", "V3"),
+    doc="Top-k search with metadata join-back (V3): hits carry their "
+    "label by joining the id list back to the embeddings table — the "
+    "reference duplicates bill metadata INTO Pinecone "
+    "(hydrate_vectors.py:101-105); here metadata lives in one place and "
+    "the top-10 id set joins back by key (broadcast, 10 rows).",
+)
+def q_knn_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    hits = knn_bruteforce(emb, qv, k=10)
+    return (
+        F.broadcast(hits)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )

@@ -1,0 +1,92 @@
+"""Driver-side source acquisition helpers (SURVEY S4/S5/S10/T4).
+
+The reference pulls data into staging dirs before any dataframe work:
+HTTP zips of FEC bulk files (``scripts/update_donations.py:68-125``),
+paginated Congress.gov REST pages (``scripts/ingest_bills.py:59-139``),
+and a probe loop that scrapes ids past the known max until N consecutive
+misses (``scripts/update_votes.py:232-287``).  These are *driver-side
+orchestration around the engine* — the engine proper starts at the
+staging-dir scan (S1/S6/S7).  Each helper is dependency-injected
+(callables in, rows out) so it unit-tests without network, and the
+network paths are gated behind stdlib urllib.
+
+Scale note: a single driver fetching 100 TB is wrong; at that scale the
+id-space is partitioned into a DataFrame and fetches run inside
+``mapInPandas`` workers (SURVEY S5 note) — ``paginate``/``probe_ids``
+are the per-worker loop bodies for that layout too.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from collections.abc import Callable, Iterator
+from typing import Any
+
+
+def extract_zip(zip_path: str, staging_dir: str, suffix: str = ".txt") -> list[str]:
+    """Extract matching members of a downloaded archive into the staging
+    dir (reference zipfile.extract of indiv{yy}.zip,
+    update_donations.py:110-125).  Returns extracted paths."""
+    out: list[str] = []
+    os.makedirs(staging_dir, exist_ok=True)
+    with zipfile.ZipFile(zip_path) as zf:
+        for name in zf.namelist():
+            if name.endswith(suffix):
+                zf.extract(name, staging_dir)
+                out.append(os.path.join(staging_dir, name))
+    return out
+
+
+def fetch_zip_to_staging(url: str, staging_dir: str, suffix: str = ".txt") -> list[str]:
+    """S4: download an archive and extract data members.  Network path —
+    kept out of tests; the extract step is covered via a local archive."""
+    import urllib.request
+
+    os.makedirs(staging_dir, exist_ok=True)
+    zip_path = os.path.join(staging_dir, os.path.basename(url) or "download.zip")
+    urllib.request.urlretrieve(url, zip_path)  # noqa: S310 — explicit driver-side fetch
+    return extract_zip(zip_path, staging_dir, suffix)
+
+
+def paginate(
+    fetch_page: Callable[[int], dict[str, Any]],
+    items_key: str,
+    max_pages: int = 10_000,
+) -> Iterator[dict[str, Any]]:
+    """S5: pagination.next-style REST loop (ingest_bills.py:59-139).
+    ``fetch_page(offset)`` returns ``{items_key: [...], 'pagination':
+    {'next': url_or_None}}``; iteration stops when no next page.  Backoff
+    on 429 is the fetcher's concern (it owns the HTTP client)."""
+    offset = 0
+    for _ in range(max_pages):
+        page = fetch_page(offset)
+        items = page.get(items_key) or []
+        yield from items
+        nxt = (page.get("pagination") or {}).get("next")
+        if not nxt or not items:
+            return
+        offset += len(items)
+
+
+def probe_ids(
+    fetch: Callable[[int], bool],
+    start: int,
+    max_consecutive_failures: int = 3,
+    cap: int = 50,
+) -> list[int]:
+    """T4: incremental discovery loop — try ids max+1, max+2, … until N
+    consecutive misses or the cap (update_votes.py:232-287: 3 misses for
+    votes, 10 for bills, cap 50).  ``fetch(id)`` returns True when the id
+    materialized data into staging."""
+    found: list[int] = []
+    misses = 0
+    i = start
+    while misses < max_consecutive_failures and len(found) + misses < cap:
+        i += 1
+        if fetch(i):
+            found.append(i)
+            misses = 0
+        else:
+            misses += 1
+    return found

@@ -353,3 +353,42 @@ def test_member_transform(spark):
     assert pelosi.state == "CA" and pelosi.chamber == "House"
     assert (pelosi.start_year, pelosi.end_year) == (1987, 2025)
     assert pelosi.is_active is False
+
+
+# ---------------------------------------------------------------------------
+# Driver-side acquisition helpers (SURVEY S4/S5/T4) — no network needed
+# ---------------------------------------------------------------------------
+
+
+def test_extract_zip(tmp_path):
+    import zipfile
+
+    from politician_etl_project_spark.sources import staging
+
+    zp = tmp_path / "indiv24.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("itcont.txt", "C001|N|...\n")
+        zf.writestr("README.md", "not data")
+    out = staging.extract_zip(str(zp), str(tmp_path / "stage"))
+    assert [p.split("/")[-1] for p in out] == ["itcont.txt"]
+    assert open(out[0]).read().startswith("C001|N|")
+
+
+def test_paginate_follows_next():
+    from politician_etl_project_spark.sources import staging
+
+    pages = {
+        0: {"bills": [{"n": 1}, {"n": 2}], "pagination": {"next": "page2"}},
+        2: {"bills": [{"n": 3}], "pagination": {"next": None}},
+    }
+    got = list(staging.paginate(lambda off: pages[off], "bills"))
+    assert [g["n"] for g in got] == [1, 2, 3]
+
+
+def test_probe_ids_stops_after_misses():
+    from politician_etl_project_spark.sources import staging
+
+    present = {101, 102, 104}
+    got = staging.probe_ids(lambda i: i in present, start=100, max_consecutive_failures=3)
+    # 101,102 hit; 103 miss; 104 hit; 105,106,107 miss -> stop
+    assert got == [101, 102, 104]
