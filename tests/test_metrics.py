@@ -1,0 +1,121 @@
+"""Metric-bundle tests over the ETL-warehouse fixture: the reference's
+endpoint outputs (app/metrics.py, app/main.py) recomputed from the
+fixture staging data of tests/test_etl.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark import metrics
+from tests import test_etl
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    # rebuild the same staging fixture files test_etl uses
+    d = tmp_path_factory.mktemp("staging_m")
+    import json
+
+    (d / "xml").mkdir()
+    (d / "xml" / "hr123.xml").write_text(test_etl.BILL_XML)
+    (d / "votes").mkdir()
+    (d / "votes" / "v1").mkdir()
+    (d / "votes" / "v1" / "data.json").write_text(json.dumps(test_etl.VOTE_DOC))
+    (d / "cn.txt").write_text(test_etl.CN)
+    (d / "ccl.txt").write_text(test_etl.CCL)
+    (d / "itcont.txt").write_text(test_etl.ITCONT)
+    return test_etl._run(spark, d, tmp_path_factory.mktemp("wh_m"))
+
+
+def _pid(wh, bioguide):
+    return (
+        wh.read("politicians").filter(F.col("congress_id") == bioguide).collect()[0].politician_id
+    )
+
+
+def test_financial_bundle(wh):
+    king = _pid(wh, "K000383")
+    out = metrics.financial_metrics(
+        wh.read("donations"), wh.read("donors"), {"politician_id": king}
+    )
+    total = out["total"].collect()[0]
+    assert str(total.total_donations) == "375.50"
+    assert total.n_donations == 2 and total.n_donors == 2
+    by_type = {r.donor_type: r for r in out["by_type"].collect()}
+    assert set(by_type) == {"PAC", "Individual"}
+    assert str(by_type["PAC"].total) == "250.00"
+    assert float(by_type["PAC"].pct) == pytest.approx(66.58, abs=0.01)
+    top = out["top_donors"].collect()
+    assert top[0].name == "LOBSTER PAC"
+    months = {r.month for r in out["timeline"].collect()}
+    assert months == {"2024-01", "2024-02"}
+
+
+def test_financial_filters(wh):
+    out = metrics.financial_metrics(
+        wh.read("donations"), wh.read("donors"), {"min_amount": 200}
+    )
+    assert str(out["total"].collect()[0].total_donations) == "750.00"  # 500 + 250
+
+
+def test_legislative_bundle(wh):
+    pelosi = _pid(wh, "P000197")
+    king = _pid(wh, "K000383")
+    out = metrics.legislative_metrics(wh.read("bills"), wh.read("bill_cosponsors"), pelosi)
+    assert out["sponsored"].collect()[0].n_sponsored == 1
+    cos = metrics.legislative_metrics(wh.read("bills"), wh.read("bill_cosponsors"), king)[
+        "cosponsored"
+    ].collect()[0]
+    assert (cos.n_cosponsored, cos.n_original, cos.n_joined_later) == (1, 1, 0)
+    recent = out["recent_bills"].collect()
+    assert recent[0].official_bill_number == "HR123"
+
+
+def test_voting_bundle(wh):
+    pelosi = _pid(wh, "P000197")
+    out = metrics.voting_metrics(wh.read("votes"), wh.read("bills"), pelosi)
+    breakdown = {r.vote_position: r.n for r in out["breakdown"].collect()}
+    assert breakdown == {"Yea": 1}
+    recent = out["recent_votes"].collect()
+    assert recent[0].official_bill_number == "HR123" and recent[0].title == "Clean Water Act"
+
+
+def test_committee_bundle(wh):
+    out = metrics.committee_metrics(
+        wh.read("committee_assignments"),
+        wh.read("committees"),
+        wh.read("politicians"),
+        "HSAG",
+    )
+    assert out["info"].collect()[0].name == "House Committee on Agriculture"
+    roster = out["roster"].orderBy("order_in_roster").collect()
+    # majority first, then by rank (reference sort key app/metrics.py:635)
+    assert [r.member_name for r in roster] == ["Nancy Pelosi", "Angus King"]
+    assert roster[0].role == "Chair"
+    assert out["n_members"].collect()[0].n_members == 2
+
+
+def test_dashboard_stats(wh):
+    stats = {
+        r.stat: r.value
+        for r in metrics.dashboard_stats(
+            {name: wh.read(name) for name in ("politicians", "donors", "donations", "bills", "votes")}
+        ).collect()
+    }
+    assert stats["politicians_total"] == 2
+    assert stats["politicians_house"] == 1 and stats["politicians_senate"] == 1
+    assert stats["donations_total"] == 3 and stats["donors_total"] == 2
+    assert stats["bills_total"] == 1 and stats["votes_total"] == 2
+
+
+def test_pagination_endpoint(wh):
+    pols = wh.read("politicians")
+    page, total = metrics.paginate_politicians(pols, {}, skip=0, limit=1)
+    assert total == 2
+    first = page.collect()
+    assert len(first) == 1 and first[0].last_name == "King"  # ordered by last_name
+    page2, _ = metrics.paginate_politicians(pols, {}, skip=1, limit=1)
+    assert page2.collect()[0].last_name == "Pelosi"
+    filtered, total_f = metrics.paginate_politicians(pols, {"chamber": "Senate"}, 0, 10)
+    assert total_f == 1 and filtered.collect()[0].congress_id == "K000383"

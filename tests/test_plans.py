@@ -1,0 +1,106 @@
+"""Physical-plan audits: the scale properties SURVEY §4 promises must be
+visible in explain output — filters pushed into scans, columns pruned,
+bounded dims broadcast, grouped top-k as TakeOrderedAndProject, and
+aggregation staying inside whole-stage codegen.  A plan regression is a
+perf bug even while results stay correct, so these assert on the plan."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from politician_etl_project_spark.queries import load_all
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def plan_of(spark, specs, name: str) -> str:
+    df = specs[name].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, specs):
+    plan = plan_of(spark, specs, "q06_forecast_revenue")
+    assert "PushedFilters:" in plan
+    # the selective date/discount/qty predicates must appear as pushed scan
+    # filters, not only as a post-scan Filter
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("l_shipdate" in ln or "GreaterThan" in ln or "IsNotNull" in ln for ln in pushed)
+
+
+def test_column_pruning_reads_narrow_schema(spark, specs):
+    plan = plan_of(spark, specs, "q06_forecast_revenue")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    # lineitem has 16 columns; q06 needs 4 — the scan schema must exclude
+    # wide unused columns like l_comment
+    assert all("l_comment" not in ln for ln in read)
+    assert any("l_extendedprice" in ln for ln in read)
+
+
+def test_star_join_broadcasts_dims(spark, specs):
+    plan = plan_of(spark, specs, "q05_region_volume")
+    assert "BroadcastHashJoin" in plan
+    # bounded dims must never arrive via a shuffle-side sort-merge join
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_grouped_topk_is_take_ordered(spark, specs):
+    plan = plan_of(spark, specs, "q_topk_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_agg_stays_in_codegen(spark, specs):
+    df = specs["q01_pricing_summary"].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")  # AQE's formatted mode hides codegen pre-execution
+    assert "WholeStageCodegen" in buf.getvalue()
+    plan = plan_of(spark, specs, "q01_pricing_summary")
+    # partial + final hash aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_metadata_query_prunes_payload_columns(spark, specs):
+    plan = plan_of(spark, specs, "q_media_metadata")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # metadata rollup must not read the unused document columns
+    assert all("lang" not in ln and "source" not in ln for ln in read)
+
+
+def test_semi_join_stays_semi(spark, specs):
+    plan = plan_of(spark, specs, "q_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_stays_anti(spark, specs):
+    plan = plan_of(spark, specs, "q_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_pagination_orders_before_offset(spark, specs):
+    # offset pagination must impose a total order (determinism, SURVEY §7
+    # hard-part 4): either a global Sort, or better, TakeOrderedAndProject
+    # taking the top-(skip+limit) by key with a bounded heap
+    plan = plan_of(spark, specs, "q_pagination")
+    assert "TakeOrderedAndProject" in plan or "Sort" in plan
+    assert "ASC NULLS FIRST" in plan
+
+
+def test_broadcast_lookup_no_fact_shuffle_before_join(spark, specs):
+    plan = plan_of(spark, specs, "q_broadcast_lookup")
+    assert "BroadcastHashJoin" in plan
+    # exactly one Exchange: the post-join 25-group aggregate; the fact scan
+    # itself must not shuffle before joining
+    pre_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in pre_join
