@@ -1,0 +1,69 @@
+"""Skew mitigation operators (SURVEY §4/§7: "salting for hot politicians";
+the reference's analog problem is the California block in the fuzzy join,
+ingest_fec_links.py:116).
+
+AQE skew-join splitting (on in session.py) handles most runtime skew; these
+are the *explicit* levers for when a key's hotness is known up front:
+
+- ``salted_agg``: two-phase aggregation — explode each hot key into
+  ``n_salts`` subkeys for the first (wide, parallel) partial aggregate,
+  then re-aggregate without salt.  Result is identical to a direct
+  groupBy for any decomposable aggregate (SUM/COUNT/MIN/MAX), which is
+  what makes it oracle-checkable.
+- ``salted_broadcast_left``: replicate the *small* side once per salt and
+  salt the fact side, so one hot join key spreads over n partitions.
+
+At 100 TB, a single politician receiving 30% of donations turns one
+shuffle partition into the job's critical path; salting caps the largest
+partition at hot_share/n_salts of the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic per-row salt in [0, n_salts): hash of the whole row's
+    stable id is unavailable generically, so use a uniform spray via
+    crc32 of the row's partition-stable columns — callers pass facts
+    where any spread is valid because the aggregate is decomposable."""
+    return df.withColumn(
+        salt_col, F.pmod(F.crc32(F.concat_ws("\x1f", *df.columns)), F.lit(n_salts)).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+    reaggs: list[Column],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` aggregate the salted groups (e.g. ``F.sum('x').alias('sx')``);
+    ``reaggs`` fold the partials (e.g. ``F.sum('sx').alias('sum_x')``).
+    Phase 1 shuffles on (keys + salt) — n_salts× more, smaller partitions;
+    phase 2 shuffles the tiny partial frame on the bare keys."""
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(*aggs)
+    return partial.groupBy(*keys).agg(*reaggs)
+
+
+def salted_broadcast_left(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact, replicate the dim across all
+    salts (explode over sequence), join on (key, salt).  The dim
+    replication is n_salts× its size — use for small dims only (the
+    broadcast case); big-big skew joins belong to AQE."""
+    salted_fact = with_salt(fact, n_salts)
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_salts - 1).cast("int")))
+    )
+    return salted_fact.join(F.broadcast(replicated), [key, "_salt"]).drop("_salt")

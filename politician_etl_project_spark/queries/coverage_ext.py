@@ -197,6 +197,41 @@ def q_name_split_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared_query(
+    "q_salted_agg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    ops=("SKEW-salt", "A2"),
+    doc="Two-phase salted aggregation over a 5-value (maximally skewed) "
+    "group key: phase 1 aggregates (key, salt) partials across 8x more "
+    "partitions, phase 2 folds partials on the bare key. Decomposable "
+    "aggregates make the result identical to direct groupBy — which is "
+    "exactly why it hash-matches the plain-SQL oracle. The explicit "
+    "lever behind AQE skew splitting (SURVEY §7: 'salting for hot "
+    "politicians').",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.skew import salted_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    return salted_agg(
+        orders.select("o_orderpriority", F.col("o_totalprice").cast("decimal(12,2)").alias("p")),
+        keys=["o_orderpriority"],
+        aggs=[F.sum("p").alias("_sp"), F.count("*").alias("_n")],
+        reaggs=[
+            F.sum("_sp").cast("decimal(18,2)").alias("total_price"),
+            F.sum("_n").alias("n_orders"),
+        ],
+        n_salts=8,
+    ).orderBy("o_orderpriority")
+
+
 _DUCK_DOT = (
     "list_sum(list_transform(range(1, 65), "
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"

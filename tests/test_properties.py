@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the invariants SURVEY §7 calls
+the hard parts: MERGE determinism under arbitrary data and partitioning,
+and salted aggregation's exact equivalence to direct groupBy."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.operators.skew import salted_agg, salted_broadcast_left
+from politician_etl_project_spark.operators.upsert import insert_if_absent, merge_keep
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # key
+        st.integers(min_value=-100, max_value=100),     # value
+        st.sampled_from(["a", "b", "c"]),               # attr
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+_SETTINGS = dict(
+    max_examples=12,  # each example runs Spark jobs; keep the budget sane
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows, parts):
+    return spark.createDataFrame(rows or [(0, 0, "a")], "k int, v int, attr string").repartition(
+        parts
+    ).filter(F.lit(bool(rows)))
+
+
+@given(existing=rows_strategy, incoming=rows_strategy, parts=st.sampled_from([1, 3, 7]))
+@settings(**_SETTINGS)
+def test_merge_keep_one_row_per_key_and_partition_invariant(
+    spark, existing, incoming, parts
+):
+    e = _df(spark, existing, parts)
+    i = _df(spark, incoming, parts)
+    merged = merge_keep(e, i, ["k"], update_wins=True).collect()
+    keys = [r.k for r in merged]
+    assert len(keys) == len(set(keys))  # exactly one survivor per key
+    assert set(keys) == {r[0] for r in existing} | {r[0] for r in incoming}
+    # determinism: a different partitioning yields the identical survivors
+    merged2 = merge_keep(
+        _df(spark, existing, 11), _df(spark, incoming, 2), ["k"], update_wins=True
+    ).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, merged2))
+
+
+@given(existing=rows_strategy, incoming=rows_strategy)
+@settings(**_SETTINGS)
+def test_merge_precedence(spark, existing, incoming):
+    e = _df(spark, existing, 3)
+    i = _df(spark, incoming, 3)
+    update_wins = {r.k: r for r in merge_keep(e, i, ["k"], update_wins=True).collect()}
+    first_wins = {r.k: r for r in merge_keep(e, i, ["k"], update_wins=False).collect()}
+    e_keys = {r[0] for r in existing}
+    i_keys = {r[0] for r in incoming}
+    for k in e_keys & i_keys:
+        # survivor must come from the precedent side (any of its rows)
+        assert tuple(update_wins[k])[1:] in {r[1:] for r in incoming if r[0] == k}
+        assert tuple(first_wins[k])[1:] in {r[1:] for r in existing if r[0] == k}
+
+
+@given(existing=rows_strategy, incoming=rows_strategy)
+@settings(**_SETTINGS)
+def test_insert_if_absent_never_mutates_existing(spark, existing, incoming):
+    e = _df(spark, existing, 3)
+    i = _df(spark, incoming, 3)
+    out = insert_if_absent(e, i, ["k"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(tuple(r))
+    for r in existing:
+        # every existing row survives verbatim
+        assert tuple(r) in out_set(out)
+    e_keys = {r[0] for r in existing}
+    for k, rows in by_key.items():
+        if k in e_keys:
+            # no incoming row joined an existing key
+            assert all(t in {tuple(r) for r in existing} for t in rows)
+
+
+def out_set(rows):
+    return {tuple(r) for r in rows}
+
+
+@given(rows=rows_strategy, n_salts=st.sampled_from([2, 8]))
+@settings(**_SETTINGS)
+def test_salted_agg_equals_direct(spark, rows, n_salts):
+    df = _df(spark, rows, 5)
+    direct = {
+        (r.k,): (r.s, r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    salted = {
+        (r.k,): (r.s, r.n)
+        for r in salted_agg(
+            df,
+            ["k"],
+            [F.sum("v").alias("_s"), F.count("*").alias("_n")],
+            [F.sum("_s").alias("s"), F.sum("_n").alias("n")],
+            n_salts=n_salts,
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_broadcast_join_equals_plain(spark):
+    fact = spark.createDataFrame(
+        [(k, v) for k in range(4) for v in range(50)], "k int, v int"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(4)], "k int, label string")
+    plain = sorted(map(tuple, fact.join(dim, "k").collect()))
+    salted = sorted(map(tuple, salted_broadcast_left(fact, dim, "k", n_salts=4).collect()))
+    assert plain == salted

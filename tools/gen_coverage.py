@@ -106,7 +106,7 @@ SECTIONS = [
         [
             "TXT-tokens", "TXT-quality", "TXT-langid", "TXT-dedup-exact",
             "TXT-minhash", "TXT-minhash-lsh", "TXT-simhash", "TXT-embed-neardup",
-            "TXT-ann", "MM-metadata", "MM-decode", "MM-frames",
+            "TXT-ann", "MM-metadata", "MM-decode", "MM-frames", "SKEW-salt",
         ],
     ),
 ]
