@@ -212,3 +212,180 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,4)")
         .alias("revenue")
     )
+
+
+# -- q4-shape: EXISTS semi join + grouped count -------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND CAST(l_discount AS DECIMAL(12,2)) > 0.05
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@declared_query(
+    "q04_order_priority",
+    oracle=_Q4_ORACLE,
+    ops=("P8", "J6", "A7"),
+    doc="EXISTS-subquery grouped count (TPC-H Q4 shape; testdata has no "
+    "commit/receipt dates so the inner predicate is a discount filter). "
+    "Catalyst decorrelates EXISTS into a left-semi hash join; the date "
+    "range prunes orders at the scan before the join.",
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(money("l_discount") > 0.05)
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# -- q14-shape: conditional promo share ---------------------------------------
+
+_Q14_ORACLE = """
+SELECT CAST(
+  100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    ELSE 0 END)
+  / SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))))
+  AS DECIMAL(18,6)) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
+@declared_query(
+    "q14_promo_effect",
+    oracle=_Q14_ORACLE,
+    ops=("A6", "J1", "A10"),
+    doc="Conditional aggregation over a broadcast join (TPC-H Q14 shape): "
+    "promo share = CASE-gated sum / total sum, ONE pass — the reference "
+    "computes such shares in Python after two queries "
+    "(app/metrics.py:58-60). part broadcasts (2k rows); the month filter "
+    "pushes into the lineitem scan.",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    rev = disc_price()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return joined.agg(
+        (F.lit(100.00) * F.sum(promo) / F.sum(rev)).cast("decimal(18,6)").alias("promo_revenue_pct")
+    )
+
+
+# -- q17-shape: correlated scalar subquery (decorrelated) ---------------------
+
+_Q17_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS small_order_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN per_part ON per_part.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DECIMAL(12,2)) * cnt * 5 < sq
+"""
+
+
+@declared_query(
+    "q17_small_quantity",
+    oracle=_Q17_ORACLE,
+    ops=("J10", "A1", "A8"),
+    doc="Correlated scalar subquery — l_quantity < 0.2 * AVG(qty) per part "
+    "(TPC-H Q17 shape) — decorrelated into a per-part aggregate join. The "
+    "threshold compares as 5*qty*cnt < sum(qty): exact decimal/integer "
+    "arithmetic on both engines, no float-boundary flakiness. At scale "
+    "the per-part aggregate reuses the fact's partitioning on l_partkey.",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(money("l_quantity")).alias("sq"), F.count("*").alias("cnt")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(money("l_quantity") * F.col("cnt") * 5 < F.col("sq"))
+        .agg(
+            F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("small_order_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# -- q18-shape: HAVING subquery join ------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c_name, customer.c_custkey, orders.o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+       CAST(big.sq AS DECIMAL(18,2)) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+) big ON big.l_orderkey = orders.o_orderkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@declared_query(
+    "q18_large_orders",
+    oracle=_Q18_ORACLE,
+    ops=("J10", "A3", "O3"),
+    doc="HAVING-subquery join (TPC-H Q18 shape): orders whose line "
+    "quantities sum past a threshold, joined back to customers, top-100 "
+    "by price. The HAVING aggregate shrinks lineitem to a tiny key set "
+    "BEFORE the join — at 100 TB the order matters enormously.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            money("o_totalprice").alias("totalprice"),
+            F.col("sq").cast("decimal(18,2)").alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
