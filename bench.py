@@ -31,8 +31,12 @@ BENCH_QUERIES = [
     # TPC-H shapes
     "q01_pricing_summary",
     "q03_shipping_priority",
+    "q04_order_priority",
     "q05_region_volume",
     "q06_forecast_revenue",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q18_large_orders",
     # relational aggregation / join family
     "q_fact_dim_rollup",
     "q_topk_customers",

@@ -1,0 +1,92 @@
+"""Physical-layout tests: partition pruning and bucketed shuffle-free
+joins must be visible in the plan (SURVEY §4 — these replace the
+reference's DB indexes at scale)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark import storage
+from politician_etl_project_spark.catalog import load_table
+from tests.conftest import SF_SMALL
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partition_pruning(spark, tmp_path):
+    orders = load_table(spark, SF_SMALL, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    storage.write_partitioned(orders, path, ["order_year"])
+
+    df = storage.read_partitioned(spark, path).filter(F.col("order_year") == 1996)
+    plan = _explain(df)
+    # the year predicate must prune directories at planning time …
+    assert "PartitionFilters" in plan
+    assert any(
+        "order_year" in ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    # … and results match the unpartitioned filter
+    expected = orders.filter(F.col("order_year") == 1996).count()
+    assert df.count() == expected
+    assert expected > 0
+
+
+def test_partitioned_scan_reads_fewer_files(spark, tmp_path):
+    orders = load_table(spark, SF_SMALL, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year2")
+    storage.write_partitioned(orders, path, ["order_year"])
+    # inputFiles() reports the unfiltered relation; the files actually
+    # read by the pruned scan come from input_file_name() at execution
+    all_files = set(storage.read_partitioned(spark, path).inputFiles())
+    pruned = {
+        r[0]
+        for r in storage.read_partitioned(spark, path)
+        .filter(F.col("order_year") == 1996)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert len(pruned) < len(all_files)
+    assert all("order_year=1996" in f for f in pruned)
+
+
+@pytest.fixture()
+def bucketed_tables(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    storage.write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=4)
+    storage.write_bucketed(li, "b_lineitem", ["o_orderkey"], n_buckets=4)
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    joined = storage.bucketed_join_ready(spark, left, right)
+    plan = _explain(joined)
+    # co-bucketed tables join without shuffling either side
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    # and the join result is correct
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    expected = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert joined.count() == expected
+
+
+def test_bucket_key_introspection(spark, bucketed_tables):
+    assert storage._bucket_key(spark, bucketed_tables[0]) == ["o_orderkey"]
