@@ -16,6 +16,7 @@ def load_all() -> dict[str, QuerySpec]:
         vector,
         multimodal,
         coverage_ext,
+        temporal,
     )
 
     return dict(REGISTRY)

@@ -104,3 +104,18 @@ def test_broadcast_lookup_no_fact_shuffle_before_join(spark, specs):
     # itself must not shuffle before joining
     pre_join = plan.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning" not in pre_join
+
+
+def test_range_join_avoids_nested_loop(spark, specs):
+    # the binned range join must execute as a hash/sort-merge equi-join;
+    # the raw inequality would plan as BroadcastNestedLoopJoin (O(n*m))
+    plan = plan_of(spark, specs, "q_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_asof_join_single_shuffle_no_pairs(spark, specs):
+    # union + carry-forward: one window over user_id, no join at all
+    plan = plan_of(spark, specs, "q_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
