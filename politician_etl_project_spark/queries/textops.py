@@ -316,3 +316,145 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+# --- rolling-hash fingerprinting (north-star: document fingerprinting) ------
+
+_MOD = 1_000_000_007
+_BASE = 131
+# token -> 28-bit int hash, same digest prefix both engines
+_SPARK_TH28 = "transform(split(trim(text), '\\\\s+'), t -> cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint))"
+_DUCK_TH28 = (
+    "list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+    "t -> CAST('0x' || substr(md5(t), 1, 7) AS BIGINT))"
+)
+
+
+@declared_query(
+    "q_rolling_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                        (a, b) -> (a * {_BASE} + b) % {_MOD}) AS BIGINT) AS doc_fingerprint,
+       CAST(len(th) AS INTEGER) AS n_tokens,
+       CAST(list_min(list_transform(range(1, greatest(len(th) - 7, 0) + 1),
+             i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + 7]),
+                              (a, b) -> (a * {_BASE} + b) % {_MOD}))) AS BIGINT) AS winnow_min
+FROM (SELECT doc_id, {_DUCK_TH28} AS th FROM documents)
+ORDER BY doc_id
+""",
+    ops=("TXT-fingerprint",),
+    doc="Document fingerprinting via polynomial rolling hash (north-star): "
+    "whole-doc Rabin-Karp fold over token hashes, plus the winnowing "
+    "fingerprint — the MINIMUM hash over all 8-token windows, the "
+    "shift-robust signature used for plagiarism/near-dup detection "
+    "(Schleimer et al. winnowing). Pure integer folds inside codegen on "
+    "both engines; no Python, no shuffle.",
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_h = docs.select("doc_id", F.expr(_SPARK_TH28).alias("th"))
+    fold = f"aggregate(th, cast(0 as bigint), (a, b) -> (a * {_BASE} + b) % {_MOD})"
+    win = (
+        f"array_min(transform(sequence(1, greatest(size(th) - 7, 0)), "
+        f"i -> aggregate(slice(th, i, 8), cast(0 as bigint), "
+        f"(a, b) -> (a * {_BASE} + b) % {_MOD})))"
+    )
+    return with_h.select(
+        "doc_id",
+        F.expr(fold).cast("bigint").alias("doc_fingerprint"),
+        F.size("th").cast("int").alias("n_tokens"),
+        F.expr(win).cast("bigint").alias("winnow_min"),
+    ).orderBy("doc_id")
+
+
+# --- BPE-ish token counting (north-star: whitespace + regex tokenizers) -----
+
+_PIECE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
+@declared_query(
+    "q_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_PIECE_RE}')) AS INTEGER) AS bpe_pieces
+FROM documents
+ORDER BY doc_id
+""",
+    ops=("TXT-tokens", "TXT-bpe"),
+    doc="Token counting two ways (north-star): whitespace tokens vs a "
+    "BPE-ish piece regex (letter runs | digit runs | punctuation runs, "
+    "the GPT-2 pre-tokenizer shape). The pattern is restricted to "
+    "constructs Java regex (Spark) and RE2 (DuckDB) treat identically.",
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).cast("int").alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(_PIECE_RE)).cast("int").alias("bpe_pieces"),
+    ).orderBy("doc_id")
+
+
+# --- TF-IDF (north-star text analysis) --------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents)
+  GROUP BY doc_id, t
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf,
+       CAST(df AS INTEGER) AS df,
+       CAST(tf * CAST(FLOOR(1000000 * ln((n_docs + 1.0) / (df + 1.0))) AS BIGINT) AS BIGINT) AS tfidf_micro
+FROM tf JOIN df USING (term) CROSS JOIN n
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) <= 3
+ORDER BY doc_id, tfidf_micro DESC, term
+"""
+
+
+@declared_query(
+    "q_tfidf_top_terms",
+    oracle=_TFIDF_ORACLE,
+    ops=("TXT-tfidf", "W1", "A2"),
+    doc="TF-IDF top-3 terms per document (north-star text analysis): "
+    "explode terms -> tf per (doc, term) -> document frequency -> idf -> "
+    "rank per doc. idf is fixed to integer micro-units "
+    "(floor(1e6*ln((N+1)/(df+1)))) so ranking and hashing are exact "
+    "across engines. Two shuffles: (doc,term) and term — the standard "
+    "scalable shape; the tiny df table broadcasts back.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_micro = F.floor(
+        F.lit(1_000_000) * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df.withColumn("idf_micro", idf_micro)), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.col("df").cast("int").alias("df"),
+            (F.col("tf") * F.col("idf_micro")).cast("bigint").alias("tfidf_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_micro"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+        .orderBy("doc_id", F.desc("tfidf_micro"), "term")
+    )
