@@ -358,11 +358,18 @@ def q_fuzzy_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(cust, supp.s_nationkey == cust.c_nationkey)
         .withColumn("dist", F.levenshtein("s_name", "c_name"))
     )
-    w = Window.partitionBy("s_suppkey").orderBy(F.asc("dist"), F.asc("c_custkey"))
+    # top-1-per-group as min(struct(dist, key)): lexicographic struct min ==
+    # the window row_number()==1 result, but aggregates map-side (partial
+    # combine) instead of sorting every scored pair through the shuffle
+    best = F.min(F.struct("dist", "c_custkey")).alias("best")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("dist") <= 12))
-        .select("s_suppkey", "s_name", "c_custkey", "dist")
+        scored.groupBy("s_suppkey", "s_name")
+        .agg(best)
+        .filter(F.col("best.dist") <= 12)
+        .select(
+            "s_suppkey", "s_name", F.col("best.c_custkey").alias("c_custkey"),
+            F.col("best.dist").alias("dist"),
+        )
         .orderBy("s_suppkey")
     )
 

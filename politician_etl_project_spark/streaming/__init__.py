@@ -14,6 +14,7 @@ from politician_etl_project_spark.streaming.sources import events_stream, run_to
 from politician_etl_project_spark.streaming.pipelines import (
     dedup_stream,
     incremental_upsert_stream,
+    interval_join_stream,
     session_counts,
     user_running_totals,
     windowed_totals,
@@ -25,6 +26,7 @@ __all__ = [
     "windowed_totals",
     "session_counts",
     "dedup_stream",
+    "interval_join_stream",
     "user_running_totals",
     "incremental_upsert_stream",
 ]

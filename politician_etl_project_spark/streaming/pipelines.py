@@ -142,6 +142,39 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    window_seconds: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user views
+    they follow within `window_seconds` (batch twin: q_range_join /
+    operators.temporal.range_join_binned).
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so the state store evicts a view row once the
+    watermark passes v_ts + window — without the bound, stream-stream
+    join state grows forever.  At scale both streams shuffle once on
+    user_id and co-partition."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + interval {window_seconds} seconds"
+        ),
+    ).select(F.col("v_user").alias("user_id"), "v_id", "p_id", "v_ts", "p_ts")
+
+
 def incremental_upsert_stream(
     events: DataFrame,
     table,

@@ -170,3 +170,29 @@ def test_incremental_upsert_foreachbatch(spark, staged_events, tmp_path):
     assert log.count() >= 2  # multiple micro-batches each logged
     assert log.agg(F.sum("records_updated")).collect()[0][0] == 1000
     assert latest_watermark(log, "events") is not None
+
+
+def test_interval_join_stream_matches_batch(spark, staged_events, tmp_path):
+    """Stream-stream interval join == the batch binned range join on the
+    same (view, purchase) pairs."""
+    from politician_etl_project_spark.operators.temporal import range_join_binned
+    from politician_etl_project_spark.streaming.pipelines import interval_join_stream
+
+    stream = events_stream(spark, staged_events)
+    views_s = stream.filter(F.col("event_type") == "view")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    got = run_to_memory(
+        interval_join_stream(views_s, purch_s, 600),
+        "sj_sink",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = _batch_events(spark)
+    views = batch.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    purch = batch.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    expected = {
+        (r["a_event_id"], r["b_event_id"])
+        for r in range_join_binned(views, purch, "user_id", "ts", 600).collect()
+    }
+    actual = {(r["v_id"], r["p_id"]) for r in got.collect()}
+    assert expected  # fixture must produce at least one pair
+    assert actual == expected
