@@ -20,7 +20,7 @@ first-class ``array<float>`` column and search is a Spark job:
 """
 
 import pandas as pd  # noqa: F401  (module-level so pandas_udf type hints resolve)
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
@@ -148,3 +148,94 @@ def token_sort_ratio_udf():
         return pd.Series([score(a, b) for a, b in zip(left, right)])
 
     return _ratio
+
+
+# --- IVF (inverted-file) coarse quantization --------------------------------
+
+
+def ivf_train_assign(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic mini k-means: seeds = the first `n_clusters` vectors
+    by id, then `n_iters` Lloyd iterations (assign via broadcast cross
+    join, recentre via per-dimension mean).  Returns (assigned, centroids)
+    where assigned = emb + `cluster` and centroids has (cluster, centroid).
+
+    Scale shape: every iteration is ONE broadcast cross join (n_clusters
+    rows ship to executors) + one narrow argmin map + one n_clusters-group
+    aggregate — no pairwise shuffle.  This is IVF coarse-quantizer
+    training; at 100 TB you train on a sample and assign the full table
+    in a single pass.
+    """
+    centroids = (
+        emb.orderBy(id_col)
+        .limit(n_clusters)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+    for _ in range(n_iters):
+        assigned = _assign(emb, centroids, vec_col, id_col)
+        centroids = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.array(
+                    *[F.avg(F.element_at(F.col(vec_col), d + 1)) for d in range(64)]
+                ).alias("centroid")
+            )
+        )
+    return _assign(emb, centroids, vec_col, id_col), centroids
+
+
+def _assign(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment (squared L2) via broadcast cross join +
+    min-struct argmin."""
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("centroid"), lambda x, y: (x.cast("double") - y) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col, vec_col, F.struct(d2.alias("d2"), F.col("cluster").alias("cluster")).alias("sc")
+    )
+    return (
+        scored.groupBy(id_col, vec_col)
+        .agg(F.min("sc").alias("best"))
+        .select(id_col, vec_col, F.col("best.cluster").alias("cluster"))
+    )
+
+
+def ann_ivf(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: rank centroids by distance to the query, scan only the
+    `n_probe` nearest inverted lists, exact-score within them.  Scans
+    ~n_probe/n_clusters of the table (vs all of it for brute force)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("centroid"), lambda x, y: (x.cast("double") - y) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(query_vec))
+        .select("cluster", d2.alias("d2"), "q")
+        .orderBy("d2", "cluster")
+        .limit(n_probe)
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cluster")
+        .select(F.col(id_col), F.round(cosine(vec_col, "q"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

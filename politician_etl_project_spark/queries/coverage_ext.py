@@ -269,3 +269,157 @@ def q_knn_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "score")
         .orderBy(F.desc("score"), F.asc("vec_id"))
     )
+
+
+@declared_query(
+    "q_rollup_hierarchy",
+    oracle="""
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region_name, nation_name
+""",
+    ops=("AGG-rollup", "A2"),
+    doc="ROLLUP hierarchy aggregate: per-nation, per-region subtotal, and "
+    "grand total in ONE pass (the reference computes its dashboard "
+    "subtotal tiers as separate queries, app/main.py:144-168). Spark "
+    "expands rollup grouping sets inside a single hash aggregate — no "
+    "multi-job union.",
+)
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@declared_query(
+    "q_cube_matrix",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+    ops=("AGG-cube", "A2"),
+    doc="CUBE cross-tab: all 2^2 grouping-set combinations of "
+    "(status, priority) in one aggregate — the dashboard matrix view. "
+    "Same single-pass grouping-set expansion as ROLLUP.",
+)
+def q_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@declared_query(
+    "q_percentiles",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY CAST(o_totalprice AS DECIMAL(12,2))) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), marks AS (
+  SELECT c_mktsegment, price, rn, n,
+         (1 * (n - 1)) // 2 + 1 AS lo50, (1 * (n - 1)) % 2 AS f50n,
+         (19 * (n - 1)) // 20 + 1 AS lo95, (19 * (n - 1)) % 20 AS f95n,
+         n AS nn
+  FROM ranked
+)
+SELECT c_mktsegment,
+       ROUND((MAX(CASE WHEN rn = lo50 THEN CAST(price AS DOUBLE) * (2 - f50n) END)
+            + MAX(CASE WHEN rn = least(lo50 + 1, nn) THEN CAST(price AS DOUBLE) * f50n END)) / 2, 4) AS median_price,
+       ROUND((MAX(CASE WHEN rn = lo95 THEN CAST(price AS DOUBLE) * (20 - f95n) END)
+            + MAX(CASE WHEN rn = least(lo95 + 1, nn) THEN CAST(price AS DOUBLE) * f95n END)) / 20, 4) AS p95_price,
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM marks
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    ops=("AGG-percentile", "A8", "W1"),
+    doc="Exact distributed percentiles (median/p95) per segment via rank "
+    "arithmetic: position p*(n-1) is an exact rational (k/2, 19k/20), so "
+    "the interpolation weights are small integers and both engines "
+    "compute bit-identical doubles — unlike built-in percentile/"
+    "quantile_cont, which disagree by an ULP at interpolation "
+    "boundaries (observed: one cent at a .295 boundary). Plan: one "
+    "shuffle on the group key, rank + conditional agg — the same shape "
+    "scales to any group count.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "c_mktsegment", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    ranked = joined.withColumn(
+        "rn", F.row_number().over(wseg.orderBy("price"))
+    ).withColumn("n", F.count("*").over(wseg))
+    m = (
+        ranked.withColumn("lo50", F.expr("(n - 1) div 2") + 1)
+        .withColumn("f50n", (F.col("n") - 1) % 2)
+        .withColumn("lo95", F.expr("(19 * (n - 1)) div 20") + 1)
+        .withColumn("f95n", (19 * (F.col("n") - 1)) % 20)
+    )
+
+    def interp(lo, frac_n, den):
+        # per-group constants (frac weights) fold INSIDE the aggregates
+        w_lo = F.max(
+            F.when(
+                F.col("rn") == F.col(lo),
+                F.col("price").cast("double") * (den - F.col(frac_n)),
+            )
+        )
+        w_hi = F.max(
+            F.when(
+                F.col("rn") == F.least(F.col(lo) + 1, F.col("n")),
+                F.col("price").cast("double") * F.col(frac_n),
+            )
+        )
+        return F.round((w_lo + w_hi) / den, 4)
+
+    return (
+        m.groupBy("c_mktsegment")
+        .agg(
+            interp("lo50", "f50n", 2).alias("median_price"),
+            interp("lo95", "f95n", 20).alias("p95_price"),
+            F.max("n").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )

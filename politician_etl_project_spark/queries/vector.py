@@ -194,3 +194,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return ann_lsh(emb, qv, k=10, n_planes=4, dim=64)
+
+
+@declared_query(
+    "q_ann_ivf",
+    oracle=None,  # approximate by construction; recall vs brute force pytest-checked
+    ops=("V2", "TXT-ann-ivf"),
+    doc="Approximate top-10 cosine via IVF: deterministic mini k-means "
+    "coarse quantizer (8 clusters, 2 Lloyd iterations — each iteration "
+    "one broadcast cross join + argmin + 8-group mean), then probe the "
+    "4 nearest inverted lists only. The second ANN scale path next to "
+    "LSH (q_ann_lsh): IVF wins when the data clusters, LSH when it "
+    "doesn't. Recall + pruning asserted in tests/test_operators.py.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.similarity import ann_ivf, ivf_train_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_train_assign(emb, n_clusters=8, n_iters=2)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return ann_ivf(assigned, centroids, qv, k=10, n_probe=4)

@@ -97,3 +97,41 @@ def test_simhash_range(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     mm = docs.select(simhash16().alias("s")).agg(F.min("s"), F.max("s")).collect()[0]
     assert 0 <= mm[0] and mm[1] < 65536
+
+
+def test_ann_ivf_recall_and_prune(spark, sf_dir):
+    """IVF with n_probe of n_clusters must (a) find the query vector
+    itself, (b) reach reasonable recall vs brute force, (c) scan fewer
+    rows than the full table."""
+    from politician_etl_project_spark.operators.similarity import ann_ivf, ivf_train_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_train_assign(emb, n_clusters=8, n_iters=2)
+    assigned = assigned.cache()
+    assert centroids.count() == 8
+    # every vector lands in exactly one cluster
+    assert assigned.count() == emb.count()
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = {r.vec_id for r in knn_bruteforce(emb, qv, k=10).collect()}
+    approx = {r.vec_id for r in ann_ivf(assigned, centroids, qv, k=10, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    assert 0 in approx  # the query vector's own cluster is always probed
+
+    # pruning: the probed lists hold fewer rows than the table
+    probed_clusters = 4
+    per_cluster = assigned.groupBy("cluster").count().collect()
+    largest4 = sum(sorted((r["count"] for r in per_cluster), reverse=True)[:probed_clusters])
+    assert largest4 < emb.count()
+
+
+def test_ivf_assignment_deterministic(spark, sf_dir):
+    from politician_etl_project_spark.operators.similarity import ivf_train_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1, _ = ivf_train_assign(emb, n_clusters=8, n_iters=1)
+    a2, _ = ivf_train_assign(emb.repartition(13), n_clusters=8, n_iters=1)
+    m1 = {r.vec_id: r.cluster for r in a1.collect()}
+    m2 = {r.vec_id: r.cluster for r in a2.collect()}
+    assert m1 == m2

@@ -107,7 +107,8 @@ SECTIONS = [
             "TXT-tokens", "TXT-quality", "TXT-langid", "TXT-dedup-exact",
             "TXT-minhash", "TXT-minhash-lsh", "TXT-simhash", "TXT-embed-neardup",
             "TXT-ann", "MM-metadata", "MM-decode", "MM-frames", "SKEW-salt",
-            "TMP-asof", "TMP-range", "TXT-fingerprint", "TXT-bpe", "TXT-tfidf",
+            "TMP-asof", "TMP-range", "TXT-fingerprint", "TXT-bpe", "TXT-tfidf", "TXT-ann-ivf",
+            "AGG-rollup", "AGG-cube", "AGG-percentile",
         ],
     ),
 ]
