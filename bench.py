@@ -54,6 +54,12 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_minhash_signatures",
     "q_simhash",
+    # temporal joins
+    "q_asof_join",
+    "q_range_join",
+    # grouping sets / quantiles
+    "q_rollup_hierarchy",
+    "q_percentiles",
     # vector
     "q_knn_bruteforce",
     "q_label_centroid",

@@ -91,6 +91,7 @@ def lsh_candidate_pairs(
     col: str = "text",
     n_hashes: int = 4,
     rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: sign, band, bucket-join.
 
@@ -113,6 +114,19 @@ def lsh_candidate_pairs(
         ]
     )
     bands = sigs.select(F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key"))
+    if max_bucket is not None:
+        # skew guard: a band key shared by m docs yields m^2/2 candidate
+        # pairs — cap pathological buckets (near-identical boilerplate
+        # floods) by keeping only the max_bucket smallest ids per bucket;
+        # exact dedup (fingerprint groupBy) catches what this skips
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("band_id", "band_key").orderBy(F.asc(id_col))
+        bands = (
+            bands.withColumn("_bn", F.row_number().over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     return (

@@ -100,6 +100,15 @@ class ParquetUpsertTable:
         merged = merge_keep(self.read(), df, self.keys, update_wins=update_wins)
         self._swap_write(merged)
 
+    def compact(self, target_files: int = 1) -> int:
+        """Small-files maintenance: rewrite the table into `target_files`
+        parquet files (incremental appends leave one file per batch —
+        S11 — and scan planning degrades with file count at scale).
+        Returns the file count before compaction."""
+        before = sum(1 for f in os.listdir(self.path) if f.endswith(".parquet"))
+        self._swap_write(self.read().coalesce(target_files))
+        return before
+
     def _swap_write(self, df: DataFrame) -> None:
         staging = tempfile.mkdtemp(prefix="upsert-", dir=os.path.dirname(self.path) or ".")
         try:

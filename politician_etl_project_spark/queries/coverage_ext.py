@@ -423,3 +423,32 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@declared_query(
+    "q_approx_sketches",
+    oracle=None,  # sketch outputs are engine-specific; tolerance pytest-checked
+    ops=("AGG-approx",),
+    doc="Sketch aggregates for 100 TB interactive analytics: HLL++ "
+    "approx_count_distinct and KLL-style approx_percentile per segment. "
+    "Deterministic for a fixed dataset (merge is order-independent) but "
+    "engine-specific, so the check is a tolerance test vs exact values "
+    "(tests/test_operators.py::test_approx_sketches_within_tolerance) "
+    "rather than a DuckDB hash. At scale these replace exact "
+    "countDistinct/percentile: fixed-size state, single pass, mergeable.",
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx(F.col("o_totalprice").cast("double"), 0.5, 10000).alias(
+                "approx_median"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )

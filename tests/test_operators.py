@@ -135,3 +135,59 @@ def test_ivf_assignment_deterministic(spark, sf_dir):
     m1 = {r.vec_id: r.cluster for r in a1.collect()}
     m2 = {r.vec_id: r.cluster for r in a2.collect()}
     assert m1 == m2
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    """HLL distinct counts within 5% of exact; approx median within 2%
+    of exact (accuracy=10000 on ~3k rows per group is near-exact)."""
+    from politician_etl_project_spark.queries import load_all
+
+    got = {r.c_mktsegment: r for r in load_all()["q_approx_sketches"].fn(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    exact = {
+        r.c_mktsegment: r
+        for r in orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("nd"),
+            F.expr("percentile(cast(o_totalprice as double), 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for seg, e in exact.items():
+        assert abs(got[seg].approx_customers - e.nd) / e.nd < 0.05
+        assert abs(got[seg].approx_median - e.med) / e.med < 0.02
+
+
+def test_lsh_bucket_cap_bounds_pairs(spark, sf_dir):
+    """max_bucket caps candidate volume: capped run yields fewer or equal
+    pairs, and every capped pair is a real (uncapped) candidate."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    full = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(docs, "doc_id", "text", 4, 2).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(docs, "doc_id", "text", 4, 2, max_bucket=10).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)  # the dup-heavy fixture has buckets > 10
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+
+    tbl = ParquetUpsertTable(spark, str(tmp_path / "t"), keys=["id"])
+    for i in range(4):  # four appends -> >= 4 part files
+        tbl.append(spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "id"))
+    import os
+
+    before = sum(1 for f in os.listdir(tbl.path) if f.endswith(".parquet"))
+    assert before >= 4
+    reported = tbl.compact(target_files=1)
+    after = sum(1 for f in os.listdir(tbl.path) if f.endswith(".parquet"))
+    assert reported == before
+    assert after == 1
+    assert tbl.read().count() == 40

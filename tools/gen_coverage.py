@@ -108,7 +108,7 @@ SECTIONS = [
             "TXT-minhash", "TXT-minhash-lsh", "TXT-simhash", "TXT-embed-neardup",
             "TXT-ann", "MM-metadata", "MM-decode", "MM-frames", "SKEW-salt",
             "TMP-asof", "TMP-range", "TXT-fingerprint", "TXT-bpe", "TXT-tfidf", "TXT-ann-ivf",
-            "AGG-rollup", "AGG-cube", "AGG-percentile",
+            "AGG-rollup", "AGG-cube", "AGG-percentile", "AGG-approx",
         ],
     ),
 ]
