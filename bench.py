@@ -68,6 +68,81 @@ BENCH_QUERIES = [
 ]
 
 
+def _ensure_fec_bench_file(n_rows: int = 500_000) -> str:
+    """Deterministic synthetic itcont.txt at the reference's chunk unit
+    (500k rows/chunk, scripts/ingest_bulk_donations.py:197) — generated
+    once into the temp dir and reused across bench runs."""
+    import tempfile
+
+    path = Path(tempfile.gettempdir()) / f"spark_graft_itcont_{n_rows}.txt"
+    if path.exists():
+        return str(path)
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n = n_rows
+    df = pd.DataFrame(
+        {
+            "CMTE_ID": np.array(["C001", "C002", "C003", "C999"])[rng.integers(0, 4, n)],
+            "AMNDT_IND": np.where(rng.random(n) < 0.9, "N", "A"),
+            "RPT_TP": "YE",
+            "TRANSACTION_PGI": "",
+            "IMAGE_NUM": "img",
+            "TRANSACTION_TP": "15",
+            "ENTITY_TP": np.where(rng.random(n) < 0.2, "PAC", "IND"),
+            "NAME": np.char.add("DONOR ", rng.integers(0, 120_000, n).astype(str)),
+            "CITY": "AUSTIN",
+            "STATE": "TX",
+            "ZIP_CODE": rng.integers(10000, 99999, n).astype(str),
+            "EMPLOYER": np.char.add("EMP", rng.integers(0, 500, n).astype(str)),
+            "OCCUPATION": "ENG",
+            "TRANSACTION_DT": [
+                f"{m:02d}{d:02d}2024"
+                for m, d in zip(rng.integers(1, 13, n), rng.integers(1, 29, n))
+            ],
+            "TRANSACTION_AMT": np.round(rng.uniform(1, 5000, n), 2).astype(str),
+            "OTHER_ID": "",
+            "TRAN_ID": "",
+            "FILE_NUM": "1",
+            "MEMO_CD": "",
+            "MEMO_TEXT": "",
+            "SUB_ID": np.char.add("SUB", np.arange(n).astype(str)),
+        }
+    )
+    tmp = str(path) + ".tmp"
+    df.to_csv(tmp, sep="|", header=False, index=False)
+    Path(tmp).rename(path)
+    return str(path)
+
+
+def bench_etl(spark, n_rows: int = 500_000) -> tuple[float, int]:
+    """Time the FEC bulk pipeline (SURVEY S1+F6-F8+A14+J7) end-to-end at
+    the reference's 500k-row chunk unit: schema'd scan -> filters/
+    coercions -> donor dedup + surrogate ids -> parquet sink.  The
+    reference streams the same unit through pandas + psycopg2 batches
+    (5k rows/INSERT); this is the single-job Spark equivalent."""
+    import tempfile
+
+    from politician_etl_project_spark.sources import fec
+
+    path = _ensure_fec_bench_file(n_rows)
+    sink = tempfile.mkdtemp(prefix="etl-bench-")
+    target = spark.createDataFrame([("C001",), ("C002",), ("C003",)], "CMTE_ID string")
+    t0 = time.perf_counter()
+    raw = fec.transform_donations(fec.read_itcont(spark, path), target)
+    donors = fec.build_donors(raw)
+    facts = raw.join(
+        donors.select("donor_id", "donor_source_key").withColumnRenamed(
+            "donor_source_key", "donor_uid"
+        ),
+        "donor_uid",
+    ).select("fec_committee_id", "donor_id", "amount", "date", "fec_filing_id")
+    facts.write.mode("overwrite").parquet(f"{sink}/donations")
+    n_out = spark.read.parquet(f"{sink}/donations").count()
+    return round(time.perf_counter() - t0, 3), n_out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -88,6 +163,9 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
 
+    etl_sec, etl_rows = bench_etl(spark)
+    times["etl_fec_500k"] = etl_sec
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -97,6 +175,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "etl_rows_out": etl_rows,
+                "etl_rows_in": 500000,
             }
         )
     )
