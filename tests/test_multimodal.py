@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from politician_etl_project_spark.catalog import load_table
 from politician_etl_project_spark.operators.multimodal import (
-    IMG_WIDTH,
     decode_real,
     pixel_stats,
     resize_images,

@@ -4,9 +4,6 @@ and salted aggregation's exact equivalence to direct groupBy."""
 
 from __future__ import annotations
 
-from decimal import Decimal
-
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
