@@ -119,3 +119,80 @@ def test_salted_broadcast_join_equals_plain(spark):
     plain = sorted(map(tuple, fact.join(dim, "k").collect()))
     salted = sorted(map(tuple, salted_broadcast_left(fact, dim, "k", n_salts=4).collect()))
     assert plain == salted
+
+
+# --- temporal operators vs naive references ---------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=5000),   # ts seconds offset
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _ts_df(spark, rows, side):
+    from datetime import datetime, timezone
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    data = [
+        (u, datetime.fromtimestamp(base.timestamp() + s, tz=timezone.utc), i + side * 10_000)
+        for i, (u, s) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, "user_id long, ts timestamp, event_id long")
+
+
+@given(left=events_strategy, right=events_strategy)
+@settings(**_SETTINGS)
+def test_asof_join_matches_naive(spark, left, right):
+    from politician_etl_project_spark.operators.temporal import asof_join
+
+    l_df = _ts_df(spark, left, 0)
+    r_df = _ts_df(spark, right, 1)
+    got = {
+        r.event_id: r.ts_right
+        for r in asof_join(
+            l_df.select("user_id", "ts", "event_id"), r_df.select("user_id", "ts"), "user_id"
+        ).collect()
+    }
+    # naive: for each left row, max right ts <= left ts within the user
+    naive = {}
+    for i, (u, s) in enumerate(left):
+        cands = [s2 for (u2, s2) in right if u2 == u and s2 <= s]
+        naive[i] = max(cands) if cands else None
+    assert set(got) == set(naive)
+    for eid, ts in got.items():
+        expect = naive[eid]
+        if expect is None:
+            assert ts is None
+        else:
+            assert ts is not None and int(ts.timestamp()) % 100000 == (
+                1704067200 + expect
+            ) % 100000
+
+
+@given(left=events_strategy, right=events_strategy, width=st.sampled_from([60, 600]))
+@settings(**_SETTINGS)
+def test_range_join_matches_naive(spark, left, right, width):
+    from politician_etl_project_spark.operators.temporal import range_join_binned
+
+    l_df = _ts_df(spark, left, 0)
+    r_df = _ts_df(spark, right, 1)
+    got = {
+        (r.a_event_id, r.b_event_id)
+        for r in range_join_binned(
+            l_df.select("user_id", "ts", "event_id"),
+            r_df.select("user_id", "ts", "event_id"),
+            "user_id",
+            width_seconds=width,
+        ).collect()
+    }
+    naive = {
+        (i, j + 10_000)
+        for i, (u, s) in enumerate(left)
+        for j, (u2, s2) in enumerate(right)
+        if u == u2 and s2 > s and s2 <= s + width
+    }
+    assert got == naive

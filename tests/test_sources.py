@@ -392,3 +392,29 @@ def test_probe_ids_stops_after_misses():
     got = staging.probe_ids(lambda i: i in present, start=100, max_consecutive_failures=3)
     # 101,102 hit; 103 miss; 104 hit; 105,106,107 miss -> stop
     assert got == [101, 102, 104]
+
+
+def test_vote_json_malformed_file_skipped(spark, tmp_path):
+    """A corrupt JSON file among good ones must not fail the scan —
+    PERMISSIVE parsing yields nulls, which the validity filter drops
+    (the reference's try/except-per-file loop, ingest_votes.py:100-110)."""
+    good = tmp_path / "v0"
+    good.mkdir()
+    (good / "data.json").write_text(json.dumps(VOTE_DOCS[0]))
+    bad = tmp_path / "v1"
+    bad.mkdir()
+    (bad / "data.json").write_text('{"category": "passage", "bill": {truncated...')
+    raw = votes_json.read_vote_files(spark, str(tmp_path) + "/*/data.json")
+    rows = votes_json.explode_votes(raw).collect()
+    assert len(rows) == 2  # the good file's two real voters; corrupt file contributes nothing
+
+
+def test_itcont_malformed_line_tolerated(spark, tmp_path):
+    """A ragged pipe-CSV line (too few columns) parses PERMISSIVE into
+    nulls and is dropped by the amount/date guard, not an exception."""
+    p = tmp_path / "itcont.txt"
+    p.write_text(ITCONT_LINES[0] + "\nBROKEN|LINE\n")
+    target = spark.createDataFrame([("C001",)], "CMTE_ID string")
+    out = fec.transform_donations(fec.read_itcont(spark, str(p)), target).collect()
+    assert len(out) == 1
+    assert out[0].fec_filing_id == "SUB0000000001"
