@@ -105,6 +105,52 @@ def test_financial_vs_duckdb(wh, duck):
     assert got == want
 
 
+def test_legislative_vs_duckdb(wh, duck):
+    sponsor = wh.read("bills").select("sponsor_id").filter("sponsor_id IS NOT NULL").collect()[0][0]
+    out = metrics.legislative_metrics(wh.read("bills"), wh.read("bill_cosponsors"), sponsor)
+    got = _rows(out["sponsored"], ["n_sponsored"])
+    want = _duck(duck, f"SELECT COUNT(*) FROM bills WHERE sponsor_id = {sponsor}", 1)
+    assert got == want
+
+    cos = wh.read("bill_cosponsors").select("politician_id").collect()[0][0]
+    out = metrics.legislative_metrics(wh.read("bills"), wh.read("bill_cosponsors"), cos)
+    got = _rows(out["cosponsored"], ["n_cosponsored", "n_original", "n_joined_later"])
+    want = _duck(
+        duck,
+        f"""SELECT COUNT(*),
+                   SUM(CASE WHEN is_original_cosponsor THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN NOT is_original_cosponsor THEN 1 ELSE 0 END)
+            FROM bill_cosponsors WHERE politician_id = {cos}""",
+        3,
+    )
+    assert got == want
+
+
+def test_committee_vs_duckdb(wh, duck):
+    out = metrics.committee_metrics(
+        wh.read("committee_assignments"),
+        wh.read("committees"),
+        wh.read("politicians"),
+        "HSAG",
+    )
+    got = _rows(out["roster"], ["member_name", "role", "party"])
+    want = _duck(
+        duck,
+        """SELECT p.first_name || ' ' || p.last_name, a.role, a.party
+           FROM committee_assignments a JOIN politicians p USING (politician_id)
+           WHERE a.committee_id = 'HSAG'""",
+        3,
+    )
+    assert got == want
+    got = _rows(out["n_members"], ["n_members"])
+    want = _duck(
+        duck,
+        "SELECT COUNT(DISTINCT politician_id) FROM committee_assignments WHERE committee_id = 'HSAG'",
+        1,
+    )
+    assert got == want
+
+
 def test_voting_vs_duckdb(wh, duck):
     pelosi = (
         wh.read("politicians").filter(F.col("congress_id") == "P000197").collect()[0].politician_id
