@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_minhash_signatures",
     "q_simhash",
+    "q_near_dup_pairs_capped",
     # temporal joins
     "q_asof_join",
     "q_range_join",

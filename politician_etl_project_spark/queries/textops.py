@@ -246,6 +246,82 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAP = 32
+
+_NEAR_DUP_CAPPED_ORACLE = f"""
+WITH sigs AS (
+  SELECT doc_id, text,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('0|' || t)), 'min') AS sig0,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('1|' || t)), 'min') AS sig1,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('2|' || t)), 'min') AS sig2,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('3|' || t)), 'min') AS sig3
+  FROM documents
+), all_bands AS (
+  SELECT doc_id, text, 0 AS band_id, md5(sig0 || '|' || sig1) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, text, 1 AS band_id, md5(sig2 || '|' || sig3) AS band_key FROM sigs
+), bands AS (
+  SELECT doc_id, text, band_id, band_key FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS bn
+    FROM all_bands
+  ) WHERE bn <= {_CAP}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.text AS text_a, r.text AS text_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), toks AS (
+  SELECT id_a, id_b,
+         list_distinct(regexp_split_to_array(trim(text_a), '\\s+')) AS ta,
+         list_distinct(regexp_split_to_array(trim(text_b), '\\s+')) AS tb
+  FROM cand
+), counts AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ta, tb)) AS n_inter,
+         len(ta) AS n_a, len(tb) AS n_b
+  FROM toks
+)
+SELECT id_a, id_b,
+       CAST(CAST(n_inter AS DECIMAL(18,4))
+            / greatest(n_a + n_b - n_inter, 1) AS DECIMAL(18,6)) AS jaccard
+FROM counts
+WHERE CAST(CAST(n_inter AS DECIMAL(18,4))
+           / greatest(n_a + n_b - n_inter, 1) AS DECIMAL(18,6)) >= 0.80
+ORDER BY id_a, id_b
+"""
+
+
+@declared_query(
+    "q_near_dup_pairs_capped",
+    oracle=_NEAR_DUP_CAPPED_ORACLE,
+    ops=("TXT-minhash-lsh", "J9"),
+    doc=f"Bounded-output MinHash-LSH near-dup: identical to q_near_dup_pairs "
+    f"but each LSH bucket keeps only its {_CAP} smallest doc ids before "
+    f"pairing, so a bucket contributes at most {_CAP}*{_CAP - 1}//2 "
+    f"candidate pairs regardless of skew.  This is the 100 TB-safe shape: "
+    f"the synthetic corpus has a 3125-doc hot bucket whose uncapped "
+    f"pair volume (~5M) is output cost, not plan cost; at real scale a "
+    f"boilerplate flood would do the same.  Everything the cap skips is "
+    f"near-identical content that exact dedup (q_dedup_exact) removes "
+    f"first in the production order dedup_exact -> near_dup.  Deterministic "
+    f"(row_number over doc_id) so the DuckDB oracle hash-matches.",
+)
+def q_near_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=4, rows_per_band=2, max_bucket=_CAP)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.array_distinct(tokens()).alias("toks_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.array_distinct(tokens()).alias("toks_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard("toks_a", "toks_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.80)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # per-bit votes over a PREcomputed token-hash list (computed once in the
 # subquery below — inlining the tokenize+md5 in all 16 bits was the 5x
 # hotspot on both engines)
