@@ -90,3 +90,58 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
 
 def test_bucket_key_introspection(spark, bucketed_tables):
     assert storage._bucket_key(spark, bucketed_tables[0]) == ["o_orderkey"]
+
+
+@pytest.fixture(scope="module")
+def bucketed_wh(spark, tmp_path_factory):
+    """ETL warehouse with its fact tables re-materialized bucketed on
+    politician_id (Warehouse.bucketize)."""
+    import json
+
+    from tests import test_etl
+
+    d = tmp_path_factory.mktemp("staging_bkt")
+    (d / "xml").mkdir()
+    (d / "xml" / "hr123.xml").write_text(test_etl.BILL_XML)
+    (d / "votes").mkdir()
+    (d / "votes" / "v1").mkdir()
+    (d / "votes" / "v1" / "data.json").write_text(json.dumps(test_etl.VOTE_DOC))
+    (d / "cn.txt").write_text(test_etl.CN)
+    (d / "ccl.txt").write_text(test_etl.CCL)
+    (d / "itcont.txt").write_text(test_etl.ITCONT)
+    wh = test_etl._run(spark, d, tmp_path_factory.mktemp("wh_bkt"))
+    tables = {name: wh.bucketize(name, n_buckets=4) for name in ("donations", "votes")}
+    yield wh, tables
+    for t in tables.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_warehouse_bucketized_agg_no_exchange(spark, bucketed_wh):
+    """groupBy on the bucket key aggregates in place — no Exchange in the
+    plan; this is the per-politician metric-bundle access path."""
+    wh, tables = bucketed_wh
+    agg = spark.table(tables["donations"]).groupBy("politician_id").agg(F.sum("amount"))
+    assert "Exchange hashpartitioning" not in _explain(agg)
+    got = {r.politician_id: r[1] for r in agg.collect()}
+    want = {
+        r.politician_id: r[1]
+        for r in wh.read("donations").groupBy("politician_id").agg(F.sum("amount")).collect()
+    }
+    assert got == want
+
+
+def test_warehouse_bucketized_fact_fact_join_no_exchange(spark, bucketed_wh):
+    """donations ⋈ votes on politician_id: both sides co-bucketed, so the
+    join plans with zero Exchange — at warehouse scale the only fact-fact
+    join shape that survives 100x growth."""
+    wh, tables = bucketed_wh
+    joined = storage.bucketed_join_ready(spark, tables["donations"], tables["votes"])
+    assert "Exchange hashpartitioning" not in _explain(joined)
+    expected = (
+        wh.read("donations")
+        .select("politician_id")
+        .join(wh.read("votes").select("politician_id"), "politician_id")
+        .count()
+    )
+    assert joined.count() == expected
+    assert expected > 0
