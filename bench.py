@@ -34,9 +34,20 @@ BENCH_QUERIES = [
     "q04_order_priority",
     "q05_region_volume",
     "q06_forecast_revenue",
+    "q02_min_cost_supplier",
+    "q08_market_share",
+    "q09_product_profit",
+    "q11_important_value",
+    "q12_late_shipments",
     "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_counts",
     "q17_small_quantity",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
     # relational aggregation / join family
     "q_fact_dim_rollup",
     "q_topk_customers",

@@ -9,6 +9,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module so the registry is fully populated."""
     from politician_etl_project_spark.queries import (  # noqa: F401
         tpch,
+        tpch_ext,
         relational,
         windows,
         events,
