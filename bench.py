@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "q_minhash_signatures",
     "q_simhash",
     "q_near_dup_pairs_capped",
+    # training-data pipeline ops
+    "q_hash_split",
+    "q_sequence_packing",
     # temporal joins
     "q_asof_join",
     "q_range_join",

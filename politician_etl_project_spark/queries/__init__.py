@@ -18,6 +18,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         coverage_ext,
         temporal,
+        pipeline,
     )
 
     return dict(REGISTRY)

@@ -13,6 +13,7 @@ MERGE into managed tables.
 from politician_etl_project_spark.streaming.sources import events_stream, run_to_memory
 from politician_etl_project_spark.streaming.pipelines import (
     dedup_stream,
+    enrich_stream,
     incremental_upsert_stream,
     interval_join_stream,
     session_counts,
@@ -22,6 +23,7 @@ from politician_etl_project_spark.streaming.pipelines import (
 
 __all__ = [
     "events_stream",
+    "enrich_stream",
     "run_to_memory",
     "windowed_totals",
     "session_counts",

@@ -86,6 +86,40 @@ def session_counts(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each micro-batch
+    joins the (unbounded) event stream against a bounded dimension and
+    aggregates value by the dimension attribute per hour.
+
+    This is the streaming twin of the reference's every-metric shape —
+    fact ⋈ dim → group → sum (app/app.py:127-188) — and the canonical
+    Spark pattern for it: the static side is broadcast into every
+    micro-batch, so the stream side never shuffles for the join; only
+    the windowed aggregation keeps (bounded, watermarked) state.  The
+    dim DataFrame is re-read per batch, so slowly-changing dimensions
+    pick up updates without restarting the query."""
+    joined = events.withWatermark("ts", watermark).join(F.broadcast(dim), key)
+    dim_cols = [c for c in dim.columns if c != key]
+    return (
+        joined.groupBy(F.window("ts", "1 hour").alias("w"), *dim_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            *dim_cols,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once events by event_id across micro-batches (T6 — the
     reference retains a donors dict across batches to avoid re-inserting,

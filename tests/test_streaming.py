@@ -92,6 +92,38 @@ def test_sliding_stream_matches_batch(spark, staged_events, tmp_path):
     assert actual.issubset(batch_all)
 
 
+def _user_tiers(spark):
+    """Deterministic bounded dimension: every event user mapped to a
+    tier — the static side of the stream-static join."""
+    users = _batch_events(spark).select("user_id").distinct()
+    return users.withColumn(
+        "tier",
+        F.when(F.col("user_id") % 3 == 0, "gold")
+        .when(F.col("user_id") % 3 == 1, "silver")
+        .otherwise("bronze"),
+    )
+
+
+def test_enrich_stream_matches_batch(spark, staged_events, tmp_path):
+    from politician_etl_project_spark.streaming import enrich_stream
+
+    dim = _user_tiers(spark)
+    stream = events_stream(spark, staged_events)
+    got = run_to_memory(
+        enrich_stream(stream, dim),
+        "enrich_sink",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch_all = {
+        tuple(map(str, r)) for r in enrich_stream(_batch_events(spark), dim).collect()
+    }
+    actual = {tuple(map(str, r)) for r in got.collect()}
+    assert actual  # stream produced finalized enriched windows
+    assert actual.issubset(batch_all)
+    # every emitted row carries a tier from the dim (join actually enriched)
+    assert {r["tier"] for r in got.collect()} <= {"gold", "silver", "bronze"}
+
+
 def test_session_stream_subset_of_batch(spark, staged_events, tmp_path):
     stream = events_stream(spark, staged_events)
     got = run_to_memory(
