@@ -119,3 +119,36 @@ def test_asof_join_single_shuffle_no_pairs(spark, specs):
     plan = plan_of(spark, specs, "q_asof_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_q15_pushes_quarter_filter_into_scan(spark, specs):
+    plan = plan_of(spark, specs, "q15_top_supplier")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
+
+
+def test_q19_disjunction_prunes_lineitem_columns(spark, specs):
+    # the 3-branch OR references 4 lineitem columns; the scan must not
+    # read the rest (l_tax, l_returnflag, ...)
+    plan = plan_of(spark, specs, "q19_disjunctive_revenue")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_partkey" in ln]
+    assert read, plan
+    assert all("l_tax" not in ln and "l_returnflag" not in ln for ln in read)
+
+
+def test_q21_single_fact_aggregation_no_self_join(spark, specs):
+    # the EXISTS/NOT-EXISTS rewrite must scan lineitem ONCE — a second
+    # lineitem scan means the plan regressed to correlated self-joins
+    plan = plan_of(spark, specs, "q21_waiting_suppliers")
+    li_scans = [ln for ln in plan.splitlines() if "lineitem.parquet" in ln]
+    assert len(li_scans) == 1, plan
+
+
+def test_q22_anti_join_stays_anti(spark, specs):
+    plan = plan_of(spark, specs, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+
+
+def test_q20_semi_join_chain_stays_semi(spark, specs):
+    plan = plan_of(spark, specs, "q20_part_promotion")
+    assert "LeftSemi" in plan
