@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     # training-data pipeline ops
     "q_hash_split",
     "q_sequence_packing",
+    "q_curation_funnel",
     # temporal joins
     "q_asof_join",
     "q_range_join",

@@ -150,6 +150,133 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_ORACLE = """
+WITH quality AS (
+  SELECT doc_id, text
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 30
+    AND CAST(len(regexp_extract_all(text, '\\b(the|a|of|and)\\b')) AS DOUBLE)
+        / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) >= 0.02
+), exact AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+), sigs AS (
+  SELECT doc_id, text,
+         list_aggregate(list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> md5('0|' || t)), 'min') AS sig0,
+         list_aggregate(list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> md5('1|' || t)), 'min') AS sig1,
+         list_aggregate(list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> md5('2|' || t)), 'min') AS sig2,
+         list_aggregate(list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> md5('3|' || t)), 'min') AS sig3
+  FROM exact
+), bands AS (
+  SELECT doc_id, text, band_id, band_key FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS bn
+    FROM (
+      SELECT doc_id, text, 0 AS band_id, md5(sig0 || '|' || sig1) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, text, 1 AS band_id, md5(sig2 || '|' || sig3) AS band_key FROM sigs
+    )
+  ) WHERE bn <= 32
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.text AS text_a, r.text AS text_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), drops AS (
+  SELECT DISTINCT id_b FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
+                              list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))) AS ni,
+           len(list_distinct(regexp_split_to_array(trim(text_a), '\\s+'))) AS na,
+           len(list_distinct(regexp_split_to_array(trim(text_b), '\\s+'))) AS nb
+    FROM cand
+  ) WHERE CAST(ni AS DOUBLE) / greatest(na + nb - ni, 1) >= 0.80
+), final AS (
+  SELECT doc_id FROM exact WHERE doc_id NOT IN (SELECT id_b FROM drops)
+)
+SELECT stage, n_docs FROM (
+  SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM documents
+  UNION ALL SELECT '2_quality', COUNT(*) FROM quality
+  UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM exact
+  UNION ALL SELECT '4_near_dedup', COUNT(*) FROM final
+  UNION ALL
+  SELECT '5_' || CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+                      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+                      ELSE 'test' END,
+         COUNT(*)
+  FROM final GROUP BY 1
+)
+ORDER BY stage
+"""
+
+
+@declared_query(
+    "q_curation_funnel",
+    oracle=_FUNNEL_ORACLE,
+    ops=("PIPE-funnel", "TXT-dedup-exact", "TXT-minhash-lsh", "PIPE-split"),
+    doc="The full curation funnel, composed end-to-end: raw corpus → "
+    "quality gate (token count + stopword ratio) → exact dedup (keep "
+    "min-id per fingerprint) → near-dup removal (capped MinHash-LSH "
+    "candidates, exact Jaccard ≥0.8, drop the larger id of each pair) → "
+    "deterministic train/val/test split.  One row of surviving-doc "
+    "counts per stage — the dataset-curation report every LLM corpus "
+    "pipeline publishes.  Every stage is the already-verified operator "
+    "from textops/pipeline; this query proves they COMPOSE with "
+    "hash-exact parity.  Scale: quality/fingerprint are narrow maps; "
+    "the only quadratic risk (LSH buckets) is capped at 32 ids.",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import (
+        fingerprint,
+        jaccard,
+        lsh_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens())
+    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and)\b"))
+    quality = docs.filter(
+        (n_tokens >= 30)
+        & (stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.02)
+    ).select("doc_id", "text")
+
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    exact = (
+        quality.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+    pairs = lsh_candidate_pairs(exact, "doc_id", "text", n_hashes=4, rows_per_band=2, max_bucket=32)
+    toks_a = exact.select(F.col("doc_id").alias("id_a"), F.array_distinct(tokens()).alias("ta"))
+    toks_b = exact.select(F.col("doc_id").alias("id_b"), F.array_distinct(tokens()).alias("tb"))
+    drops = (
+        pairs.join(toks_a, "id_a")
+        .join(toks_b, "id_b")
+        .filter(jaccard("ta", "tb") >= 0.80)
+        .select("id_b")
+        .distinct()
+    )
+    final = exact.join(drops, exact.doc_id == drops.id_b, "left_anti").select("doc_id")
+
+    bucket = F.expr(_SPARK_HASH) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    stages = [
+        docs.agg(F.lit("1_raw").alias("stage"), F.count("*").alias("n_docs")),
+        quality.agg(F.lit("2_quality").alias("stage"), F.count("*").alias("n_docs")),
+        exact.agg(F.lit("3_exact_dedup").alias("stage"), F.count("*").alias("n_docs")),
+        final.agg(F.lit("4_near_dedup").alias("stage"), F.count("*").alias("n_docs")),
+        final.groupBy(F.concat(F.lit("5_"), split).alias("stage")).agg(
+            F.count("*").alias("n_docs")
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("stage")
+
+
 @declared_query(
     "q_corpus_stats",
     oracle="""
