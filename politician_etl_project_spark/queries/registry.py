@@ -8,8 +8,19 @@ both sides so the order-insensitive value-hash matches (FIXTURES.md §
 
 - every computed column is aliased identically in Spark and SQL;
 - money math is done in DECIMAL — doubles are cast to ``DECIMAL(12,2)``
-  *before* aggregation so sums are exact and order-independent, and the
-  final cast never reduces scale (no rounding divergence between engines);
+  *before* aggregation so sums are exact and order-independent — but the
+  FINAL projection must carry no DECIMAL (or DuckDB HUGEINT) column:
+  the driver canonicalizes the DuckDB side through a float conversion
+  (shortest repr), so Spark's fixed-scale Decimal rendering ("1085.40")
+  hash-mismatches DuckDB's float ("1085.4") even when every cell is
+  value-identical (CORRECTNESS_r01: 17 such false-fails).  The registry
+  therefore casts every DecimalType output column to DOUBLE automatically
+  (``_canonical_output_types`` below — the decimal value is already exact,
+  so the double is deterministic), and each oracle must wrap
+  integer-typed SUM/CASE sums in ``CAST(... AS BIGINT)`` (DuckDB SUM over
+  INTEGER yields HUGEINT, which the driver floats to "4421.0" while Spark
+  LongType renders "4421").  ``tests/oracle_utils.compare`` enforces both
+  rules with a DESCRIBE-based type guard;
 - time buckets are rendered as strings (``yyyy-MM-dd HH:mm:ss``) because
   Spark's ``date_trunc`` returns TIMESTAMP while DuckDB's returns DATE;
 - LIMIT queries impose a total order with a unique-key tie-break first.
@@ -36,13 +47,44 @@ class QuerySpec:
     doc: str = ""
 
 
+def _canonical_output_types(df: DataFrame) -> DataFrame:
+    """Cast DecimalType output columns to DOUBLE at the projection boundary.
+
+    Internal arithmetic stays in DECIMAL (exact, order-independent); only
+    the *final* projection is widened so the driver's float-based value
+    hash sees identical shortest-repr strings on the Spark and DuckDB
+    sides.  No-op when the schema has no decimals."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if not any(isinstance(f.dataType, T.DecimalType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, T.DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
 def declared_query(name: str, oracle: Optional[str], ops: tuple[str, ...] = (), doc: str = ""):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate declared query: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, ops=tuple(ops), doc=doc or (fn.__doc__ or ""))
+
+        def canonical_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _canonical_output_types(fn(spark, sf_dir))
+
+        canonical_fn.__name__ = fn.__name__
+        canonical_fn.__doc__ = fn.__doc__
+        canonical_fn.__wrapped__ = fn
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=canonical_fn, oracle=oracle, ops=tuple(ops), doc=doc or (fn.__doc__ or "")
+        )
         return fn
 
     return wrap

@@ -59,13 +59,29 @@ def canon_rows(columns: list[str], rows) -> list[tuple]:
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def assert_driver_safe_types(spark_schema, con, oracle: str, name: str) -> None:
+    """Type guard replicating the driver's canonicalization hazard: the
+    driver floats the DuckDB side (shortest repr) while Spark renders
+    DECIMAL at fixed scale and BIGINT as plain int — so no DECIMAL may
+    survive to the Spark output and no DECIMAL/HUGEINT to the oracle
+    output (CORRECTNESS_r01: 17 false hash-fails from exactly this)."""
+    from pyspark.sql import types as T
+
+    dec = [f.name for f in spark_schema.fields if isinstance(f.dataType, T.DecimalType)]
+    assert not dec, f"{name}: Spark output has DecimalType columns {dec} (driver hash hazard)"
+    desc = con.execute(f"DESCRIBE ({oracle})").fetchall()
+    bad = [(c, ty) for c, ty, *_ in desc if "DECIMAL" in ty or "HUGEINT" in ty or "INT128" in ty]
+    assert not bad, f"{name}: oracle output has driver-hazard types {bad}"
+
+
 def compare(spark, spec, sf_dir: str) -> None:
     sdf = spec.fn(spark, sf_dir)
     s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duck_connect(sf_dir)
     try:
+        assert_driver_safe_types(sdf.schema, con, spec.oracle, spec.name)
+        s_rows = [tuple(r) for r in sdf.collect()]
         res = con.execute(spec.oracle)
         d_cols = [d[0] for d in res.description]
         d_rows = res.fetchall()
