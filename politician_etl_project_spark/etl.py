@@ -33,8 +33,10 @@ from pyspark.sql import functions as F
 
 from politician_etl_project_spark.operators.upsert import (
     ParquetUpsertTable,
+    dedup_keys,
     log_update,
     merge_keep,
+    stable_ids,
 )
 from politician_etl_project_spark.sources import bills_xml, committees_yaml, fec, members, votes_json
 
@@ -103,29 +105,51 @@ class Warehouse:
 def _dense_ids(df: DataFrame, order_cols: list[str], id_col: str) -> DataFrame:
     """Deterministic surrogate ids (S18): row_number over the natural-key
     order.  Single-task global sort — fine for dimensions; facts keep
-    composite natural keys instead."""
+    composite natural keys instead.  First load only: incremental loads
+    go through ``stable_ids`` so previously-published ids never move."""
     w = Window.orderBy(*[F.asc(c) for c in order_cols])
     return df.withColumn(id_col, F.row_number().over(w))
+
+
+# Enrichment columns written by a later pass (link_fec_ids): a plain
+# update-wins merge would let a member refresh (whose fresh rows carry
+# typed-NULL link columns) wipe previously-linked values, silently
+# orphaning donation attribution until a manual re-link.
+_POLITICIAN_LINK_COLS = ("fec_candidate_id", "fec_committee_id")
 
 
 def load_politicians(wh: Warehouse, records: list[dict]) -> DataFrame:
     """Members API records → politicians dim with update-wins upsert
     (reference ON CONFLICT (congress_id) DO UPDATE,
-    ingest_politicians.py:209-232)."""
+    ingest_politicians.py:209-232).  Surrogate ids are stable across
+    incremental loads; link-pass columns merge column-level (an incoming
+    NULL never overwrites an existing linked value)."""
     fresh = members.transform_members(
         members.members_df(wh.spark, records), members.state_lookup(wh.spark)
     )
     tbl = wh["politicians"]
     if tbl.exists():
-        existing = tbl.read().drop("politician_id")
+        prior = tbl.read()
+        id_map = prior.select("congress_id", "politician_id")
+        existing = prior.drop("politician_id")
         # schema evolution (S15 analog): later passes (link_fec_ids) widen
         # the dim; align fresh rows with typed nulls before the merge
         for c in set(existing.columns) - set(fresh.columns):
             fresh = fresh.withColumn(c, F.lit(None).cast(existing.schema[c].dataType))
         merged = merge_keep(existing, fresh, ["congress_id"], update_wins=True)
+        link_cols = [c for c in _POLITICIAN_LINK_COLS if c in existing.columns]
+        if link_cols:
+            old_links = existing.select(
+                "congress_id", *[F.col(c).alias(f"_old_{c}") for c in link_cols]
+            )
+            merged = merged.join(old_links, "congress_id", "left")
+            for c in link_cols:
+                merged = merged.withColumn(c, F.coalesce(F.col(c), F.col(f"_old_{c}"))).drop(
+                    f"_old_{c}"
+                )
+        final = stable_ids(merged, id_map, ["congress_id"], "politician_id")
     else:
-        merged = fresh
-    final = _dense_ids(merged, ["congress_id"], "politician_id")
+        final = _dense_ids(fresh, ["congress_id"], "politician_id")
     tbl.overwrite(final)
     wh.log("politicians", tbl.read().count())
     return tbl.read()
@@ -162,12 +186,12 @@ def load_bills(wh: Warehouse, billstatus_glob: str) -> DataFrame:
     fresh = fresh.join(pol, "sponsor_bioguide", "left").drop("sponsor_bioguide")
     tbl = wh["bills"]
     key = ["official_bill_number", "congress"]
-    merged = (
-        merge_keep(tbl.read().drop("bill_id"), fresh, key, update_wins=True)
-        if tbl.exists()
-        else fresh
-    )
-    final = _dense_ids(merged, key, "bill_id")
+    if tbl.exists():
+        prior = tbl.read()
+        merged = merge_keep(prior.drop("bill_id"), fresh, key, update_wins=True)
+        final = stable_ids(merged, prior.select(*key, "bill_id"), key, "bill_id")
+    else:
+        final = _dense_ids(fresh, key, "bill_id")
     tbl.overwrite(final)
     wh.log("bills", tbl.read().count())
     return tbl.read()
@@ -192,7 +216,7 @@ def load_cosponsors(wh: Warehouse, billstatus_glob: str) -> DataFrame:
     merged = (
         merge_keep(tbl.read(), fresh, ["bill_id", "politician_id"], update_wins=False)
         if tbl.exists()
-        else fresh.dropDuplicates(["bill_id", "politician_id"])
+        else dedup_keys(fresh, ["bill_id", "politician_id"])
     )
     tbl.overwrite(merged)
     wh.log("bill_cosponsors", tbl.read().count())
@@ -209,7 +233,7 @@ def load_votes(wh: Warehouse, votes_glob: str) -> DataFrame:
     merged = (
         merge_keep(tbl.read(), fresh, keys, update_wins=False)
         if tbl.exists()
-        else fresh.dropDuplicates(keys)
+        else dedup_keys(fresh, keys)
     )
     tbl.overwrite(merged)
     wh.log("votes", tbl.read().count())
@@ -232,12 +256,16 @@ def load_donations(wh: Warehouse, itcont_path: str) -> tuple[DataFrame, DataFram
 
     donors_fresh = fec.build_donors(raw).drop("donor_id")
     dtbl = wh["donors"]
-    donors_merged = (
-        merge_keep(dtbl.read().drop("donor_id"), donors_fresh, ["donor_source_key"], update_wins=False)
-        if dtbl.exists()
-        else donors_fresh
-    )
-    donors_final = _dense_ids(donors_merged, ["donor_source_key"], "donor_id")
+    if dtbl.exists():
+        prior = dtbl.read()
+        donors_merged = merge_keep(
+            prior.drop("donor_id"), donors_fresh, ["donor_source_key"], update_wins=False
+        )
+        donors_final = stable_ids(
+            donors_merged, prior.select("donor_source_key", "donor_id"), ["donor_source_key"], "donor_id"
+        )
+    else:
+        donors_final = _dense_ids(donors_fresh, ["donor_source_key"], "donor_id")
     dtbl.overwrite(donors_final)
     wh.log("donors", dtbl.read().count())
 
@@ -254,7 +282,7 @@ def load_donations(wh: Warehouse, itcont_path: str) -> tuple[DataFrame, DataFram
     merged = (
         merge_keep(ftbl.read(), facts, ["fec_filing_id"], update_wins=False)
         if ftbl.exists()
-        else facts.dropDuplicates(["fec_filing_id"])
+        else dedup_keys(facts, ["fec_filing_id"])
     )
     ftbl.overwrite(merged)
     wh.log("donations", ftbl.read().count())
@@ -290,7 +318,7 @@ def load_committees(wh: Warehouse, committee_docs: list[dict], membership_doc: d
     amerged = (
         merge_keep(atbl.read(), fresh, keys, update_wins=True)
         if atbl.exists()
-        else fresh.dropDuplicates(keys)
+        else dedup_keys(fresh, keys)
     )
     atbl.overwrite(amerged)
     wh.log("committee_assignments", atbl.read().count())

@@ -55,16 +55,20 @@ def merge_keep(
     )
 
 
+def dedup_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic one-row-per-key: row_number ordered by all value
+    columns.  The first-load analog of ``merge_keep`` — NEVER
+    ``dropDuplicates``, whose survivor is partition-order dependent, so
+    the initial warehouse content would vary across runs/clusters."""
+    value_cols = [c for c in df.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in value_cols])
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
 def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
     """S13 as a set operation: append only keys not already present
     (left-anti against existing), deduping incoming on the key first."""
-    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in incoming.columns])
-    fresh = (
-        incoming.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .join(existing.select(*keys).distinct(), keys, "left_anti")
-    )
+    fresh = dedup_keys(incoming, keys).join(existing.select(*keys).distinct(), keys, "left_anti")
     return existing.unionByName(fresh)
 
 
@@ -78,8 +82,24 @@ class ParquetUpsertTable:
         self.spark = spark
         self.path = path
         self.keys = keys
+        self._recover()
+
+    def _recover(self) -> None:
+        """Crash recovery for ``_swap_write``: if a previous process died
+        after renaming the live dir aside but before publishing staging,
+        the `.old` dir is the last good table — restore it.  If both the
+        live dir and `.old` exist, the swap published successfully and
+        `.old` is garbage."""
+        old = self.path + ".old"
+        if not os.path.isdir(old):
+            return
+        if os.path.isdir(self.path):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(old, self.path)
 
     def exists(self) -> bool:
+        self._recover()
         return os.path.isdir(self.path) and any(
             f.endswith(".parquet") for f in os.listdir(self.path)
         )
@@ -110,18 +130,26 @@ class ParquetUpsertTable:
         return before
 
     def _swap_write(self, df: DataFrame) -> None:
+        """Atomic-enough publish: write staging, rename live aside to
+        `.old`, rename staging into place, then drop `.old`.  A crash at
+        any point leaves either the old table live or recoverable from
+        `.old` (``_recover``) — never a window where the published path is
+        simply gone (the old version rmtree'd the live dir first)."""
         staging = tempfile.mkdtemp(prefix="upsert-", dir=os.path.dirname(self.path) or ".")
         try:
             df.write.mode("overwrite").parquet(staging)
-            if os.path.isdir(self.path):
-                shutil.rmtree(self.path)
-            os.replace(staging, self.path)
-            # drop the session FileStatusCache entry for this path — readers
-            # created after the swap must list the new part files
-            self.spark.catalog.refreshByPath(self.path)
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
+        old = self.path + ".old"
+        shutil.rmtree(old, ignore_errors=True)  # garbage from a crash after a prior publish
+        if os.path.isdir(self.path):
+            os.replace(self.path, old)
+        os.replace(staging, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        # drop the session FileStatusCache entry for this path — readers
+        # created after the swap must list the new part files
+        self.spark.catalog.refreshByPath(self.path)
 
 
 def surrogate_ids(df: DataFrame, order_cols: list[str], id_col: str) -> DataFrame:
@@ -129,9 +157,45 @@ def surrogate_ids(df: DataFrame, order_cols: list[str], id_col: str) -> DataFram
     natural-key order.  NEVER monotonically_increasing_id, whose values
     depend on partition layout (SURVEY §7 hard-part 2).  The global
     window is a single-task sort, acceptable for dimension tables; fact
-    tables keep natural/composite keys instead."""
+    tables keep natural/composite keys instead.
+
+    First-load only: on incremental loads use :func:`stable_ids`, else a
+    new key that sorts before existing rows shifts every subsequent id
+    and silently corrupts persisted FK references."""
     w = Window.orderBy(*[F.asc(c) for c in order_cols])
     return df.withColumn(id_col, F.row_number().over(w))
+
+
+def stable_ids(
+    df: DataFrame,
+    old_ids: DataFrame | None,
+    keys: list[str],
+    id_col: str,
+) -> DataFrame:
+    """S18, incremental form: surrogate ids that are STABLE across runs.
+
+    Rows whose natural key already has an id keep it (join against the
+    previous ``key -> id`` map); genuinely new keys get
+    ``max(existing id) + row_number`` over natural-key order.  Persisted
+    fact tables referencing old ids therefore stay valid — the failure
+    mode of re-running ``surrogate_ids`` over a grown dimension (a key
+    sorting before existing rows used to renumber everything after it).
+
+    The id map is dimension-sized; the join broadcasts under AQE when
+    small and degrades to a key shuffle when not — no collect."""
+    if old_ids is None:
+        return surrogate_ids(df, keys, id_col)
+    old = old_ids.select(*keys, id_col)
+    max_id = old.agg(F.max(id_col).alias("m")).first()["m"] or 0
+    joined = df.join(old, keys, "left")
+    kept = joined.filter(F.col(id_col).isNotNull())
+    w = Window.orderBy(*[F.asc(c) for c in keys])
+    fresh = (
+        joined.filter(F.col(id_col).isNull())
+        .drop(id_col)
+        .withColumn(id_col, F.row_number().over(w) + F.lit(max_id).cast("int"))
+    )
+    return kept.unionByName(fresh)
 
 
 def log_update(

@@ -225,12 +225,10 @@ def test_incremental_update_wins_and_first_wins(spark, staging, wh):
     assert pols["P000197"].party == "Independent"
     assert pols["K000383"].party == "Independent" or pols["K000383"].party  # King row intact
     assert {p.politician_id for p in pols.values()} == {1, 2}
-    # re-link after the dim rewrite (run_all ordering), then new donations
-    etl.link_fec_ids(
-        wh,
-        etl.fec.read_cn(spark, str(staging / "cn.txt")),
-        etl.fec.read_ccl(spark, str(staging / "ccl.txt")),
-    )
+    # column-level merge: the refresh batch carried NULL link columns, but
+    # previously-linked FEC ids must survive WITHOUT a manual re-link
+    assert pols["P000197"].fec_committee_id == "C002"
+    assert pols["P000197"].fec_candidate_id == "H8CA05"
     inc = staging / "itcont_inc.txt"
     inc.write_text(
         # same donor uid as SUB01 but different city: first-wins keeps SF
@@ -240,3 +238,59 @@ def test_incremental_update_wins_and_first_wins(spark, staging, wh):
     donors = {r.name: r for r in wh.read("donors").collect()}
     assert donors["SMITH, JOHN"].city == "SF"  # first-wins preserved
     assert wh.read("donations").count() == 4  # SUB06 appended
+
+
+def test_surrogate_ids_stable_under_early_sorting_key(spark, staging, wh):
+    """A new politician whose congress_id sorts FIRST must not shift any
+    existing id (persisted facts reference the old assignments); the new
+    row gets max(existing)+1."""
+    before = {r.congress_id: r.politician_id for r in wh.read("politicians").collect()}
+    fact_refs_before = {r.politician_id for r in wh.read("donations").collect()}
+    etl.load_politicians(
+        wh,
+        [
+            {
+                "bioguideId": "A000001",  # sorts before K000383 / P000197
+                "name": "Aardvark, Alice",
+                "partyName": "Independent",
+                "state": "California",
+                "terms": {"item": [{"chamber": "House of Representatives", "startYear": 2023}]},
+            }
+        ],
+    )
+    after = {r.congress_id: r.politician_id for r in wh.read("politicians").collect()}
+    for cid, pid in before.items():
+        assert after[cid] == pid, f"existing id moved: {cid} {pid} -> {after[cid]}"
+    assert after["A000001"] == max(before.values()) + 1
+    # every persisted FK still resolves to the same politician rows
+    joined = (
+        wh.read("donations")
+        .join(wh.read("politicians"), "politician_id")
+        .select("politician_id")
+        .collect()
+    )
+    assert {r.politician_id for r in joined} == fact_refs_before
+
+
+def test_swap_write_crash_recovery(spark, tmp_path):
+    """_swap_write: a crash after the live dir is renamed aside must be
+    recoverable — the next ParquetUpsertTable sees the old contents."""
+    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+
+    path = str(tmp_path / "tbl")
+    tbl = ParquetUpsertTable(spark, path, ["k"])
+    tbl.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    # simulate dying between "rename live aside" and "publish staging"
+    import os
+
+    os.replace(path, path + ".old")
+    assert not os.path.isdir(path)
+    tbl2 = ParquetUpsertTable(spark, path, ["k"])  # recovery runs in __init__
+    assert tbl2.exists()
+    assert [tuple(r) for r in tbl2.read().collect()] == [(1, "a")]
+    # a crash AFTER publish leaves main + .old: recovery keeps main, drops .old
+    tbl2.overwrite(spark.createDataFrame([(2, "b")], "k int, v string"))
+    os.makedirs(path + ".old", exist_ok=True)
+    tbl3 = ParquetUpsertTable(spark, path, ["k"])
+    assert not os.path.isdir(path + ".old")
+    assert [tuple(r) for r in tbl3.read().collect()] == [(2, "b")]
