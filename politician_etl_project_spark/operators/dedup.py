@@ -73,11 +73,26 @@ def exact_dup_groups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
 # --- minhash + LSH ---------------------------------------------------------
 
 
+def minhash_signature_from(tokens_col: str, n_hashes: int = 4) -> list[Column]:
+    """k minhash values over a PRE-MATERIALIZED distinct-token array
+    column.  Hash family j is md5('<j>|' || token); the minimum is taken
+    lexicographically on the hex digest — portable across engines (no
+    64-bit int parsing needed) and uniform enough for banding.
+
+    Always prefer this over inlining the tokenizer per hash: an inlined
+    ``array_distinct(split(...))`` is re-evaluated once PER HASH FAMILY
+    (expression CSE does not rescue multi-referenced subtrees — the same
+    pitfall measured at 5x on simhash, see :func:`token_hashes`)."""
+    return [
+        F.expr(f"array_min(transform({tokens_col}, t -> md5(concat('{j}|', t))))").alias(f"sig{j}")
+        for j in range(n_hashes)
+    ]
+
+
 def minhash_signature(col: str = "text", n_hashes: int = 4) -> list[Column]:
-    """k minhash values over the distinct-token set.  Hash family j is
-    md5('<j>|' || token); the minimum is taken lexicographically on the
-    hex digest — portable across engines (no 64-bit int parsing needed)
-    and uniform enough for banding."""
+    """One-shot signature for single-use contexts; hot paths should
+    ``withColumn`` a :func:`distinct_tokens` array first and use
+    :func:`minhash_signature_from` (tokenizes once, not once per hash)."""
     toks = "array_distinct(split(trim({col}), '\\\\s+'))".format(col=col)
     return [
         F.expr(f"array_min(transform({toks}, t -> md5(concat('{j}|', t))))").alias(f"sig{j}")
@@ -92,13 +107,24 @@ def lsh_candidate_pairs(
     n_hashes: int = 4,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: sign, band, bucket-join.
 
     One shuffle on (band_id, band_key); pairs are generated only within
     buckets via a self-join, so cost is sum(bucket²) not n².  Returns
-    (id_a, id_b) with id_a < id_b, distinct across bands."""
-    sigs = df.select(F.col(id_col), *minhash_signature(col, n_hashes))
+    (id_a, id_b) with id_a < id_b, distinct across bands.
+
+    ``tokens_col``: name of a pre-materialized distinct-token array
+    column (e.g. cached upstream and shared with the Jaccard verify) —
+    skips tokenization entirely.  Otherwise the text is tokenized ONCE
+    into a temp column before the per-hash transforms."""
+    if tokens_col is not None:
+        sigs = df.select(F.col(id_col), *minhash_signature_from(tokens_col, n_hashes))
+    else:
+        sigs = df.withColumn("_toks", distinct_tokens(col)).select(
+            F.col(id_col), *minhash_signature_from("_toks", n_hashes)
+        )
     n_bands = n_hashes // rows_per_band
     # One projection + posexplode: signatures are computed once per doc and
     # each doc emits n_bands (band_id, band_key) rows — no per-band union

@@ -235,6 +235,8 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidate_pairs,
     )
 
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(tokens())
     stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and)\b"))
@@ -243,14 +245,33 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.02)
     ).select("doc_id", "text")
 
+    # `exact` fans out to FOUR downstream consumers (LSH band input,
+    # toks_a, toks_b, survivor base).  Catalyst does not share common
+    # subplans across join/union branches, and a lazy persist() doesn't
+    # help either: the branches run as concurrent stages inside the one
+    # union job and RACE to populate the cache, each recomputing the
+    # scan→filter→fingerprint-window lineage (measured: lazy persist was
+    # as slow as no persist).  Materializing ONCE up front (count()) makes
+    # every branch a cache read.  MEMORY_AND_DISK so a corpus-sized frame
+    # spills instead of OOMing; a 100 TB run would checkpoint this stage
+    # boundary to the lake, same idea.
     w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
     exact = (
-        quality.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        # tokenize ONCE into the cached frame: the token array feeds the
+        # minhash signatures AND both sides of the Jaccard verify
+        .withColumn("toks", F.array_distinct(tokens()))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    exact.count()
 
-    pairs = lsh_candidate_pairs(exact, "doc_id", "text", n_hashes=4, rows_per_band=2, max_bucket=32)
-    toks_a = exact.select(F.col("doc_id").alias("id_a"), F.array_distinct(tokens()).alias("ta"))
-    toks_b = exact.select(F.col("doc_id").alias("id_b"), F.array_distinct(tokens()).alias("tb"))
+    pairs = lsh_candidate_pairs(
+        exact, "doc_id", "text", n_hashes=4, rows_per_band=2, max_bucket=32, tokens_col="toks"
+    )
+    toks_a = exact.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    toks_b = exact.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
     drops = (
         pairs.join(toks_a, "id_a")
         .join(toks_b, "id_b")
@@ -260,16 +281,28 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = exact.join(drops, exact.doc_id == drops.id_b, "left_anti").select("doc_id")
 
+    # Stages 4 and 5 in ONE aggregation: rollup over the split label gives
+    # the per-split rows (5_train/5_val/5_test) plus the grand-total row
+    # (4_near_dedup) without re-running the LSH pipeline for a separate
+    # total count.
     bucket = F.expr(_SPARK_HASH) % 100
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    s45 = (
+        final.withColumn("_split", split)
+        .rollup("_split")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.when(F.col("_split").isNull(), F.lit("4_near_dedup"))
+            .otherwise(F.concat(F.lit("5_"), F.col("_split")))
+            .alias("stage"),
+            "n_docs",
+        )
+    )
     stages = [
         docs.agg(F.lit("1_raw").alias("stage"), F.count("*").alias("n_docs")),
         quality.agg(F.lit("2_quality").alias("stage"), F.count("*").alias("n_docs")),
         exact.agg(F.lit("3_exact_dedup").alias("stage"), F.count("*").alias("n_docs")),
-        final.agg(F.lit("4_near_dedup").alias("stage"), F.count("*").alias("n_docs")),
-        final.groupBy(F.concat(F.lit("5_"), split).alias("stage")).agg(
-            F.count("*").alias("n_docs")
-        ),
+        s45,
     ]
     out = stages[0]
     for s in stages[1:]:
