@@ -173,30 +173,78 @@ def main() -> None:
     for name in names:
         specs[name].fn(spark, sf_dir).collect()
 
+    # Queries that persist() intermediates (q_curation_funnel) must not
+    # get a free timed pass off warm-up cache blocks — every timed run
+    # rebuilds its own caches inside its single action.
+    spark.catalog.clearCache()
+
     times: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     etl_sec, etl_rows = bench_etl(spark)
     times["etl_fec_500k"] = etl_sec
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "etl_rows_out": etl_rows,
-                "etl_rows_in": 500000,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "etl_rows_out": etl_rows,
+        "etl_rows_in": 500000,
+    }
+    prev = _load_prev_bench()
+    if prev:
+        out["delta_vs_prev"] = {
+            n: round(times[n] / prev["queries"][n], 2)
+            for n in times
+            if prev["queries"].get(n)
+        }
+        out["prev_round"] = prev["_round"]
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_prev_bench() -> dict | None:
+    """Latest BENCH_r{N}.json in the repo root: per-query regression axis
+    (delta_vs_prev = this_run_sec / prev_round_sec; >1 means slower)."""
+    import re
+
+    root = Path(__file__).resolve().parent
+    best = None
+    for p in root.glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return None
+    try:
+        data = json.loads(best[1].read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    if not isinstance(data.get("queries"), dict) and isinstance(data.get("tail"), str):
+        # driver wrapper format: our JSON line is embedded in the captured stdout
+        for line in reversed(data["tail"].splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    inner = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(inner.get("queries"), dict):
+                    data = inner
+                    break
+    if not isinstance(data.get("queries"), dict):
+        return None
+    data["_round"] = best[0]
+    return data
 
 
 if __name__ == "__main__":

@@ -93,10 +93,12 @@ def ann_lsh(
     id_col: str = "vec_id",
     multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: bucket by hyperplane sign bits, score only rows
-    whose bucket is the query's bucket (or hamming-1 away when
-    multiprobe).  Scans ~ n/2^planes (+ planes·n/2^planes probes) instead
-    of n."""
+    """Approximate top-k with ON-THE-FLY bucketing: every row's bucket is
+    computed in the scan, so CPU is saved (only ~5/2^planes of rows are
+    cosine-scored) but I/O is not — the filter cannot prune files.  Use
+    :func:`build_lsh_index` + :func:`ann_lsh_indexed` when the corpus is
+    stored: the bucket becomes a partition column and the probe prunes
+    directories at planning time (the 100 TB path)."""
     bucketed = emb.withColumn("bucket", hyperplane_bits(vec_col, n_planes, dim))
     q = query_vec.withColumn("qbucket", hyperplane_bits("q", n_planes, dim))
     joined = bucketed.crossJoin(F.broadcast(q))
@@ -106,6 +108,58 @@ def ann_lsh(
         probe = F.col("bucket") == F.col("qbucket")
     return (
         joined.filter(probe)
+        .select(F.col(id_col), F.round(cosine(vec_col, "q"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def build_lsh_index(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the hyperplane bucket as a STORED partition column:
+    parquet directory-partitioned by ``bucket`` (2^n_planes directories).
+    Probing then reads only the probed partitions — `PartitionFilters`
+    in the scan, ~(1+n_planes)/2^planes of the files touched — instead
+    of scanning every row to recompute its bucket (plan-asserted in
+    tests/test_plans.py).  Index build is one narrow map + write."""
+    from politician_etl_project_spark.storage import write_partitioned
+
+    bucketed = emb.withColumn("bucket", hyperplane_bits(vec_col, n_planes, dim))
+    write_partitioned(bucketed, path, ["bucket"])
+
+
+def ann_lsh_indexed(
+    spark,
+    index_path: str,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Probe a stored LSH index (see :func:`build_lsh_index`).
+
+    The query's bucket and its hamming-1 multiprobe neighbors are a
+    driver-side computation over the single query row; the resulting
+    IN-list on the partition column prunes non-probed directories at
+    planning time.  Same results as :func:`ann_lsh` (identical plane
+    family and probe set), different I/O shape."""
+    qb = (
+        query_vec.withColumn("qbucket", hyperplane_bits("q", n_planes, dim))
+        .select("qbucket")
+        .first()["qbucket"]
+    )
+    probes = [qb] + ([qb ^ (1 << p) for p in range(n_planes)] if multiprobe else [])
+    idx = spark.read.parquet(index_path).filter(F.col("bucket").isin(probes))
+    return (
+        idx.crossJoin(F.broadcast(query_vec))
         .select(F.col(id_col), F.round(cosine(vec_col, "q"), 4).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -159,11 +213,15 @@ def ivf_train_assign(
     n_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic mini k-means: seeds = the first `n_clusters` vectors
     by id, then `n_iters` Lloyd iterations (assign via broadcast cross
     join, recentre via per-dimension mean).  Returns (assigned, centroids)
     where assigned = emb + `cluster` and centroids has (cluster, centroid).
+
+    ``dim`` defaults to the length of the first stored vector (one 1-row
+    driver lookup) — recentring needs a static per-dimension column list.
 
     Scale shape: every iteration is ONE broadcast cross join (n_clusters
     rows ship to executors) + one narrow argmin map + one n_clusters-group
@@ -171,6 +229,8 @@ def ivf_train_assign(
     training; at 100 TB you train on a sample and assign the full table
     in a single pass.
     """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     centroids = (
         emb.orderBy(id_col)
         .limit(n_clusters)
@@ -185,7 +245,7 @@ def ivf_train_assign(
             assigned.groupBy("cluster")
             .agg(
                 F.array(
-                    *[F.avg(F.element_at(F.col(vec_col), d + 1)) for d in range(64)]
+                    *[F.avg(F.element_at(F.col(vec_col), d + 1)) for d in range(dim)]
                 ).alias("centroid")
             )
         )

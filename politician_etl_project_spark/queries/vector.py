@@ -180,20 +180,53 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_index_path(spark: SparkSession, sf_dir: str, n_planes: int, dim: int) -> str:
+    """Build-once stored LSH index for a given corpus: parquet
+    partitioned by the hyperplane bucket (see build_lsh_index).  Built
+    atomically (staging + rename) so concurrent queries never read a
+    half-written index; testdata is immutable so no invalidation."""
+    import hashlib
+    import os
+    import tempfile
+
+    from politician_etl_project_spark.operators.similarity import build_lsh_index
+
+    key = hashlib.md5(f"{sf_dir}|{n_planes}|{dim}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lsh_{key}")
+    if not os.path.isdir(path):
+        staging = f"{path}.building-{os.getpid()}"
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_lsh_index(emb, staging, n_planes=n_planes, dim=dim)
+        try:
+            os.rename(staging, path)
+        except OSError:  # another process won the race; theirs is identical
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
 @declared_query(
     "q_ann_lsh",
     oracle=None,  # approximate by construction; recall vs brute force is pytest-checked
     ops=("V2", "TXT-ann"),
     doc="Approximate top-10 cosine via random-hyperplane LSH (4 planes, "
-    "multi-probe hamming≤1 → 5/16 of buckets probed). Plane count trades "
-    "recall for scan fraction; random 64-dim data has near-orthogonal "
-    "neighbors, so shallow planes + multiprobe is the right corner. Recall "
-    "vs q_knn_bruteforce is asserted in tests/test_operators.py.",
+    "multi-probe hamming≤1 → 5/16 of buckets probed) over a STORED index: "
+    "the bucket is a parquet partition column, so the probe prunes "
+    "non-probed directories at planning time (PartitionFilters — "
+    "plan-asserted in tests/test_plans.py) instead of scanning every row "
+    "to recompute its bucket. Plane count trades recall for scan "
+    "fraction; random 64-dim data has near-orthogonal neighbors, so "
+    "shallow planes + multiprobe is the right corner. Recall vs "
+    "q_knn_bruteforce is asserted in tests/test_operators.py.",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.similarity import ann_lsh_indexed
+
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return ann_lsh(emb, qv, k=10, n_planes=4, dim=64)
+    index = _lsh_index_path(spark, sf_dir, n_planes=4, dim=64)
+    return ann_lsh_indexed(spark, index, qv, k=10, n_planes=4, dim=64)
 
 
 @declared_query(

@@ -152,3 +152,14 @@ def test_q22_anti_join_stays_anti(spark, specs):
 def test_q20_semi_join_chain_stays_semi(spark, specs):
     plan = plan_of(spark, specs, "q20_part_promotion")
     assert "LeftSemi" in plan
+
+
+def test_ann_lsh_index_prunes_partitions(spark, specs):
+    """The stored-LSH probe must reach the scan as a PARTITION filter
+    (directory pruning), not a row filter over every file — the
+    difference between reading 5/16 of the index and reading all of it
+    (VERDICT r01: the on-the-fly bucket scanned every row)."""
+    plan = plan_of(spark, specs, "q_ann_lsh")
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert part_lines, f"no PartitionFilters in plan:\n{plan}"
+    assert any("bucket" in ln and ("IN" in ln or "in(" in ln.lower()) for ln in part_lines), part_lines
