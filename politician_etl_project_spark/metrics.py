@@ -180,6 +180,35 @@ def dashboard_stats(tables: dict[str, DataFrame]) -> DataFrame:
     return out.orderBy("stat")
 
 
+def _paged(
+    df: DataFrame, pred, order_cols: list[str], skip: int, limit: int
+) -> tuple[DataFrame, int]:
+    """O4 keyed-total-order pagination shared by every list endpoint:
+    filter → count → row_number over a total order ending in a unique
+    key → slice.  The global window is a single-task sort over the
+    *filtered* set — fine for serving pages (limit ≤ 1000); a UI paging
+    deep into an unfiltered 100 TB fact should switch to keyset
+    pagination (WHERE key > last_seen ORDER BY key LIMIT n), which this
+    order-by-unique-key contract makes equivalent."""
+    base = df.filter(pred)
+    total = base.count()
+    w = Window.orderBy(*order_cols)
+    page = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > skip) & (F.col("_rn") <= skip + limit))
+        .drop("_rn")
+    )
+    return page, total
+
+
+def _eq_filters(f: dict, keys: tuple[str, ...]):
+    pred = F.lit(True)
+    for key in keys:
+        if f.get(key) is not None:
+            pred = pred & (F.col(key) == f[key])
+    return pred
+
+
 def paginate_politicians(
     politicians: DataFrame,
     filters: dict | None = None,
@@ -189,19 +218,278 @@ def paginate_politicians(
     """app/main.py:51-111: filtered list endpoint with offset/limit +
     total count.  Deterministic: total-ordered by the unique key before
     the window (SURVEY §7 hard-part 4)."""
-    pred = F.lit(True)
     f = filters or {}
-    for key in ("party", "state", "chamber"):
-        if key in f:
-            pred = pred & (F.col(key) == f[key])
+    pred = _eq_filters(f, ("party", "state", "chamber"))
     if f.get("active_only"):
         pred = pred & F.col("is_active")
-    base = politicians.filter(pred)
-    total = base.count()
-    w = Window.orderBy("last_name", "first_name", "congress_id")
-    page = (
-        base.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > skip) & (F.col("_rn") <= skip + limit))
-        .drop("_rn")
+    return _paged(politicians, pred, ["last_name", "first_name", "congress_id"], skip, limit)
+
+
+def paginate_donors(
+    donors: DataFrame, filters: dict | None = None, skip: int = 0, limit: int = 100
+) -> tuple[DataFrame, int]:
+    """app/main.py:171-208 GET /donors: donor_type / industry filters."""
+    pred = _eq_filters(filters or {}, ("donor_type", "industry"))
+    return _paged(donors, pred, ["name", "donor_id"], skip, limit)
+
+
+def paginate_donations(
+    donations: DataFrame, filters: dict | None = None, skip: int = 0, limit: int = 100
+) -> tuple[DataFrame, int]:
+    """app/main.py:210-254 GET /donations: politician/donor/amount-range
+    filters.  Equality predicates push to the scan; at scale the
+    politician_id filter rides the bucket layout (Warehouse.BUCKET_KEYS)."""
+    f = filters or {}
+    pred = _eq_filters(f, ("politician_id", "donor_id"))
+    if f.get("min_amount") is not None:
+        pred = pred & (F.col("amount") >= f["min_amount"])
+    if f.get("max_amount") is not None:
+        pred = pred & (F.col("amount") <= f["max_amount"])
+    return _paged(donations, pred, ["date", "fec_filing_id"], skip, limit)
+
+
+def paginate_bills(
+    bills: DataFrame, filters: dict | None = None, skip: int = 0, limit: int = 100
+) -> tuple[DataFrame, int]:
+    """app/main.py:256-296 GET /bills: congress / bill_type filters."""
+    pred = _eq_filters(filters or {}, ("congress", "bill_type"))
+    return _paged(bills, pred, ["congress", "official_bill_number"], skip, limit)
+
+
+def paginate_votes(
+    votes: DataFrame, filters: dict | None = None, skip: int = 0, limit: int = 100
+) -> tuple[DataFrame, int]:
+    """app/main.py:298-339 GET /votes: politician/bill/position filters."""
+    pred = _eq_filters(filters or {}, ("politician_id", "bill_id", "vote_position"))
+    return _paged(votes, pred, ["date", "politician_id", "bill_id"], skip, limit)
+
+
+def paginate_sponsored_bills(
+    bills: DataFrame, politician_id: int, skip: int = 0, limit: int = 100
+) -> tuple[DataFrame, int]:
+    """app/main.py:341-380 GET /politicians/{id}/sponsored-bills."""
+    return _paged(
+        bills,
+        F.col("sponsor_id") == politician_id,
+        ["congress", "official_bill_number"],
+        skip,
+        limit,
     )
-    return page, total
+
+
+def paginate_cosponsored_bills(
+    cosponsors: DataFrame,
+    bills: DataFrame,
+    politician_id: int,
+    original_only: bool | None = None,
+    skip: int = 0,
+    limit: int = 100,
+) -> tuple[DataFrame, int]:
+    """app/main.py:382-425 GET /politicians/{id}/cosponsored-bills:
+    cosponsorship rows enriched with bill info (broadcast dim join)."""
+    pred = F.col("politician_id") == politician_id
+    if original_only is not None:
+        pred = pred & (F.col("is_original_cosponsor") == original_only)
+    enriched = cosponsors.join(
+        F.broadcast(bills.select("bill_id", "official_bill_number", "congress", "title")),
+        "bill_id",
+    )
+    return _paged(enriched, pred, ["bill_id"], skip, limit)
+
+
+def bill_sponsor(bills: DataFrame, politicians: DataFrame, bill_id: int) -> DataFrame:
+    """app/main.py:428-464 GET /bills/{id}/sponsor: the bill row joined
+    to its sponsoring politician (broadcast; LIMIT-1 probe shape)."""
+    bill = bills.filter(F.col("bill_id") == bill_id).select(
+        "bill_id", "official_bill_number", "congress", "title", "sponsor_id"
+    )
+    pol = politicians.select(
+        F.col("politician_id").alias("sponsor_id"),
+        F.concat_ws(" ", "first_name", "last_name").alias("sponsor_name"),
+        F.col("party").alias("sponsor_party"),
+        F.col("state").alias("sponsor_state"),
+        F.col("chamber").alias("sponsor_chamber"),
+    )
+    return bill.join(F.broadcast(pol), "sponsor_id", "left")
+
+
+def bill_cosponsors(
+    cosponsors: DataFrame,
+    politicians: DataFrame,
+    bill_id: int,
+    original_only: bool | None = None,
+    skip: int = 0,
+    limit: int = 100,
+) -> tuple[DataFrame, int]:
+    """app/main.py:466-510 GET /bills/{id}/cosponsors: roster of
+    cosponsoring politicians for one bill, paged."""
+    pred = F.col("bill_id") == bill_id
+    if original_only is not None:
+        pred = pred & (F.col("is_original_cosponsor") == original_only)
+    enriched = cosponsors.join(
+        F.broadcast(
+            politicians.select(
+                "politician_id",
+                F.concat_ws(" ", "first_name", "last_name").alias("cosponsor_name"),
+                "party",
+                "state",
+            )
+        ),
+        "politician_id",
+    )
+    return _paged(enriched, pred, ["politician_id"], skip, limit)
+
+
+# --- scope-variant metric bundles (chamber / party / congress / multi) ------
+
+
+def scope_metrics(
+    tables: dict[str, DataFrame],
+    ids: list[int] | None = None,
+    chamber: str | None = None,
+    party: str | None = None,
+    congress: int | None = None,
+) -> dict[str, DataFrame]:
+    """The shared engine behind the reference's four scope endpoints
+    (app/metrics.py:133-243 multi-politician, :245-334 chamber, :336-425
+    party, :427-519 congress): pick a politician set, then aggregate
+    donations / bills / cosponsorships / votes over it.
+
+    Where the reference runs ~8 sequential ORM queries per scope — each
+    re-filtering by a driver-side ``IN (ids...)`` list — the politician
+    set here is a broadcast semi-join against each fact (no id list ever
+    leaves the cluster), and each breakdown+total pair collapses into a
+    single aggregation (conditional sums; grouping-sets rollup for the
+    votes total).  Scale: facts are filtered by the broadcast semi-join
+    FIRST, so each bundle reads a politician-pruned slice (bucket layout
+    on politician_id keeps it shuffle-free), and the congress filter on
+    bills/votes is a broadcast bill-id semi-join."""
+    pols = tables["politicians"]
+    pred = F.lit(True)
+    if ids is not None:
+        pred = pred & F.col("politician_id").isin([int(i) for i in ids])
+    if chamber is not None:
+        pred = pred & (F.col("chamber") == chamber.capitalize())
+    if party is not None:
+        pred = pred & (F.col("party") == party)
+    scope = pols.filter(pred)
+    pol_ids = scope.select("politician_id")
+
+    roster = scope.select(
+        "politician_id",
+        F.concat_ws(" ", "first_name", "last_name").alias("name"),
+        "party",
+        "state",
+        "chamber",
+    ).orderBy("politician_id")
+    n_politicians = scope.agg(F.count("*").alias("total_politicians"))
+
+    dons = tables["donations"].join(F.broadcast(pol_ids), "politician_id", "left_semi")
+    donations_total = dons.agg(
+        F.coalesce(F.sum("amount"), F.lit(0).cast("decimal(12,2)")).alias("total_amount"),
+        F.count("*").alias("n_donations"),
+    )
+    with_type = dons.join(
+        F.broadcast(tables["donors"].select("donor_id", "name", "donor_type")), "donor_id"
+    )
+    donations_by_type = (
+        with_type.filter(F.col("donor_type").isNotNull())
+        .groupBy("donor_type")
+        .agg(F.sum("amount").alias("total"))
+        .orderBy("donor_type")
+    )
+    top_donors = (
+        with_type.groupBy("donor_id", "name", "donor_type")
+        .agg(F.sum("amount").alias("total_donated"))
+        .orderBy(F.desc("total_donated"), F.asc("name"), F.asc("donor_id"))
+        .limit(10)
+        .drop("donor_id")
+    )
+
+    bills = tables["bills"]
+    sponsored = bills.join(
+        F.broadcast(pol_ids.withColumnRenamed("politician_id", "sponsor_id")),
+        "sponsor_id",
+        "left_semi",
+    )
+    if congress is not None:
+        sponsored = sponsored.filter(F.col("congress") == congress)
+    bills_sponsored = sponsored.agg(F.count("*").alias("sponsored"))
+
+    cos = tables["bill_cosponsors"].join(F.broadcast(pol_ids), "politician_id", "left_semi")
+    votes = tables["votes"].join(F.broadcast(pol_ids), "politician_id", "left_semi")
+    if congress is not None:
+        in_congress = F.broadcast(
+            bills.filter(F.col("congress") == congress).select("bill_id")
+        )
+        cos = cos.join(in_congress, "bill_id", "left_semi")
+        votes = votes.join(in_congress, "bill_id", "left_semi")
+    cosponsored = cos.agg(
+        F.sum(F.when(F.col("is_original_cosponsor"), 1).otherwise(0)).alias(
+            "cosponsored_original"
+        ),
+        F.sum(F.when(~F.col("is_original_cosponsor"), 1).otherwise(0)).alias(
+            "cosponsored_later"
+        ),
+        F.count("*").alias("total_cosponsored"),
+    )
+    # rollup: per-position rows AND the grand total in one aggregation
+    votes_by_position = (
+        votes.withColumn("position", F.coalesce("vote_position", F.lit("Unknown")))
+        .rollup("position")
+        .agg(F.count("*").alias("n"), F.grouping("position").alias("_total"))
+        .select(
+            F.when(F.col("_total") == 1, F.lit("TOTAL")).otherwise(F.col("position")).alias(
+                "vote_position"
+            ),
+            "n",
+        )
+        .orderBy("vote_position")
+    )
+    return {
+        "politicians": roster,
+        "n_politicians": n_politicians,
+        "donations_total": donations_total,
+        "donations_by_type": donations_by_type,
+        "top_donors": top_donors,
+        "bills_sponsored": bills_sponsored,
+        "cosponsored": cosponsored,
+        "votes_by_position": votes_by_position,
+    }
+
+
+def chamber_metrics(
+    tables: dict[str, DataFrame], chamber: str, congress: int | None = None
+) -> dict[str, DataFrame]:
+    """app/metrics.py:245-334 GET /metrics/chamber/{chamber}."""
+    return scope_metrics(tables, chamber=chamber, congress=congress)
+
+
+def party_metrics(
+    tables: dict[str, DataFrame],
+    party: str,
+    congress: int | None = None,
+    chamber: str | None = None,
+) -> dict[str, DataFrame]:
+    """app/metrics.py:336-425 GET /metrics/party/{party}."""
+    return scope_metrics(tables, party=party, chamber=chamber, congress=congress)
+
+
+def congress_metrics(
+    tables: dict[str, DataFrame],
+    congress_number: int,
+    chamber: str | None = None,
+    party: str | None = None,
+) -> dict[str, DataFrame]:
+    """app/metrics.py:427-519 GET /metrics/congress/{congress_number}."""
+    return scope_metrics(tables, chamber=chamber, party=party, congress=congress_number)
+
+
+def multi_politician_metrics(
+    tables: dict[str, DataFrame], ids: list[int], congress: int | None = None
+) -> dict[str, DataFrame]:
+    """app/metrics.py:133-243 GET /metrics/politicians (batch compare).
+    ``politicians`` in the result is the found subset; callers diff it
+    against the requested ids for the reference's missing_politician_ids
+    field."""
+    return scope_metrics(tables, ids=ids, congress=congress)

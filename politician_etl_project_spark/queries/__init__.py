@@ -85,6 +85,11 @@ DRIVER_WINDOW = [
     "q_range_join",
     "q_window_rank",
     "q_salted_agg",
+    # 51+: endpoint shapes (VERDICT item 7) — first in line if the driver
+    # checks more than 50 entries
+    "q_list_endpoint_page",
+    "q_entity_navigation",
+    "q_child_roster_page",
 ]
 
 _ORACLE_TABLES = (

@@ -452,3 +452,116 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@declared_query(
+    "q_list_endpoint_page",
+    oracle="""
+SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_matches
+FROM (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         COUNT(*) OVER () AS total_matches,
+         ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000
+)
+WHERE rn > 20 AND rn <= 30
+ORDER BY o_orderdate, o_orderkey
+""",
+    ops=("O4", "P2", "P5"),
+    doc="The GET /donations list-endpoint shape (reference "
+    "app/main.py:210-254 and the other four list endpoints, all served "
+    "by metrics._paged): equality + range filters, offset/limit page 3 "
+    "over a keyed total order, and the page's total_matches carried as a "
+    "window count — one job returns both the page and the count the "
+    "endpoint's response envelope needs (the reference issues a separate "
+    "COUNT query). Filters push to the scan; the global sort ranks only "
+    "the filtered survivors.",
+)
+def q_list_endpoint_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") >= 150000)
+    )
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return (
+        base.withColumn("total_matches", F.count("*").over(Window.partitionBy()))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > 20) & (F.col("_rn") <= 30))
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "total_matches")
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+@declared_query(
+    "q_entity_navigation",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate, c.c_name AS sponsor_name,
+       c.c_mktsegment AS sponsor_segment, n.n_name AS sponsor_nation
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderkey = 1
+""",
+    ops=("O5", "J1", "P2"),
+    doc="The GET /bills/{id}/sponsor navigation shape (reference "
+    "app/main.py:428-464): a single-key probe on the fact joined out to "
+    "its owning dim(s) — order → customer → nation standing in for bill "
+    "→ sponsor politician. The key predicate pushes to the scan "
+    "(one-row read at 100 TB with partition/bucket layout); dims "
+    "broadcast.",
+)
+def q_entity_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 1)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_name").alias("sponsor_name"),
+        F.col("c_mktsegment").alias("sponsor_segment"),
+        "c_nationkey",
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("sponsor_nation")
+    )
+    return (
+        orders.join(F.broadcast(customer), "o_custkey", "left")
+        .join(F.broadcast(nation), "c_nationkey", "left")
+        .select("o_orderkey", "o_orderdate", "sponsor_name", "sponsor_segment", "sponsor_nation")
+    )
+
+
+@declared_query(
+    "q_child_roster_page",
+    oracle="""
+SELECT l_orderkey, l_linenumber, p_name, CAST(l_quantity AS DOUBLE) AS l_quantity, total_matches
+FROM (
+  SELECT l.l_orderkey, l.l_linenumber, p.p_name, l.l_quantity,
+         COUNT(*) OVER () AS total_matches,
+         ROW_NUMBER() OVER (ORDER BY l.l_linenumber) AS rn
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_orderkey = 1
+)
+WHERE rn <= 5
+ORDER BY l_linenumber
+""",
+    ops=("O4", "J1", "P2"),
+    doc="The GET /bills/{id}/cosponsors roster shape (reference "
+    "app/main.py:466-510): one parent key's child rows enriched with the "
+    "member dim (broadcast) and paged — lineitems of an order with part "
+    "names standing in for a bill's cosponsoring politicians. Parent-key "
+    "predicate pushes to the scan; page window sorts only that parent's "
+    "handful of children.",
+)
+def q_child_roster_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") == 1)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    w = Window.orderBy("l_linenumber")
+    return (
+        li.join(F.broadcast(part), "l_partkey")
+        .withColumn("total_matches", F.count("*").over(Window.partitionBy()))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("l_orderkey", "l_linenumber", "p_name", "l_quantity", "total_matches")
+        .orderBy("l_linenumber")
+    )

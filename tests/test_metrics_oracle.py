@@ -192,3 +192,137 @@ def test_pagination_vs_duckdb(wh, duck):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_scope_metrics_chamber_vs_duckdb(wh, duck):
+    tables = {n: wh.read(n) for n in wh.KEYS if n != "update_log"}
+    out = metrics.chamber_metrics(tables, "house")  # lowercase in, capitalized match
+
+    ids_sql = "SELECT politician_id FROM politicians WHERE chamber = 'House'"
+    got = _rows(out["donations_total"], ["total_amount", "n_donations"])
+    want = _duck(
+        duck,
+        f"SELECT COALESCE(SUM(amount),0), COUNT(*) FROM donations WHERE politician_id IN ({ids_sql})",
+        2,
+    )
+    assert got == want
+
+    got = _rows(out["donations_by_type"], ["donor_type", "total"])
+    want = _duck(
+        duck,
+        f"""SELECT dn.donor_type, SUM(d.amount) FROM donations d JOIN donors dn USING (donor_id)
+            WHERE d.politician_id IN ({ids_sql}) AND dn.donor_type IS NOT NULL GROUP BY 1""",
+        2,
+    )
+    assert got == want
+
+    got = _rows(out["bills_sponsored"], ["sponsored"])
+    want = _duck(duck, f"SELECT COUNT(*) FROM bills WHERE sponsor_id IN ({ids_sql})", 1)
+    assert got == want
+
+    got = _rows(out["votes_by_position"], ["vote_position", "n"])
+    want = _duck(
+        duck,
+        f"""SELECT COALESCE(vote_position,'Unknown'), COUNT(*) FROM votes
+            WHERE politician_id IN ({ids_sql}) GROUP BY 1
+            UNION ALL
+            SELECT 'TOTAL', COUNT(*) FROM votes WHERE politician_id IN ({ids_sql})""",
+        2,
+    )
+    assert got == want
+
+
+def test_scope_metrics_congress_filter_vs_duckdb(wh, duck):
+    tables = {n: wh.read(n) for n in wh.KEYS if n != "update_log"}
+    out = metrics.congress_metrics(tables, 119)
+    got = _rows(out["cosponsored"], ["cosponsored_original", "cosponsored_later", "total_cosponsored"])
+    want = _duck(
+        duck,
+        """SELECT SUM(CASE WHEN is_original_cosponsor THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN NOT is_original_cosponsor THEN 1 ELSE 0 END),
+                  COUNT(*)
+           FROM bill_cosponsors c JOIN bills b USING (bill_id) WHERE b.congress = 119""",
+        3,
+    )
+    assert got == want
+    got = _rows(out["bills_sponsored"], ["sponsored"])
+    want = _duck(duck, "SELECT COUNT(*) FROM bills WHERE congress = 119 AND sponsor_id IS NOT NULL", 1)
+    assert got == want
+
+
+def test_multi_politician_metrics_vs_duckdb(wh, duck):
+    tables = {n: wh.read(n) for n in wh.KEYS if n != "update_log"}
+    ids = [r.politician_id for r in wh.read("politicians").collect()]
+    out = metrics.multi_politician_metrics(tables, ids)
+    got = _rows(out["top_donors"], ["name", "donor_type", "total_donated"])
+    want = _duck(
+        duck,
+        """SELECT dn.name, dn.donor_type, SUM(d.amount) FROM donations d JOIN donors dn USING (donor_id)
+           GROUP BY dn.donor_id, dn.name, dn.donor_type ORDER BY 3 DESC, 1 LIMIT 10""",
+        3,
+    )
+    assert got == want
+    assert _rows(out["n_politicians"], ["total_politicians"]) == [(len(ids),)]
+
+
+def test_list_endpoints_vs_duckdb(wh, duck):
+    page, total = metrics.paginate_donations(
+        wh.read("donations"), {"min_amount": 100}, skip=0, limit=2
+    )
+    assert total == duck.execute("SELECT COUNT(*) FROM donations WHERE amount >= 100").fetchone()[0]
+    got = [r.fec_filing_id for r in page.collect()]
+    want = [
+        r[0]
+        for r in duck.execute(
+            "SELECT fec_filing_id FROM donations WHERE amount >= 100 ORDER BY date, fec_filing_id LIMIT 2"
+        ).fetchall()
+    ]
+    assert got == want
+
+    page, total = metrics.paginate_donors(wh.read("donors"), {"donor_type": "PAC"})
+    assert total == duck.execute("SELECT COUNT(*) FROM donors WHERE donor_type = 'PAC'").fetchone()[0]
+    assert [r.name for r in page.collect()] == ["LOBSTER PAC"]
+
+    page, total = metrics.paginate_bills(wh.read("bills"), {"congress": 119})
+    assert total == duck.execute("SELECT COUNT(*) FROM bills WHERE congress = 119").fetchone()[0]
+
+    page, total = metrics.paginate_votes(wh.read("votes"), {"vote_position": "Yea"})
+    assert total == duck.execute("SELECT COUNT(*) FROM votes WHERE vote_position = 'Yea'").fetchone()[0]
+
+
+def test_bill_navigation_vs_duckdb(wh, duck):
+    bid = wh.read("bills").collect()[0].bill_id
+    sponsor = metrics.bill_sponsor(wh.read("bills"), wh.read("politicians"), bid).collect()
+    want = duck.execute(
+        f"""SELECT b.official_bill_number, p.first_name || ' ' || p.last_name
+            FROM bills b LEFT JOIN politicians p ON b.sponsor_id = p.politician_id
+            WHERE b.bill_id = {bid}"""
+    ).fetchall()
+    assert [(r.official_bill_number, r.sponsor_name) for r in sponsor] == want
+
+    page, total = metrics.bill_cosponsors(
+        wh.read("bill_cosponsors"), wh.read("politicians"), bid
+    )
+    assert total == duck.execute(
+        f"SELECT COUNT(*) FROM bill_cosponsors WHERE bill_id = {bid}"
+    ).fetchone()[0]
+    got = [(r.cosponsor_name, r.is_original_cosponsor) for r in page.collect()]
+    want = duck.execute(
+        f"""SELECT p.first_name || ' ' || p.last_name, c.is_original_cosponsor
+            FROM bill_cosponsors c JOIN politicians p USING (politician_id)
+            WHERE c.bill_id = {bid} ORDER BY c.politician_id"""
+    ).fetchall()
+    assert got == want
+
+    page, total = metrics.paginate_sponsored_bills(wh.read("bills"), sponsor[0].sponsor_id)
+    assert total == duck.execute(
+        f"SELECT COUNT(*) FROM bills WHERE sponsor_id = {sponsor[0].sponsor_id}"
+    ).fetchone()[0]
+
+    cos_pid = wh.read("bill_cosponsors").collect()[0].politician_id
+    page, total = metrics.paginate_cosponsored_bills(
+        wh.read("bill_cosponsors"), wh.read("bills"), cos_pid, original_only=True
+    )
+    assert total == duck.execute(
+        f"SELECT COUNT(*) FROM bill_cosponsors WHERE politician_id = {cos_pid} AND is_original_cosponsor"
+    ).fetchone()[0]
