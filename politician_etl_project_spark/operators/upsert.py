@@ -76,12 +76,26 @@ class ParquetUpsertTable:
     """A tiny managed-table abstraction over a parquet directory with the
     reference's three write modes: append (S11), upsert (S12/S13 via
     merge_keep), overwrite (S14 TRUNCATE+reload).  Rewrites stage to a
-    temp dir then swap, so readers never see a half-written table."""
+    temp dir then swap, so readers never see a half-written table.
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+    With ``partition_cols`` the table is directory-partitioned and
+    ``upsert`` becomes a Delta-style partition-scoped MERGE: only the
+    partitions containing incoming keys are read (partition-pruned scan,
+    plan-asserted in tests/test_storage.py) and rewritten (dynamic
+    partition overwrite) — at 100 TB an incremental batch touching one
+    congress/day rewrites that slice, not the table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        partition_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.keys = keys
+        self.partition_cols = list(partition_cols or [])
         self._recover()
 
     def _recover(self) -> None:
@@ -100,9 +114,12 @@ class ParquetUpsertTable:
 
     def exists(self) -> bool:
         self._recover()
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        if not os.path.isdir(self.path):
+            return False
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
@@ -117,8 +134,58 @@ class ParquetUpsertTable:
         if not self.exists():
             self._swap_write(df)
             return
+        if self.partition_cols:
+            self._merge_partitions(df, update_wins)
+            return
         merged = merge_keep(self.read(), df, self.keys, update_wins=update_wins)
         self._swap_write(merged)
+
+    def _touched_existing(self, df: DataFrame) -> DataFrame:
+        """The existing rows the MERGE must consider: only partitions the
+        incoming batch touches.  The IN-list lands on partition columns,
+        so the scan prunes directories (PartitionFilters) — the table-size
+        part of the table is never read."""
+        touched = [tuple(r) for r in df.select(*self.partition_cols).distinct().collect()]
+        if not touched:
+            return self.read().filter(F.lit(False))
+        if len(self.partition_cols) == 1:
+            # plain IN-list: folds into the scan's PartitionFilters
+            pred = F.col(self.partition_cols[0]).isin([t[0] for t in touched])
+        else:
+            pred = F.lit(False)
+            for t in touched:
+                conj = F.lit(True)
+                for c, v in zip(self.partition_cols, t):
+                    conj = conj & (F.col(c) == F.lit(v))
+                pred = pred | conj
+        return self.read().filter(pred)
+
+    def _merge_partitions(self, df: DataFrame, update_wins: bool) -> None:
+        """Partition-scoped MERGE: merge incoming with the touched
+        partitions only, stage the merged slice, then dynamic-partition
+        overwrite — untouched partition directories are not rewritten
+        (file-level asserted in tests/test_storage.py).  Commit is
+        per-partition-directory (dynamic overwrite), so a crash can leave
+        a prefix of the touched partitions updated — each directory still
+        complete; re-running the same batch converges (idempotent MERGE)."""
+        merged = merge_keep(
+            self._touched_existing(df), df, self.keys, update_wins=update_wins
+        )
+        staging = tempfile.mkdtemp(prefix="upsert-slice-", dir=os.path.dirname(self.path) or ".")
+        try:
+            # materialize BEFORE overwriting: the merged plan reads the very
+            # files dynamic overwrite will replace
+            merged.write.mode("overwrite").parquet(staging)
+            (
+                self.spark.read.parquet(staging)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_cols)
+                .parquet(self.path)
+            )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        self.spark.catalog.refreshByPath(self.path)
 
     def compact(self, target_files: int = 1) -> int:
         """Small-files maintenance: rewrite the table into `target_files`
@@ -137,7 +204,10 @@ class ParquetUpsertTable:
         simply gone (the old version rmtree'd the live dir first)."""
         staging = tempfile.mkdtemp(prefix="upsert-", dir=os.path.dirname(self.path) or ".")
         try:
-            df.write.mode("overwrite").parquet(staging)
+            writer = df.write.mode("overwrite")
+            if self.partition_cols:
+                writer = writer.partitionBy(*self.partition_cols)
+            writer.parquet(staging)
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise

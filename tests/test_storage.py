@@ -145,3 +145,67 @@ def test_warehouse_bucketized_fact_fact_join_no_exchange(spark, bucketed_wh):
     )
     assert joined.count() == expected
     assert expected > 0
+
+
+def test_partition_scoped_merge(spark, tmp_path):
+    """Delta-style MERGE on a partitioned upsert table: an incremental
+    batch must (1) read only touched partitions (PartitionFilters in the
+    pruned-scan plan), (2) physically rewrite only touched partition
+    directories, (3) stay idempotent."""
+    import contextlib
+    import io
+    import os
+
+    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+
+    path = str(tmp_path / "facts")
+    tbl = ParquetUpsertTable(spark, path, keys=["k"], partition_cols=["congress"])
+    base = spark.createDataFrame(
+        [(1, "a", 118), (2, "b", 118), (3, "c", 119)], "k int, v string, congress int"
+    )
+    tbl.upsert(base)
+
+    def files_of(part):
+        d = os.path.join(path, f"congress={part}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_118, before_119 = files_of(118), files_of(119)
+
+    batch = spark.createDataFrame([(3, "c2", 119), (4, "d", 119)], "k int, v string, congress int")
+    # (1) pruned read: only congress=119 reaches the scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tbl._touched_existing(batch).explain("formatted")
+    plan = buf.getvalue()
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert part_lines and any("congress" in ln for ln in part_lines), plan
+
+    tbl.upsert(batch)
+    # (2) untouched partition untouched on disk; touched partition rewritten
+    assert files_of(118) == before_118
+    assert files_of(119) != before_119
+    got = sorted(tuple(r) for r in tbl.read().select("k", "v", "congress").collect())
+    assert got == [(1, "a", 118), (2, "b", 118), (3, "c2", 119), (4, "d", 119)]
+
+    # (3) idempotent: same batch again converges to the same content
+    tbl.upsert(batch)
+    again = sorted(tuple(r) for r in tbl.read().select("k", "v", "congress").collect())
+    assert again == got
+
+
+def test_partition_scoped_merge_first_wins(spark, tmp_path):
+    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+
+    path = str(tmp_path / "facts_fw")
+    tbl = ParquetUpsertTable(spark, path, keys=["k"], partition_cols=["congress"])
+    tbl.upsert(spark.createDataFrame([(1, "orig", 118)], "k int, v string, congress int"))
+    tbl.upsert(
+        spark.createDataFrame([(1, "new", 118), (2, "x", 118)], "k int, v string, congress int"),
+        update_wins=False,
+    )
+    got = sorted(tuple(r) for r in tbl.read().select("k", "v").collect())
+    assert got == [(1, "orig"), (2, "x")]
