@@ -90,6 +90,8 @@ DRIVER_WINDOW = [
     "q_list_endpoint_page",
     "q_entity_navigation",
     "q_child_roster_page",
+    "q_decontamination",
+    "q_repetition_filter",
 ]
 
 _ORACLE_TABLES = (

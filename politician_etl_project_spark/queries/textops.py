@@ -534,3 +534,113 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("doc_id", F.desc("tfidf_micro"), "term")
     )
+
+
+_DECON_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))"
+)
+
+
+@declared_query(
+    "q_decontamination",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), train_sh AS (
+  SELECT doc_id, unnest({_DECON_SHINGLE_SQL}) AS sh FROM toks WHERE doc_id % 100 <> 0
+), eval_sh AS (
+  SELECT doc_id AS eval_id, unnest({_DECON_SHINGLE_SQL}) AS sh FROM toks WHERE doc_id % 100 = 0
+)
+SELECT t.doc_id,
+       CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs_hit,
+       CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared_shingles
+FROM train_sh t JOIN eval_sh e USING (sh)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    ops=("TXT-decontaminate", "J9", "A2"),
+    doc="Benchmark decontamination — the held-out-overlap check every "
+    "serious LLM training pipeline runs before a dataset ships: flag "
+    "training documents sharing any 8-gram shingle with the eval set "
+    "(here: doc_id %% 100 == 0 as the deterministic stand-in benchmark). "
+    "Shape: explode distinct shingles on both sides, equi-join on the "
+    "shingle, count distinct hit eval docs per training doc. Scale: the "
+    "join shuffles on the shingle value — O(total shingles), never "
+    "pairwise; the eval side is tiny and broadcasts. At 100 TB, hash "
+    "shingles to 64-bit and bloom-filter the train side first (same "
+    "plan, narrower shuffle).",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 100 == 0
+    train_sh = (
+        docs.filter(~is_eval)
+        .select("doc_id", F.explode(shingles("text", 8)).alias("sh"))
+    )
+    eval_sh = (
+        docs.filter(is_eval)
+        .select(F.col("doc_id").alias("eval_id"), F.explode(shingles("text", 8)).alias("sh"))
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+            F.countDistinct("sh").alias("n_shared_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared_query(
+    "q_repetition_filter",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                        i -> concat_ws(' ', t[i], t[i+1])) AS g2
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(g2) AS INTEGER) AS n_2grams,
+       CAST(len(g2) - len(list_distinct(g2)) AS INTEGER) AS n_dup_2grams
+FROM grams
+WHERE len(g2) > 0
+  AND CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) >= 0.05
+ORDER BY doc_id
+""",
+    ops=("TXT-repetition", "TXT-quality"),
+    doc="Repetition-based quality filter (the Gopher/MassiveText "
+    "duplicate-n-gram rule): flag documents whose duplicate-bigram "
+    "fraction exceeds 5%% — boilerplate, keyword stuffing, and decode "
+    "loops all trip it. Counts stay integer (ratio only in the "
+    "predicate, computed identically in both engines) so the oracle "
+    "hash is exact. Narrow per-row map, no shuffle — scales as a scan.",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize tokens then bigrams ONCE each — inlining re-evaluates the
+    # tokenizer per reference (the simhash/minhash CSE lesson)
+    with_g2 = docs.withColumn("_t", tokens()).withColumn(
+        "g2",
+        F.expr(
+            "transform(sequence(1, greatest(size(_t) - 1, 0)), "
+            "i -> concat_ws(' ', _t[i-1], _t[i]))"
+        ),
+    )
+    n2 = F.size("g2")
+    nd2 = F.size(F.array_distinct("g2"))
+    return (
+        with_g2.filter((n2 > 0) & ((n2 - nd2).cast("double") / n2 >= 0.05))
+        .select(
+            "doc_id",
+            n2.cast("int").alias("n_2grams"),
+            (n2 - nd2).cast("int").alias("n_dup_2grams"),
+        )
+        .orderBy("doc_id")
+    )
