@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "q_hash_split",
     "q_sequence_packing",
     "q_curation_funnel",
+    "q_decontamination",
+    "q_repetition_filter",
+    # serving-layer endpoint shape
+    "q_list_endpoint_page",
+    # stored-index ANN probe (partition-pruned)
+    "q_ann_lsh",
     # temporal joins
     "q_asof_join",
     "q_range_join",

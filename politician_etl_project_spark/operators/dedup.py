@@ -41,13 +41,23 @@ def distinct_tokens(col: str = "text") -> Column:
 
 def shingles(col: str = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (no explode — the
-    whole shingle set is built per-row inside codegen)."""
-    toks = f"split(trim({col}), '\\\\s+')"
+    whole shingle set is built per-row inside codegen).
+
+    The tokenizer is BOUND to a lambda variable by transforming a
+    one-element array (``transform(array(split(..)), t -> ...)``): lambda
+    variables evaluate once, so neither the n per-gram references nor
+    Catalyst's filter-pushdown substitution can re-tokenize per element
+    (the inlined form measured ~400 tokenizations per row —
+    n parts × every sequence element × every predicate reference).
+    Docs shorter than n yield an EMPTY set — the naive
+    ``sequence(1, size-n+1)`` is DESCENDING ``[1, 0]`` when size < n and
+    emits junk grams."""
     # i is 1-based over the sequence; array access t[...] is 0-based
-    parts = ", ".join(f"{toks}[i + {j} - 1]" for j in range(n))
+    parts = ", ".join(f"t[i + {j} - 1]" for j in range(n))
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {parts})))"
+        f"array_distinct(flatten(transform(array(split(trim({col}), '\\\\s+')), "
+        f"t -> case when size(t) < {n} then array() "
+        f"else transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {parts})) end)))"
     )
 
 

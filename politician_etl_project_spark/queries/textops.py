@@ -624,15 +624,16 @@ ORDER BY doc_id
 )
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # materialize tokens then bigrams ONCE each — inlining re-evaluates the
-    # tokenizer per reference (the simhash/minhash CSE lesson)
-    with_g2 = docs.withColumn("_t", tokens()).withColumn(
-        "g2",
-        F.expr(
-            "transform(sequence(1, greatest(size(_t) - 1, 0)), "
-            "i -> concat_ws(' ', _t[i-1], _t[i]))"
-        ),
+    # bigrams = 2-gram shingles WITHOUT array_distinct (duplicates are the
+    # signal); bound-variable form so the tokenizer runs once per row even
+    # after Catalyst substitutes the alias into the pushed-down filter
+    # (shingles() docstring — the inlined form re-tokenized per element)
+    g2_expr = F.expr(
+        "flatten(transform(array(split(trim(text), '\\\\s+')), "
+        "t -> case when size(t) < 2 then array() "
+        "else transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i])) end))"
     )
+    with_g2 = docs.select("doc_id", g2_expr.alias("g2"))
     n2 = F.size("g2")
     nd2 = F.size(F.array_distinct("g2"))
     return (

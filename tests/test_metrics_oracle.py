@@ -326,3 +326,22 @@ def test_bill_navigation_vs_duckdb(wh, duck):
     assert total == duck.execute(
         f"SELECT COUNT(*) FROM bill_cosponsors WHERE politician_id = {cos_pid} AND is_original_cosponsor"
     ).fetchone()[0]
+
+
+def test_scope_metrics_semi_joins_broadcast(wh):
+    """Every fact in a scope bundle is reduced by a broadcast LEFT SEMI
+    against the politician id set — the scan-side pushdown that keeps a
+    100 TB fact read politician-pruned (never a sort-merge shuffle of
+    the full fact)."""
+    import contextlib
+    import io
+
+    tables = {n: wh.read(n) for n in wh.KEYS if n != "update_log"}
+    out = metrics.chamber_metrics(tables, "House", congress=119)
+    for frame in ("donations_total", "bills_sponsored", "cosponsored", "votes_by_position"):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out[frame].explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, f"{frame}:\n{plan}"
+        assert "SortMergeJoin" not in plan, f"{frame} shuffles the fact:\n{plan}"

@@ -163,3 +163,12 @@ def test_ann_lsh_index_prunes_partitions(spark, specs):
     part_lines = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
     assert part_lines, f"no PartitionFilters in plan:\n{plan}"
     assert any("bucket" in ln and ("IN" in ln or "in(" in ln.lower()) for ln in part_lines), part_lines
+
+
+def test_decontamination_broadcasts_eval_side(spark, specs):
+    """The benchmark side of the decontamination join is tiny and must
+    broadcast — a sort-merge join here would shuffle the full train-side
+    shingle explosion on the shingle string."""
+    plan = plan_of(spark, specs, "q_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
