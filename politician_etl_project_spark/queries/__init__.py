@@ -136,7 +136,12 @@ def _canonicalize_all(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     out = {}
     for name, spec in specs.items():
         if spec.oracle is not None:
-            out[name] = dataclasses.replace(spec, oracle=_canonicalize_oracle(con, name, spec.oracle))
+            try:
+                out[name] = dataclasses.replace(
+                    spec, oracle=_canonicalize_oracle(con, name, spec.oracle)
+                )
+            except Exception:
+                out[name] = spec  # serve this one raw; the type-guard test flags it
         else:
             out[name] = spec
     con.close()

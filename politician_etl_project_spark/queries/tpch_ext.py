@@ -63,14 +63,16 @@ LIMIT 100
     "joined back on (part, cost).  ADAPTED: the part↔supplier offer "
     "relation is derived from lineitem (no partsupp table in the "
     "testdata); cost = min extendedprice per (part, supplier).  Scale: "
-    "the offers aggregate shares its l_partkey shuffle with the best-cost "
-    "aggregate; region suppliers broadcast (100 rows).",
+    "BOTH selective dims (filtered part ~1/50, European suppliers) "
+    "broadcast-join BELOW the offers aggregation, so the grouping "
+    "shuffle sees only qualifying lineitems instead of the whole fact — "
+    "legal because the min-cost group key (part, supplier) is constant "
+    "under both filters, and 'best' is defined over European offers of "
+    "the filtered parts only.  The best-cost aggregate then reuses the "
+    "same tiny frame.",
 )
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(money("l_extendedprice")).alias("cost")
-    )
     eur = F.broadcast(
         load_table(spark, sf_dir, "supplier")
         .join(F.broadcast(load_table(spark, sf_dir, "nation")),
@@ -80,17 +82,25 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", money("s_acctbal").alias("s_acctbal"), "n_name")
     )
-    eur_offers = offers.join(eur, offers.l_suppkey == eur.s_suppkey)
-    best = eur_offers.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
     part = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(
-            (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
-        )
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
     )
-    return (
-        eur_offers.join(best, "l_partkey")
-        .filter(F.col("cost") == F.col("min_cost"))
+    qualifying = (
+        li.select("l_partkey", "l_suppkey", money("l_extendedprice").alias("price"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    # l_suppkey stays in the group key: the (part, supplier) offer grain
+    # must not merge suppliers that happen to share display attributes
+    offers = qualifying.groupBy(
+        "p_partkey", "p_name", "l_suppkey", "s_name", "s_acctbal", "n_name"
+    ).agg(F.min("price").alias("cost"))
+    best = offers.groupBy("p_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        offers.join(best, "p_partkey")
+        .filter(F.col("cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
