@@ -39,9 +39,10 @@ def distinct_tokens(col: str = "text") -> Column:
     return F.array_distinct(tokens(col))
 
 
-def shingles(col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (no explode — the
-    whole shingle set is built per-row inside codegen).
+def shingles(col: str = "text", n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles as an array column (no explode — the whole
+    shingle set is built per-row inside codegen).  ``distinct=False``
+    keeps duplicate grams (repetition analysis wants them as the signal).
 
     The tokenizer is BOUND to a lambda variable by transforming a
     one-element array (``transform(array(split(..)), t -> ...)``): lambda
@@ -54,11 +55,12 @@ def shingles(col: str = "text", n: int = 3) -> Column:
     emits junk grams."""
     # i is 1-based over the sequence; array access t[...] is 0-based
     parts = ", ".join(f"t[i + {j} - 1]" for j in range(n))
-    return F.expr(
-        f"array_distinct(flatten(transform(array(split(trim({col}), '\\\\s+')), "
+    grams = (
+        f"flatten(transform(array(split(trim({col}), '\\\\s+')), "
         f"t -> case when size(t) < {n} then array() "
-        f"else transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {parts})) end)))"
+        f"else transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {parts})) end))"
     )
+    return F.expr(f"array_distinct({grams})" if distinct else grams)
 
 
 # --- exact dedup -----------------------------------------------------------

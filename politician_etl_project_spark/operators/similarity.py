@@ -151,13 +151,19 @@ def ann_lsh_indexed(
     IN-list on the partition column prunes non-probed directories at
     planning time.  Same results as :func:`ann_lsh` (identical plane
     family and probe set), different I/O shape."""
-    qb = (
+    qrow = (
         query_vec.withColumn("qbucket", hyperplane_bits("q", n_planes, dim))
         .select("qbucket")
-        .first()["qbucket"]
+        .first()
     )
-    probes = [qb] + ([qb ^ (1 << p) for p in range(n_planes)] if multiprobe else [])
-    idx = spark.read.parquet(index_path).filter(F.col("bucket").isin(probes))
+    if qrow is None:  # empty query: empty top-k, same as ann_lsh
+        probes: list[int] = []
+    else:
+        qb = qrow["qbucket"]
+        probes = [qb] + ([qb ^ (1 << p) for p in range(n_planes)] if multiprobe else [])
+    idx = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(probes) if probes else F.lit(False)
+    )
     return (
         idx.crossJoin(F.broadcast(query_vec))
         .select(F.col(id_col), F.round(cosine(vec_col, "q"), 4).alias("score"))
@@ -230,7 +236,10 @@ def ivf_train_assign(
     in a single pass.
     """
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        row = emb.select(vec_col).first()
+        # empty input (or null first vector): dim 0 → empty centroids →
+        # empty assignment, matching the pre-inference behavior
+        dim = 0 if row is None or row[0] is None else len(row[0])
     centroids = (
         emb.orderBy(id_col)
         .limit(n_clusters)

@@ -59,8 +59,10 @@ def dedup_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """Deterministic one-row-per-key: row_number ordered by all value
     columns.  The first-load analog of ``merge_keep`` — NEVER
     ``dropDuplicates``, whose survivor is partition-order dependent, so
-    the initial warehouse content would vary across runs/clusters."""
-    value_cols = [c for c in df.columns if c not in keys]
+    the initial warehouse content would vary across runs/clusters.
+    A pure key tuple (no value columns) orders by the keys themselves —
+    duplicate rows are then identical, so any survivor is the same row."""
+    value_cols = [c for c in df.columns if c not in keys] or list(keys)
     w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in value_cols])
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
@@ -96,6 +98,20 @@ class ParquetUpsertTable:
         self.path = path
         self.keys = keys
         self.partition_cols = list(partition_cols or [])
+        # The partition-scoped MERGE reads only partitions the batch
+        # touches, so a merge key must never move between partitions —
+        # otherwise the same key could live in a touched AND an untouched
+        # partition and the rewrite would duplicate it.  Requiring
+        # partition_cols ⊆ keys makes that impossible by construction
+        # (the partition value is part of the key identity) — the same
+        # contract Delta users follow to get partition-pruned MERGEs.
+        stray = [c for c in self.partition_cols if c not in keys]
+        if stray:
+            raise ValueError(
+                f"partition_cols must be a subset of keys (got extra {stray}): "
+                "a key changing partitions would silently duplicate under "
+                "partition-scoped MERGE"
+            )
         self._recover()
 
     def _recover(self) -> None:
@@ -148,15 +164,17 @@ class ParquetUpsertTable:
         touched = [tuple(r) for r in df.select(*self.partition_cols).distinct().collect()]
         if not touched:
             return self.read().filter(F.lit(False))
-        if len(self.partition_cols) == 1:
+        if len(self.partition_cols) == 1 and not any(t[0] is None for t in touched):
             # plain IN-list: folds into the scan's PartitionFilters
             pred = F.col(self.partition_cols[0]).isin([t[0] for t in touched])
         else:
+            # null-safe conjunctions: a NULL partition value must still
+            # select its __HIVE_DEFAULT_PARTITION__ directory
             pred = F.lit(False)
             for t in touched:
                 conj = F.lit(True)
                 for c, v in zip(self.partition_cols, t):
-                    conj = conj & (F.col(c) == F.lit(v))
+                    conj = conj & F.col(c).eqNullSafe(F.lit(v))
                 pred = pred | conj
         return self.read().filter(pred)
 
@@ -189,10 +207,16 @@ class ParquetUpsertTable:
 
     def compact(self, target_files: int = 1) -> int:
         """Small-files maintenance: rewrite the table into `target_files`
-        parquet files (incremental appends leave one file per batch —
-        S11 — and scan planning degrades with file count at scale).
-        Returns the file count before compaction."""
-        before = sum(1 for f in os.listdir(self.path) if f.endswith(".parquet"))
+        parquet files per partition (incremental appends leave one file
+        per batch — S11 — and scan planning degrades with file count at
+        scale).  Returns the file count before compaction (recursive —
+        partitioned tables keep their files under partition dirs)."""
+        before = sum(
+            1
+            for _root, _dirs, files in os.walk(self.path)
+            for f in files
+            if f.endswith(".parquet")
+        )
         self._swap_write(self.read().coalesce(target_files))
         return before
 

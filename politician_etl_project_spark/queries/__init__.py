@@ -123,29 +123,39 @@ def _canonicalize_oracle(con, name: str, sql: str) -> str:
     return f"SELECT * REPLACE ({', '.join(replaces)}) FROM (\n{sql}\n) __canon"
 
 
-def _canonicalize_all(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+def _canonicalize_all(specs: dict[str, QuerySpec]) -> dict[str, QuerySpec] | None:
+    """Returns None when the DuckDB/testdata setup is unavailable so the
+    caller can retry later instead of caching raw, driver-hazardous
+    oracles for the whole session."""
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SCHEMA_DIR", "/root/testdata/sf0.001")
     try:
         import duckdb
 
         con = duckdb.connect()
-        for t in _ORACLE_TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     except Exception:
-        return specs  # no testdata/duckdb here: serve raw oracles
-    out = {}
-    for name, spec in specs.items():
-        if spec.oracle is not None:
-            try:
-                out[name] = dataclasses.replace(
-                    spec, oracle=_canonicalize_oracle(con, name, spec.oracle)
+        return None
+    try:
+        try:
+            for t in _ORACLE_TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
                 )
-            except Exception:
-                out[name] = spec  # serve this one raw; the type-guard test flags it
-        else:
-            out[name] = spec
-    con.close()
-    return out
+        except Exception:
+            return None
+        out = {}
+        for name, spec in specs.items():
+            if spec.oracle is not None:
+                try:
+                    out[name] = dataclasses.replace(
+                        spec, oracle=_canonicalize_oracle(con, name, spec.oracle)
+                    )
+                except Exception:
+                    out[name] = spec  # serve this one raw; the type-guard test flags it
+            else:
+                out[name] = spec
+        return out
+    finally:
+        con.close()
 
 
 _CANON_CACHE: dict[str, QuerySpec] | None = None
@@ -175,7 +185,13 @@ def load_all() -> dict[str, QuerySpec]:
             raise RuntimeError(f"DRIVER_WINDOW names not in registry: {missing}")
         ordered = {n: REGISTRY[n] for n in DRIVER_WINDOW}
         ordered.update({n: s for n, s in REGISTRY.items() if n not in ordered})
-        _CANON_CACHE = _canonicalize_all(ordered)
+        canon = _canonicalize_all(ordered)
+        if canon is None:
+            # setup unavailable (no duckdb/testdata yet): serve raw this
+            # time and RETRY on the next call rather than pinning
+            # un-canonicalized oracles for the session
+            return ordered
+        _CANON_CACHE = canon
     return dict(_CANON_CACHE)
 
 

@@ -265,49 +265,57 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("toks", F.array_distinct(tokens()))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    exact.count()
+    try:
+        exact.count()
 
-    pairs = lsh_candidate_pairs(
-        exact, "doc_id", "text", n_hashes=4, rows_per_band=2, max_bucket=32, tokens_col="toks"
-    )
-    toks_a = exact.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
-    toks_b = exact.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
-    drops = (
-        pairs.join(toks_a, "id_a")
-        .join(toks_b, "id_b")
-        .filter(jaccard("ta", "tb") >= 0.80)
-        .select("id_b")
-        .distinct()
-    )
-    final = exact.join(drops, exact.doc_id == drops.id_b, "left_anti").select("doc_id")
-
-    # Stages 4 and 5 in ONE aggregation: rollup over the split label gives
-    # the per-split rows (5_train/5_val/5_test) plus the grand-total row
-    # (4_near_dedup) without re-running the LSH pipeline for a separate
-    # total count.
-    bucket = F.expr(_SPARK_HASH) % 100
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    s45 = (
-        final.withColumn("_split", split)
-        .rollup("_split")
-        .agg(F.count("*").alias("n_docs"))
-        .select(
-            F.when(F.col("_split").isNull(), F.lit("4_near_dedup"))
-            .otherwise(F.concat(F.lit("5_"), F.col("_split")))
-            .alias("stage"),
-            "n_docs",
+        pairs = lsh_candidate_pairs(
+            exact, "doc_id", "text", n_hashes=4, rows_per_band=2, max_bucket=32, tokens_col="toks"
         )
-    )
-    stages = [
-        docs.agg(F.lit("1_raw").alias("stage"), F.count("*").alias("n_docs")),
-        quality.agg(F.lit("2_quality").alias("stage"), F.count("*").alias("n_docs")),
-        exact.agg(F.lit("3_exact_dedup").alias("stage"), F.count("*").alias("n_docs")),
-        s45,
-    ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("stage")
+        toks_a = exact.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+        toks_b = exact.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+        drops = (
+            pairs.join(toks_a, "id_a")
+            .join(toks_b, "id_b")
+            .filter(jaccard("ta", "tb") >= 0.80)
+            .select("id_b")
+            .distinct()
+        )
+        final = exact.join(drops, exact.doc_id == drops.id_b, "left_anti").select("doc_id")
+
+        # Stages 4 and 5 in ONE aggregation: rollup over the split label
+        # gives the per-split rows (5_train/5_val/5_test) plus the
+        # grand-total row (4_near_dedup) without re-running the LSH
+        # pipeline for a separate total count.
+        bucket = F.expr(_SPARK_HASH) % 100
+        split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        s45 = (
+            final.withColumn("_split", split)
+            .rollup("_split")
+            .agg(F.count("*").alias("n_docs"))
+            .select(
+                F.when(F.col("_split").isNull(), F.lit("4_near_dedup"))
+                .otherwise(F.concat(F.lit("5_"), F.col("_split")))
+                .alias("stage"),
+                "n_docs",
+            )
+        )
+        stages = [
+            docs.agg(F.lit("1_raw").alias("stage"), F.count("*").alias("n_docs")),
+            quality.agg(F.lit("2_quality").alias("stage"), F.count("*").alias("n_docs")),
+            exact.agg(F.lit("3_exact_dedup").alias("stage"), F.count("*").alias("n_docs")),
+            s45,
+        ]
+        out = stages[0]
+        for s in stages[1:]:
+            out = out.unionByName(s)
+        # Collect the seven report rows NOW so the cached frame can be
+        # released — returning the lazy plan would leak the persisted
+        # blocks into the caller's session (they'd re-materialize on every
+        # downstream action anyway, since the cache would be gone).
+        rows = out.orderBy("stage").collect()
+    finally:
+        exact.unpersist()
+    return spark.createDataFrame(rows, "stage string, n_docs bigint").orderBy("stage")
 
 
 @declared_query(

@@ -623,17 +623,12 @@ ORDER BY doc_id
     "hash is exact. Narrow per-row map, no shuffle — scales as a scan.",
 )
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    # bigrams = 2-gram shingles WITHOUT array_distinct (duplicates are the
-    # signal); bound-variable form so the tokenizer runs once per row even
-    # after Catalyst substitutes the alias into the pushed-down filter
-    # (shingles() docstring — the inlined form re-tokenized per element)
-    g2_expr = F.expr(
-        "flatten(transform(array(split(trim(text), '\\\\s+')), "
-        "t -> case when size(t) < 2 then array() "
-        "else transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i])) end))"
-    )
-    with_g2 = docs.select("doc_id", g2_expr.alias("g2"))
+    # bigrams keep duplicates — they ARE the signal; shingles() owns the
+    # lambda-binding tokenize-once form (see its docstring)
+    with_g2 = docs.select("doc_id", shingles("text", 2, distinct=False).alias("g2"))
     n2 = F.size("g2")
     nd2 = F.size(F.array_distinct("g2"))
     return (

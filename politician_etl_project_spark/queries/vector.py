@@ -180,18 +180,34 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bump when hyperplane_bits' plane family changes — cached indexes built
+# with the old family must not be probed with the new one
+_LSH_FAMILY_VERSION = 1
+
+
 def _lsh_index_path(spark: SparkSession, sf_dir: str, n_planes: int, dim: int) -> str:
     """Build-once stored LSH index for a given corpus: parquet
     partitioned by the hyperplane bucket (see build_lsh_index).  Built
     atomically (staging + rename) so concurrent queries never read a
-    half-written index; testdata is immutable so no invalidation."""
+    half-written index.  The cache key fingerprints the source file
+    (size + mtime) and the plane-family version, so a regenerated corpus
+    or a changed hash family rebuilds instead of silently serving stale
+    buckets."""
     import hashlib
     import os
     import tempfile
 
     from politician_etl_project_spark.operators.similarity import build_lsh_index
 
-    key = hashlib.md5(f"{sf_dir}|{n_planes}|{dim}".encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "unknown"
+    key = hashlib.md5(
+        f"{sf_dir}|{n_planes}|{dim}|{fp}|v{_LSH_FAMILY_VERSION}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_lsh_{key}")
     if not os.path.isdir(path):
         staging = f"{path}.building-{os.getpid()}"

@@ -159,7 +159,7 @@ def test_partition_scoped_merge(spark, tmp_path):
     from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
 
     path = str(tmp_path / "facts")
-    tbl = ParquetUpsertTable(spark, path, keys=["k"], partition_cols=["congress"])
+    tbl = ParquetUpsertTable(spark, path, keys=["k", "congress"], partition_cols=["congress"])
     base = spark.createDataFrame(
         [(1, "a", 118), (2, "b", 118), (3, "c", 119)], "k int, v string, congress int"
     )
@@ -201,7 +201,7 @@ def test_partition_scoped_merge_first_wins(spark, tmp_path):
     from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
 
     path = str(tmp_path / "facts_fw")
-    tbl = ParquetUpsertTable(spark, path, keys=["k"], partition_cols=["congress"])
+    tbl = ParquetUpsertTable(spark, path, keys=["k", "congress"], partition_cols=["congress"])
     tbl.upsert(spark.createDataFrame([(1, "orig", 118)], "k int, v string, congress int"))
     tbl.upsert(
         spark.createDataFrame([(1, "new", 118), (2, "x", 118)], "k int, v string, congress int"),
@@ -209,3 +209,28 @@ def test_partition_scoped_merge_first_wins(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in tbl.read().select("k", "v").collect())
     assert got == [(1, "orig"), (2, "x")]
+
+
+def test_partition_cols_must_be_subset_of_keys(spark, tmp_path):
+    """A merge key that could change partitions would silently duplicate
+    under partition-scoped MERGE — rejected at construction."""
+    import pytest as _pytest
+
+    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+
+    with _pytest.raises(ValueError, match="subset of keys"):
+        ParquetUpsertTable(spark, str(tmp_path / "bad"), keys=["k"], partition_cols=["congress"])
+
+
+def test_compact_counts_partitioned_files(spark, tmp_path):
+    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+
+    path = str(tmp_path / "pc")
+    tbl = ParquetUpsertTable(spark, path, keys=["k", "congress"], partition_cols=["congress"])
+    tbl.upsert(spark.createDataFrame([(1, 118), (2, 119)], "k int, congress int").repartition(2))
+    before = tbl.compact()
+    assert before >= 2  # counted the files under partition dirs, not 0
+    assert sorted(tuple(r) for r in tbl.read().select("k", "congress").collect()) == [
+        (1, 118),
+        (2, 119),
+    ]
