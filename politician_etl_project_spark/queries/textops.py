@@ -17,7 +17,6 @@ from politician_etl_project_spark.operators.dedup import (
     fingerprint,
     hamming16,
     jaccard,
-    minhash_signature,
     simhash16_from_hashes,
     token_hashes,
     tokens,
@@ -178,8 +177,16 @@ ORDER BY doc_id
     "expression — scales as a narrow map, no shuffle.",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import minhash_signature_from
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *minhash_signature("text", 4)).orderBy("doc_id")
+    # tokenize once, then derive the 4 hash families from the array column
+    # (minhash_signature would inline the tokenizer per family)
+    return (
+        docs.withColumn("_toks", F.array_distinct(tokens()))
+        .select("doc_id", *minhash_signature_from("_toks", 4))
+        .orderBy("doc_id")
+    )
 
 
 _NEAR_DUP_ORACLE = f"""
