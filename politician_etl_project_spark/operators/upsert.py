@@ -148,7 +148,11 @@ class ParquetUpsertTable:
 
     def upsert(self, df: DataFrame, update_wins: bool = True) -> None:
         if not self.exists():
-            self._swap_write(df)
+            # enforce one-row-per-key from the FIRST write: in-batch
+            # duplicate keys written raw would survive forever under
+            # partition-scoped MERGE (later batches never re-read
+            # untouched partitions to heal them — hypothesis-caught)
+            self._swap_write(dedup_keys(df, self.keys))
             return
         if self.partition_cols:
             self._merge_partitions(df, update_wins)

@@ -196,3 +196,44 @@ def test_range_join_matches_naive(spark, left, right, width):
         if u == u2 and s2 > s and s2 <= s + width
     }
     assert got == naive
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4),   # key within partition
+                st.integers(min_value=118, max_value=120),  # partition value (part of key)
+                st.integers(min_value=-50, max_value=50),   # payload
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    update_wins=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_partition_scoped_merge_equals_full_merge(spark, tmp_path_factory, batches, update_wins):
+    """Applying the same upsert batches to a partitioned table (touched-
+    partition MERGE) and an unpartitioned one (full-table MERGE) must
+    converge to identical content — partition-scoping is a physical
+    optimization, never a semantic one."""
+    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+
+    root = tmp_path_factory.mktemp("pmerge")
+    part_tbl = ParquetUpsertTable(
+        spark, str(root / "p"), keys=["k", "congress"], partition_cols=["congress"]
+    )
+    flat_tbl = ParquetUpsertTable(spark, str(root / "f"), keys=["k", "congress"])
+    for batch in batches:
+        if not batch:
+            continue
+        df = spark.createDataFrame(batch, "k int, congress int, v int")
+        part_tbl.upsert(df, update_wins=update_wins)
+        flat_tbl.upsert(df, update_wins=update_wins)
+    if part_tbl.exists() or flat_tbl.exists():
+        got = sorted(tuple(r) for r in part_tbl.read().select("k", "congress", "v").collect())
+        want = sorted(tuple(r) for r in flat_tbl.read().select("k", "congress", "v").collect())
+        assert got == want

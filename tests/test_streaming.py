@@ -228,3 +228,68 @@ def test_interval_join_stream_matches_batch(spark, staged_events, tmp_path):
     actual = {(r["v_id"], r["p_id"]) for r in got.collect()}
     assert expected  # fixture must produce at least one pair
     assert actual == expected
+
+
+def test_foreachbatch_merge_into_partitioned_table(spark, tmp_path):
+    """T5 + partition-scoped MERGE: a file-source stream upserts each
+    micro-batch into a partitioned warehouse table; late re-deliveries of
+    the same key converge (idempotent), untouched partitions stay
+    physically untouched."""
+    import json
+    import os
+
+    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 1, "congress": 118, "v": 10},
+                {"k": 2, "congress": 119, "v": 20},
+            ]
+        )
+    )
+    tbl = ParquetUpsertTable(
+        spark, str(tmp_path / "tbl"), keys=["k", "congress"], partition_cols=["congress"]
+    )
+    stream = (
+        spark.readStream.schema("k int, congress int, v int")
+        .json(str(src))
+    )
+
+    def sink(batch_df, batch_id):
+        tbl.upsert(batch_df, update_wins=True)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = sorted(tuple(r) for r in tbl.read().select("k", "congress", "v").collect())
+    assert first == [(1, 118, 10), (2, 119, 20)]
+
+    files_118 = set(os.listdir(str(tmp_path / "tbl" / "congress=118")))
+    # second delivery: update k=2 (congress=119) and add k=3 there
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 2, "congress": 119, "v": 21},
+                {"k": 3, "congress": 119, "v": 30},
+            ]
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in tbl.read().select("k", "congress", "v").collect())
+    assert got == [(1, 118, 10), (2, 119, 21), (3, 119, 30)]
+    assert set(os.listdir(str(tmp_path / "tbl" / "congress=118"))) == files_118
