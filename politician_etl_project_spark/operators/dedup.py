@@ -120,6 +120,8 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     max_bucket: int | None = None,
     tokens_col: str | None = None,
+    carry_cols: list[str] | None = None,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: sign, band, bucket-join.
 
@@ -130,12 +132,28 @@ def lsh_candidate_pairs(
     ``tokens_col``: name of a pre-materialized distinct-token array
     column (e.g. cached upstream and shared with the Jaccard verify) —
     skips tokenization entirely.  Otherwise the text is tokenized ONCE
-    into a temp column before the per-hash transforms."""
+    into a temp column before the per-hash transforms.
+
+    ``carry_cols``: payload columns carried THROUGH the band shuffle and
+    emitted per-pair as ``<c>_a`` / ``<c>_b`` — a downstream verify
+    (e.g. exact Jaccard on token sets) then needs no join-back to the
+    corpus.  Tradeoff at scale: the band shuffle rows get fatter by the
+    payload (× n_bands), but two whole shuffle joins disappear; right
+    for kilobyte payloads (token arrays), wrong for raw documents —
+    leave it None there and join the verify columns back by id.
+
+    ``distinct_pairs=False`` skips the cross-band pair dedup exchange —
+    correct whenever the consumer aggregates per-id anyway (e.g. "drop
+    the larger id of any verified pair"): verifying a duplicate pair
+    twice is cheaper than a full shuffle of all pairs."""
+    carry = list(carry_cols or [])
     if tokens_col is not None:
-        sigs = df.select(F.col(id_col), *minhash_signature_from(tokens_col, n_hashes))
+        sigs = df.select(
+            F.col(id_col), *[F.col(c) for c in carry], *minhash_signature_from(tokens_col, n_hashes)
+        )
     else:
         sigs = df.withColumn("_toks", distinct_tokens(col)).select(
-            F.col(id_col), *minhash_signature_from("_toks", n_hashes)
+            F.col(id_col), *[F.col(c) for c in carry], *minhash_signature_from("_toks", n_hashes)
         )
     n_bands = n_hashes // rows_per_band
     # One projection + posexplode: signatures are computed once per doc and
@@ -151,7 +169,9 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    bands = sigs.select(F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key"))
+    bands = sigs.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.posexplode(band_keys).alias("band_id", "band_key")
+    )
     if max_bucket is not None:
         # skew guard: a band key shared by m docs yields m^2/2 candidate
         # pairs — cap pathological buckets (near-identical boilerplate
@@ -167,15 +187,88 @@ def lsh_candidate_pairs(
         )
     left = bands.alias("l")
     right = bands.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    out = left.join(
+        right,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        *[F.col(f"l.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"r.{c}").alias(f"{c}_b") for c in carry],
+    )
+    return out.distinct() if distinct_pairs else out
+
+
+def lsh_bucket_drops(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 32,
+    tokens_col: str = "toks",
+    min_jaccard: float = 0.80,
+) -> DataFrame:
+    """Near-dup DROP ids (the larger id of each verified pair) in ONE
+    shuffle: sign → band-explode → exchange on (band_id, band_key) →
+    [window skew-cap → bucket collect → in-row pair enumeration +
+    Jaccard verify] all in a single stage.
+
+    The self-join form (:func:`lsh_candidate_pairs` + verify) shuffles
+    three more times (join build, pair distinct, verify join-back); here
+    each bucket's ≤``max_bucket`` members are collected into an array —
+    bounded, because the row_number cap runs FIRST — and the i<j pairs
+    are enumerated by nested ``transform``/``filter`` lambdas inside
+    whole-stage codegen.  The groupBy key equals the window partition
+    key, so both run off one exchange.  Emits one ``id_b`` row per
+    (bucket, qualifying pair); callers ``distinct()`` it.
+
+    Use :func:`lsh_candidate_pairs` instead when the verified PAIRS
+    themselves are the product (near-dup reporting) or when the payload
+    is too fat to carry through the shuffle."""
+    from pyspark.sql import Window as _W
+
+    sigs = df.select(
+        F.col(id_col), F.col(tokens_col), *minhash_signature_from(tokens_col, n_hashes)
+    )
+    n_bands = n_hashes // rows_per_band
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"sig{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        F.col(id_col), F.col(tokens_col), F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    w = _W.partitionBy("band_id", "band_key").orderBy(F.asc(id_col))
+    capped = (
+        bands.withColumn("_bn", F.row_number().over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    # array_sort on struct orders by doc_id (first field; unique, so the
+    # token array never participates in the comparison) — the i<j pair
+    # order is deterministic regardless of collect_list arrival order
+    buckets = capped.groupBy("band_id", "band_key").agg(
+        F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(tokens_col).alias("t")))).alias("m")
+    )
+    m = F.col("m")
+
+    def _pair_drops(x, i):
+        rest = F.slice(m, i + F.lit(2), F.size(m))
+        return F.transform(
+            F.filter(rest, lambda y: jaccard(x["t"], y["t"]) >= min_jaccard),
+            lambda y: y["id"],
         )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+
+    return buckets.select(
+        F.explode(F.flatten(F.transform(m, _pair_drops))).alias("id_b")
     )
 
 

@@ -231,90 +231,102 @@ ORDER BY stage
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from politician_etl_project_spark.operators.dedup import (
         fingerprint,
-        jaccard,
-        lsh_candidate_pairs,
+        lsh_bucket_drops,
     )
 
     from pyspark import StorageLevel
 
+    # TWO Spark jobs total (was five): with ~10 shuffle stages the wall
+    # time of this 7-row report is pure stage-scheduling overhead, so the
+    # design goal is minimum job/stage count at identical semantics.
+    #
+    # Job 1 — one cached pass over the corpus computes stage counts 1-3
+    # as conditional aggregates: quality is a flag (not a separate
+    # filtered frame), the exact-dedup keeper is a row_number over
+    # (quality, fingerprint) — non-quality rows can never be keepers
+    # because the keeper predicate requires the flag.  The agg action
+    # doubles as the cache materialization, so downstream branches read
+    # the cache instead of racing to populate it (measured round 1: a
+    # lazy persist under concurrent union branches recomputed the full
+    # lineage per branch).
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(tokens())
     stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and)\b"))
-    quality = docs.filter(
-        (n_tokens >= 30)
-        & (stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.02)
-    ).select("doc_id", "text")
-
-    # `exact` fans out to FOUR downstream consumers (LSH band input,
-    # toks_a, toks_b, survivor base).  Catalyst does not share common
-    # subplans across join/union branches, and a lazy persist() doesn't
-    # help either: the branches run as concurrent stages inside the one
-    # union job and RACE to populate the cache, each recomputing the
-    # scan→filter→fingerprint-window lineage (measured: lazy persist was
-    # as slow as no persist).  Materializing ONCE up front (count()) makes
-    # every branch a cache read.  MEMORY_AND_DISK so a corpus-sized frame
-    # spills instead of OOMing; a 100 TB run would checkpoint this stage
-    # boundary to the lake, same idea.
-    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
-    exact = (
-        quality.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        # tokenize ONCE into the cached frame: the token array feeds the
-        # minhash signatures AND both sides of the Jaccard verify
-        .withColumn("toks", F.array_distinct(tokens()))
+    is_q = (n_tokens >= 30) & (
+        stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.02
+    )
+    bucket = F.expr(_SPARK_HASH) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    w = Window.partitionBy("_q", "_fp").orderBy("doc_id")
+    # The cache holds exactly what job 2 re-reads: flags + the keeper's
+    # distinct-token array (tokenized once, here; NULL for non-keepers so
+    # the cached frame stays lean).
+    base = (
+        docs.select("doc_id", "text", is_q.alias("_q"), fingerprint("text").alias("_fp"))
+        .withColumn("_keeper", F.col("_q") & (F.row_number().over(w) == 1))
+        .select(
+            "doc_id",
+            "_q",
+            "_keeper",
+            split.alias("_split"),
+            F.when(F.col("_keeper"), F.array_distinct(tokens())).alias("toks"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        exact.count()
+        k = F.col("_keeper").cast("bigint")
+        n_raw, n_quality, n_exact, k_train, k_val, k_test = base.agg(
+            F.count("*"),
+            F.sum(F.col("_q").cast("bigint")),
+            F.sum(k),
+            F.sum(F.when(F.col("_split") == "train", k).otherwise(F.lit(0))),
+            F.sum(F.when(F.col("_split") == "val", k).otherwise(F.lit(0))),
+            F.sum(F.when(F.col("_split") == "test", k).otherwise(F.lit(0))),
+        ).first()
 
-        pairs = lsh_candidate_pairs(
-            exact, "doc_id", "text", n_hashes=4, rows_per_band=2, max_bucket=32, tokens_col="toks"
+        # Job 2 — ONLY the near-dup drop chain.  The survivors' counts
+        # are never computed by anti-join: stage 4/5 numbers are the
+        # keeper counts minus the per-split distinct drop counts (the
+        # split label is a pure function of doc_id, so subtraction per
+        # label is exact).  rollup(split) + count_distinct(id_b) yields
+        # the per-split and total drop counts in one aggregate, and the
+        # whole chain is two exchanges: the band shuffle, then the tiny
+        # split-key rollup.
+        exact = base.filter("_keeper").select("doc_id", "toks", "_split")
+        drops = lsh_bucket_drops(
+            exact,
+            "doc_id",
+            n_hashes=4,
+            rows_per_band=2,
+            max_bucket=32,
+            tokens_col="toks",
+            min_jaccard=0.80,
         )
-        toks_a = exact.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
-        toks_b = exact.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
-        drops = (
-            pairs.join(toks_a, "id_a")
-            .join(toks_b, "id_b")
-            .filter(jaccard("ta", "tb") >= 0.80)
-            .select("id_b")
-            .distinct()
-        )
-        final = exact.join(drops, exact.doc_id == drops.id_b, "left_anti").select("doc_id")
-
-        # Stages 4 and 5 in ONE aggregation: rollup over the split label
-        # gives the per-split rows (5_train/5_val/5_test) plus the
-        # grand-total row (4_near_dedup) without re-running the LSH
-        # pipeline for a separate total count.
-        bucket = F.expr(_SPARK_HASH) % 100
-        split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-        s45 = (
-            final.withColumn("_split", split)
-            .rollup("_split")
-            .agg(F.count("*").alias("n_docs"))
-            .select(
-                F.when(F.col("_split").isNull(), F.lit("4_near_dedup"))
-                .otherwise(F.concat(F.lit("5_"), F.col("_split")))
-                .alias("stage"),
-                "n_docs",
+        drop_counts = {
+            r["_split"]: r["n"]
+            for r in drops.select(
+                F.col("id_b").alias("doc_id")
             )
-        )
-        stages = [
-            docs.agg(F.lit("1_raw").alias("stage"), F.count("*").alias("n_docs")),
-            quality.agg(F.lit("2_quality").alias("stage"), F.count("*").alias("n_docs")),
-            exact.agg(F.lit("3_exact_dedup").alias("stage"), F.count("*").alias("n_docs")),
-            s45,
+            .withColumn("_split", split)
+            .rollup("_split")
+            .agg(F.count_distinct("doc_id").alias("n"))
+            .collect()
+        }
+        d_total = drop_counts.get(None, 0)
+        rows = [
+            ("1_raw", n_raw),
+            ("2_quality", n_quality),
+            ("3_exact_dedup", n_exact),
+            ("4_near_dedup", n_exact - d_total),
         ]
-        out = stages[0]
-        for s in stages[1:]:
-            out = out.unionByName(s)
-        # Collect the seven report rows NOW so the cached frame can be
-        # released — returning the lazy plan would leak the persisted
-        # blocks into the caller's session (they'd re-materialize on every
-        # downstream action anyway, since the cache would be gone).
-        rows = out.orderBy("stage").collect()
+        # the oracle's GROUP BY emits a split row only when the split is
+        # non-empty — mirror that (matters at tiny scale factors)
+        for name, keepers in (("train", k_train), ("val", k_val), ("test", k_test)):
+            n = keepers - drop_counts.get(name, 0)
+            if n > 0:
+                rows.append((f"5_{name}", n))
     finally:
-        exact.unpersist()
+        base.unpersist()
     return spark.createDataFrame(rows, "stage string, n_docs bigint").orderBy("stage")
 
 

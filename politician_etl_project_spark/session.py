@@ -31,6 +31,19 @@ def get_spark(app_name: str = "politician-etl-spark") -> SparkSession:
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Default parallelismFirst=true coalesces only to minPartitionSize
+        # (1 MiB), so every reduce stage still schedules a full wave of
+        # tasks over kilobytes of shuffle data — pure scheduling overhead
+        # when query latency is the target (most reduce work here is an
+        # aggregation merge; map-side parallelism comes from input splits
+        # and is unaffected).  Target the advisory size instead, sized so
+        # medium shuffles (windowed sorts over the fact table) still fan
+        # out across a few cores.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
