@@ -201,7 +201,7 @@ def lsh_candidate_pairs(
     return out.distinct() if distinct_pairs else out
 
 
-def lsh_bucket_drops(
+def lsh_bucket_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 4,
@@ -210,10 +210,13 @@ def lsh_bucket_drops(
     tokens_col: str = "toks",
     min_jaccard: float = 0.80,
 ) -> DataFrame:
-    """Near-dup DROP ids (the larger id of each verified pair) in ONE
-    shuffle: sign → band-explode → exchange on (band_id, band_key) →
-    [window skew-cap → bucket collect → in-row pair enumeration +
-    Jaccard verify] all in a single stage.
+    """Jaccard-verified near-dup pairs in ONE shuffle: sign →
+    band-explode → exchange on (band_id, band_key) → [window skew-cap →
+    bucket collect → in-row pair enumeration + Jaccard verify] all in a
+    single stage.  Emits (id_a, id_b, jaccard) with id_a < id_b, one row
+    per (bucket, qualifying pair) — a pair surviving in both bands
+    appears twice; callers ``distinct()`` (jaccard is a pure function of
+    the pair, so pair-distinct and row-distinct agree).
 
     The self-join form (:func:`lsh_candidate_pairs` + verify) shuffles
     three more times (join build, pair distinct, verify join-back); here
@@ -221,12 +224,12 @@ def lsh_bucket_drops(
     bounded, because the row_number cap runs FIRST — and the i<j pairs
     are enumerated by nested ``transform``/``filter`` lambdas inside
     whole-stage codegen.  The groupBy key equals the window partition
-    key, so both run off one exchange.  Emits one ``id_b`` row per
-    (bucket, qualifying pair); callers ``distinct()`` it.
+    key, so both run off the one band exchange.
 
-    Use :func:`lsh_candidate_pairs` instead when the verified PAIRS
-    themselves are the product (near-dup reporting) or when the payload
-    is too fat to carry through the shuffle."""
+    Use :func:`lsh_candidate_pairs` instead when buckets must stay
+    uncapped (collect_list over an unbounded bucket is the OOM hazard
+    this cap exists to prevent) or when the verify payload is too fat to
+    carry through the shuffle."""
     from pyspark.sql import Window as _W
 
     sigs = df.select(
@@ -252,24 +255,50 @@ def lsh_bucket_drops(
         .filter(F.col("_bn") <= max_bucket)
         .drop("_bn")
     )
-    # array_sort on struct orders by doc_id (first field; unique, so the
+    # array_sort on struct orders by id (first field; unique, so the
     # token array never participates in the comparison) — the i<j pair
     # order is deterministic regardless of collect_list arrival order
     buckets = capped.groupBy("band_id", "band_key").agg(
-        F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(tokens_col).alias("t")))).alias("m")
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(tokens_col).alias("t")))
+        ).alias("m")
     )
     m = F.col("m")
 
-    def _pair_drops(x, i):
+    def _pairs(x, i):
+        # jaccard is evaluated ONCE per pair (into the struct) before the
+        # threshold filter — expression CSE would not rescue a
+        # filter-then-project double reference (round-1 lesson)
         rest = F.slice(m, i + F.lit(2), F.size(m))
-        return F.transform(
-            F.filter(rest, lambda y: jaccard(x["t"], y["t"]) >= min_jaccard),
-            lambda y: y["id"],
+        withj = F.transform(
+            rest,
+            lambda y: F.struct(
+                x["id"].alias("id_a"), y["id"].alias("id_b"), jaccard(x["t"], y["t"]).alias("jaccard")
+            ),
         )
+        return F.filter(withj, lambda p: p["jaccard"] >= min_jaccard)
 
     return buckets.select(
-        F.explode(F.flatten(F.transform(m, _pair_drops))).alias("id_b")
-    )
+        F.explode(F.flatten(F.transform(m, _pairs))).alias("p")
+    ).select("p.id_a", "p.id_b", "p.jaccard")
+
+
+def lsh_bucket_drops(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 32,
+    tokens_col: str = "toks",
+    min_jaccard: float = 0.80,
+) -> DataFrame:
+    """Near-dup DROP ids — the larger id of each verified pair — via
+    :func:`lsh_bucket_pairs` (same one-shuffle plan; the jaccard value is
+    already computed for the ≥ filter, so projecting it away costs
+    nothing).  Callers ``distinct()`` or aggregate per id."""
+    return lsh_bucket_pairs(
+        df, id_col, n_hashes, rows_per_band, max_bucket, tokens_col, min_jaccard
+    ).select("id_b")
 
 
 # --- n-gram Jaccard verify -------------------------------------------------

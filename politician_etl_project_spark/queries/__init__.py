@@ -92,6 +92,7 @@ DRIVER_WINDOW = [
     "q_child_roster_page",
     "q_decontamination",
     "q_repetition_filter",
+    "q_ngram_jaccard_pairs",
 ]
 
 _ORACLE_TABLES = (

@@ -314,19 +314,92 @@ ORDER BY id_a, id_b
     f"(row_number over doc_id) so the DuckDB oracle hash-matches.",
 )
 def q_near_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from politician_etl_project_spark.operators.dedup import lsh_candidate_pairs
+    from politician_etl_project_spark.operators.dedup import lsh_bucket_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, "doc_id", "text", n_hashes=4, rows_per_band=2, max_bucket=_CAP)
-    a = docs.select(F.col("doc_id").alias("id_a"), F.array_distinct(tokens()).alias("toks_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.array_distinct(tokens()).alias("toks_b"))
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", jaccard("toks_a", "toks_b").alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.80)
-        .orderBy("id_a", "id_b")
+    # capped buckets admit the one-shuffle in-bucket enumeration (pairs
+    # generated + verified inside the band exchange's reduce stage — no
+    # self-join, no token join-back); the uncapped sibling above MUST
+    # keep the self-join form, since collecting an unbounded bucket into
+    # one row is exactly the OOM the cap prevents
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens()).alias("toks")
     )
+    pairs = lsh_bucket_pairs(
+        docs, "doc_id", n_hashes=4, rows_per_band=2, max_bucket=_CAP,
+        tokens_col="toks", min_jaccard=0.80,
+    )
+    return pairs.distinct().orderBy("id_a", "id_b")
+
+
+_DUCK_3GRAMS = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+)
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_3GRAMS} AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+), sigs AS (
+  SELECT doc_id, g,
+         list_aggregate(list_transform(g, s -> md5('0|' || s)), 'min') AS sig0,
+         list_aggregate(list_transform(g, s -> md5('1|' || s)), 'min') AS sig1,
+         list_aggregate(list_transform(g, s -> md5('2|' || s)), 'min') AS sig2,
+         list_aggregate(list_transform(g, s -> md5('3|' || s)), 'min') AS sig3
+  FROM sh
+), all_bands AS (
+  SELECT doc_id, g, 0 AS band_id, md5(sig0 || '|' || sig1) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, g, 1 AS band_id, md5(sig2 || '|' || sig3) AS band_key FROM sigs
+), bands AS (
+  SELECT doc_id, g, band_id, band_key FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS bn
+    FROM all_bands
+  ) WHERE bn <= 32
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.g AS ga, r.g AS gb
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), counts AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ga, gb)) AS n_inter, len(ga) AS n_a, len(gb) AS n_b
+  FROM cand
+)
+SELECT id_a, id_b,
+       CAST(CAST(n_inter AS DECIMAL(18,4))
+            / greatest(n_a + n_b - n_inter, 1) AS DECIMAL(18,6)) AS jaccard
+FROM counts
+WHERE CAST(CAST(n_inter AS DECIMAL(18,4))
+           / greatest(n_a + n_b - n_inter, 1) AS DECIMAL(18,6)) >= 0.50
+ORDER BY id_a, id_b
+"""
+
+
+@declared_query(
+    "q_ngram_jaccard_pairs",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    ops=("TXT-ngram-jaccard", "TXT-minhash-lsh"),
+    doc="Word-3-gram Jaccard near-dup (north-star dedup family member "
+    "distinct from the unigram variant): shingle -> minhash over the "
+    "SHINGLE set -> banded LSH with capped buckets -> exact 3-gram "
+    "Jaccard >= 0.5 verified in-bucket.  Order-sensitive by "
+    "construction — shuffled copies of a document that unigram Jaccard "
+    "calls identical score near zero here, which is why corpus dedup "
+    "uses shingles.  One band shuffle (in-bucket enumeration, "
+    "lsh_bucket_pairs); threshold is lower than the unigram 0.8 because "
+    "shingle overlap decays faster than token overlap on edited text.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import lsh_bucket_pairs, shingles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text", 3).alias("g")
+    )
+    pairs = lsh_bucket_pairs(
+        docs, "doc_id", n_hashes=4, rows_per_band=2, max_bucket=_CAP,
+        tokens_col="g", min_jaccard=0.50,
+    )
+    return pairs.distinct().orderBy("id_a", "id_b")
 
 
 # per-bit votes over a PREcomputed token-hash list (computed once in the
