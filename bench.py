@@ -152,16 +152,24 @@ def bench_etl(spark, n_rows: int = 500_000) -> tuple[float, int]:
     sink = tempfile.mkdtemp(prefix="etl-bench-")
     target = spark.createDataFrame([("C001",), ("C002",), ("C003",)], "CMTE_ID string")
     t0 = time.perf_counter()
-    raw = fec.transform_donations(fec.read_itcont(spark, path), target)
-    donors = fec.build_donors(raw)
-    facts = raw.join(
-        donors.select("donor_id", "donor_source_key").withColumnRenamed(
-            "donor_source_key", "donor_uid"
-        ),
-        "donor_uid",
-    ).select("fec_committee_id", "donor_id", "amount", "date", "fec_filing_id")
-    facts.write.mode("overwrite").parquet(f"{sink}/donations")
-    n_out = spark.read.parquet(f"{sink}/donations").count()
+    raw = fec.transform_donations(fec.read_itcont(spark, path), target).persist()
+    try:
+        # raw feeds BOTH the donor build and the fact side of the id join —
+        # uncached, the CSV parse + coercions would run twice in one action;
+        # materialize eagerly (lazy persist under concurrent join branches
+        # races and recomputes — round-1 lesson)
+        raw.count()
+        donors = fec.build_donors(raw)
+        facts = raw.join(
+            donors.select("donor_id", "donor_source_key").withColumnRenamed(
+                "donor_source_key", "donor_uid"
+            ),
+            "donor_uid",
+        ).select("fec_committee_id", "donor_id", "amount", "date", "fec_filing_id")
+        facts.write.mode("overwrite").parquet(f"{sink}/donations")
+        n_out = spark.read.parquet(f"{sink}/donations").count()
+    finally:
+        raw.unpersist()
     return round(time.perf_counter() - t0, 3), n_out
 
 

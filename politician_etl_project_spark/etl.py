@@ -104,11 +104,13 @@ class Warehouse:
 
 def _dense_ids(df: DataFrame, order_cols: list[str], id_col: str) -> DataFrame:
     """Deterministic surrogate ids (S18): row_number over the natural-key
-    order.  Single-task global sort — fine for dimensions; facts keep
-    composite natural keys instead.  First load only: incremental loads
-    go through ``stable_ids`` so previously-published ids never move."""
-    w = Window.orderBy(*[F.asc(c) for c in order_cols])
-    return df.withColumn(id_col, F.row_number().over(w))
+    order via the prefix-bucketed two-level plan (operators.upsert.
+    surrogate_ids) — no single-task global sort.  First load only:
+    incremental loads go through ``stable_ids`` so previously-published
+    ids never move."""
+    from politician_etl_project_spark.operators.upsert import surrogate_ids
+
+    return surrogate_ids(df, order_cols, id_col)
 
 
 # Enrichment columns written by a later pass (link_fec_ids): a plain

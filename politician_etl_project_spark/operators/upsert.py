@@ -250,18 +250,62 @@ class ParquetUpsertTable:
         self.spark.catalog.refreshByPath(self.path)
 
 
-def surrogate_ids(df: DataFrame, order_cols: list[str], id_col: str) -> DataFrame:
-    """S18: dense deterministic surrogate keys — row_number over the
-    natural-key order.  NEVER monotonically_increasing_id, whose values
-    depend on partition layout (SURVEY §7 hard-part 2).  The global
-    window is a single-task sort, acceptable for dimension tables; fact
-    tables keep natural/composite keys instead.
+def surrogate_ids(
+    df: DataFrame, order_cols: list[str], id_col: str, prefix_len: int = 8
+) -> DataFrame:
+    """S18: dense deterministic surrogate keys — equal to
+    ``row_number() OVER (ORDER BY order_cols)`` but WITHOUT the
+    single-task global sort that a no-partition window forces (at a
+    billion-donor dimension that is the scale wall).  NEVER
+    monotonically_increasing_id, whose values depend on partition layout
+    (SURVEY §7 hard-part 2).
+
+    Two-level plan when the lead order column is a string: rows bucket by
+    an ORDER-PRESERVING prefix of it (byte-wise string comparison means
+    prefix order == lead-key order across buckets; ties + the remaining
+    order columns resolve inside a bucket), local row_number runs
+    parallel per bucket, and each bucket's starting offset is a running
+    sum over the tiny per-bucket count frame (≤ alphabet^prefix_len rows
+    — the only single-task window left, and it's over bucket COUNTS, not
+    data).  Skew bound: the largest set of keys sharing a
+    ``prefix_len``-char prefix.  Non-string lead columns fall back to the
+    global window (dimension keys here are strings).
 
     First-load only: on incremental loads use :func:`stable_ids`, else a
     new key that sorts before existing rows shifts every subsequent id
     and silently corrupts persisted FK references."""
-    w = Window.orderBy(*[F.asc(c) for c in order_cols])
-    return df.withColumn(id_col, F.row_number().over(w))
+    from pyspark.sql.types import StringType
+
+    lead = order_cols[0]
+    if not isinstance(df.schema[lead].dataType, StringType):
+        w = Window.orderBy(*[F.asc(c) for c in order_cols])
+        return df.withColumn(id_col, F.row_number().over(w))
+    # NULL lead keys keep a NULL bucket: ASC windows are NULLS FIRST, and
+    # sort/cumsum below use asc_nulls_first to match
+    bucket = F.when(
+        F.col(lead).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.substring(F.col(lead), 1, prefix_len))
+    with_b = df.withColumn("_sid_bucket", bucket)
+    counts = with_b.groupBy("_sid_bucket").agg(F.count("*").alias("_sid_n"))
+    w_off = (
+        Window.orderBy(F.asc_nulls_first("_sid_bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        F.col("_sid_bucket").alias("_sid_bucket2"),
+        F.coalesce(F.sum("_sid_n").over(w_off), F.lit(0)).alias("_sid_off"),
+    )
+    w_local = Window.partitionBy("_sid_bucket").orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        with_b.join(
+            F.broadcast(offsets),
+            F.col("_sid_bucket").eqNullSafe(F.col("_sid_bucket2")),
+        )
+        .withColumn(
+            id_col, (F.col("_sid_off") + F.row_number().over(w_local)).cast("int")
+        )
+        .drop("_sid_bucket", "_sid_bucket2", "_sid_off")
+    )
 
 
 def stable_ids(
@@ -287,12 +331,9 @@ def stable_ids(
     max_id = old.agg(F.max(id_col).alias("m")).first()["m"] or 0
     joined = df.join(old, keys, "left")
     kept = joined.filter(F.col(id_col).isNotNull())
-    w = Window.orderBy(*[F.asc(c) for c in keys])
-    fresh = (
-        joined.filter(F.col(id_col).isNull())
-        .drop(id_col)
-        .withColumn(id_col, F.row_number().over(w) + F.lit(max_id).cast("int"))
-    )
+    fresh = surrogate_ids(
+        joined.filter(F.col(id_col).isNull()).drop(id_col), keys, id_col
+    ).withColumn(id_col, (F.col(id_col) + F.lit(max_id)).cast("int"))
     return kept.unionByName(fresh)
 
 

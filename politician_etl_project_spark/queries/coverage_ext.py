@@ -143,14 +143,21 @@ ORDER BY surrogate_id
     "natural-key order (SURVEY §7 hard-part 2 — the reference relies on "
     "Postgres SERIAL, sql/creations.sql:2). NEVER "
     "monotonically_increasing_id, whose values depend on partition "
-    "layout and would break the hash-exact oracle.",
+    "layout and would break the hash-exact oracle.  Computed by the "
+    "prefix-bucketed two-level surrogate_ids operator — same ids as a "
+    "global window, no single-task sort.",
 )
 def q_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.upsert import surrogate_ids
+
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_name", "c_custkey")
     return (
-        customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .select(F.row_number().over(w).alias("surrogate_id"), "c_custkey", "c_name")
+        surrogate_ids(
+            customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name"),
+            ["c_name", "c_custkey"],
+            "surrogate_id",
+        )
+        .select("surrogate_id", "c_custkey", "c_name")
         .orderBy("surrogate_id")
     )
 

@@ -82,6 +82,8 @@ def build_donors(donations: DataFrame) -> DataFrame:
     (reference donors_dict insert-if-absent, ingest_bulk_donations.py:104-116),
     with deterministic dense surrogate ids (S18: row_number over the
     natural key, never monotonically_increasing_id — SURVEY §7 hard-part 2)."""
+    from politician_etl_project_spark.operators.upsert import surrogate_ids
+
     w = Window.partitionBy("donor_uid").orderBy("fec_filing_id")
     distinct = (
         donations.withColumn("_rn", F.row_number().over(w))
@@ -89,8 +91,10 @@ def build_donors(donations: DataFrame) -> DataFrame:
         .select("donor_uid", "donor_name", "donor_type", "city", "state", "zip_code",
                 "employer", "occupation")
     )
-    wid = Window.orderBy("donor_uid")
-    return distinct.withColumn("donor_id", F.row_number().over(wid)).select(
+    # surrogate_ids = row_number over donor_uid order, computed via the
+    # prefix-bucketed two-level plan — no single-task global sort on a
+    # dimension that is donor-count-sized
+    return surrogate_ids(distinct, ["donor_uid"], "donor_id").select(
         "donor_id",
         F.col("donor_uid").alias("donor_source_key"),
         F.col("donor_name").alias("name"),

@@ -237,3 +237,39 @@ def test_partition_scoped_merge_equals_full_merge(spark, tmp_path_factory, batch
         got = sorted(tuple(r) for r in part_tbl.read().select("k", "congress", "v").collect())
         want = sorted(tuple(r) for r in flat_tbl.read().select("k", "congress", "v").collect())
         assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="abAB|", min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    prefix_len=st.sampled_from([1, 2, 8]),
+    parts=st.sampled_from([1, 4]),
+)
+@settings(**_SETTINGS)
+def test_surrogate_ids_equal_global_window(spark, keys, prefix_len, parts):
+    """The prefix-bucketed two-level surrogate_ids must assign EXACTLY the
+    ids a global row_number window would — including NULL lead keys,
+    empty strings, duplicate keys (ties broken by the remaining order
+    cols), and keys shorter than the prefix."""
+    from pyspark.sql import Window
+
+    from politician_etl_project_spark.operators.upsert import surrogate_ids
+
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "uid string, seq int").repartition(parts)
+    got = {
+        (r.uid, r.seq): r.sid
+        for r in surrogate_ids(df, ["uid", "seq"], "sid", prefix_len=prefix_len).collect()
+    }
+    w = Window.orderBy(F.asc("uid"), F.asc("seq"))
+    want = {
+        (r.uid, r.seq): r.sid
+        for r in df.withColumn("sid", F.row_number().over(w)).collect()
+    }
+    assert got == want
