@@ -93,6 +93,11 @@ DRIVER_WINDOW = [
     "q_decontamination",
     "q_repetition_filter",
     "q_ngram_jaccard_pairs",
+    # source-family fixture queries (S1-S8/N1-N6 under the driver gate)
+    "q_src_fec_csv",
+    "q_src_votes_json",
+    "q_src_bills_xml",
+    "q_src_committees_yaml",
 ]
 
 _ORACLE_TABLES = (
@@ -178,6 +183,7 @@ def load_all() -> dict[str, QuerySpec]:
         coverage_ext,
         temporal,
         pipeline,
+        sources_decl,
     )
 
     if _CANON_CACHE is None:

@@ -1,0 +1,384 @@
+"""Declared queries that put the SOURCE operator families (SURVEY S1-S8,
+N1-N6, F6-F8, F16, J8) under the driver's hard correctness gate.
+
+The driver only provides the ten parquet tables, so each query here
+materializes a small DETERMINISTIC fixture file under a fixed /tmp path
+(idempotent tmp-file + rename; content is literal, never random) and
+runs the real source module against it — the same modules the warehouse
+ETL uses.  The oracles read the SAME fixture through DuckDB's own
+readers (read_csv / read_text + json_each) or, where DuckDB has no
+reader (XML, YAML), assert the hand-derived expected rows as literal
+VALUES — independent of the implementation either way.
+
+Reference surfaces covered: pipe-CSV chunk scan + coercions
+(scripts/ingest_bulk_donations.py:85-151), recursive vote JSON with the
+heterogeneous '"VP"' voter arrays (scripts/ingest_votes.py:82-178),
+billstatus XML cosponsor extraction (scripts/update_bills.py:155-239),
+committee YAML hierarchy flatten (scripts/ingest_committees.py:19-95).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.queries.registry import declared_query
+
+FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures_v1")
+
+# --- fixture payloads (literal, deterministic) -----------------------------
+
+_ITCONT_ROWS = [
+    # CMTE_ID|AMNDT|RPT|PGI|IMG|TTP|ENTITY|NAME|CITY|STATE|ZIP|EMPLOYER|OCC|DT|AMT|OTH|TRAN|FILE|MEMOCD|MEMOTXT|SUB
+    "C001|N|YE||img|15|IND|ALICE SMITH|AUSTIN|TX|78701|ACME|ENG|03152024|250.00||||||SUB001",
+    "C001|N|YE||img|15|IND|ALICE SMITH|AUSTIN|TX|78701|ACME|ENG|04012024|100.50||||||SUB002",
+    "C001|A|YE||img|15|IND|AMENDED ROW|AUSTIN|TX|78701|ACME|ENG|03152024|999.00||||||SUB003",
+    "C001|N|YE||img|15|PAC|GOOD GOV PAC|DALLAS|TX|75201|PAC LLC|ORG|05202024|5000.00||||||SUB004",
+    "C001|N|YE||img|15|ORG|CIVIC ORG|DALLAS|TX|75201||ORG|05212024|750.25||||||SUB005",
+    "C002|N|YE||img|15|IND|BOB JONES|HOUSTON|TX|77002|WIDGETS|MGR|06012024|42.42||||||SUB006",
+    "C002|N|YE||img|15|IND|BOB JONES|HOUSTON|TX|77002|WIDGETS|MGR|13459999|10.00||||||SUB007",
+    "C002|N|YE||img|15|IND|CARA LEE|MIAMI|FL|33101||NURSE|07042024|not_a_number||||||SUB008",
+    "C002|N|YE||img|15|COM|JOINT CMTE|MIAMI|FL|33101|JC|ORG|07052024|1200.00||||||SUB009",
+    "C003|N|YE||img|15|IND|DAN WU|RENO|NV|89501|CASINO|DLR|08152024|300.00||||||SUB010",
+    "C003|N|YE||img|15|IND||RENO|NV|89501||DLR|08162024|75.00||||||SUB011",
+    "C999|N|YE||img|15|IND|ED UNTARGETED|NYC|NY|10001|BANK|ANL|09012024|10000.00||||||SUB012",
+    # short malformed line (S3 tolerance: PERMISSIVE pads with nulls ->
+    # amount/date null -> dropped by the transform)
+    "C001|N|YE||img|15|IND|SHORT LINE|AUSTIN|TX",
+]
+
+_VOTE_FILE_1 = {
+    "category": "passage",
+    "date": "2024-01-15",
+    "bill": {"type": "hr", "number": 100, "congress": 118},
+    "votes": {
+        "Yea": [
+            {"id": "A000001", "party": "D", "state": "TX"},
+            {"id": "A000002", "party": "R", "state": "FL"},
+            "VP",
+        ],
+        "Nay": [{"id": "A000003", "party": "R", "state": "NV"}],
+    },
+}
+_VOTE_FILE_2 = {
+    "category": "passage",
+    "date": "2024-02-20",
+    "bill": {"type": "s", "number": 55, "congress": 118},
+    "votes": {
+        "Yea": [{"id": "A000003", "party": "R", "state": "NV"}],
+        "Not Voting": [{"id": "A000001", "party": "D", "state": "TX"}],
+    },
+}
+# N3: nominations and missing bills are skipped
+_VOTE_FILE_3 = {
+    "category": "nomination",
+    "date": "2024-03-01",
+    "votes": {"Yea": [{"id": "A000009", "party": "D", "state": "CA"}]},
+}
+
+_BILL_XML_1 = """<billStatus>
+  <bill>
+    <congress>118</congress>
+    <type>hr</type>
+    <number>100</number>
+    <title>Data Act</title>
+    <introducedDate>2023-03-15</introducedDate>
+    <sponsors><item><bioguideId>S000001</bioguideId></item></sponsors>
+    <cosponsors>
+      <item>
+        <bioguideId>A000001</bioguideId>
+        <sponsorshipDate>2023-03-16</sponsorshipDate>
+        <isOriginalCosponsor>True</isOriginalCosponsor>
+      </item>
+      <item>
+        <bioguideId>A000002</bioguideId>
+        <sponsorshipDate>2023-04-01</sponsorshipDate>
+        <isOriginalCosponsor>false</isOriginalCosponsor>
+      </item>
+    </cosponsors>
+    <summaries><summary><text>A bill about data.</text></summary></summaries>
+  </bill>
+</billStatus>
+"""
+_BILL_XML_2 = """<billStatus>
+  <bill>
+    <congress>118</congress>
+    <type>s</type>
+    <number>55</number>
+    <title>Ethics Act</title>
+    <introducedDate>2023-05-02</introducedDate>
+    <sponsors><item><bioguideId>S000002</bioguideId></item></sponsors>
+    <cosponsors>
+      <item>
+        <bioguideId>A000003</bioguideId>
+        <sponsorshipDate>2023-05-10</sponsorshipDate>
+        <isOriginalCosponsor>true</isOriginalCosponsor>
+      </item>
+    </cosponsors>
+  </bill>
+</billStatus>
+"""
+# no cosponsors at all: explode_outer + null filter must drop it cleanly
+_BILL_XML_3 = """<billStatus>
+  <bill>
+    <congress>119</congress>
+    <type>hr</type>
+    <number>7</number>
+    <title>Short Act</title>
+    <introducedDate>2025-01-09</introducedDate>
+    <sponsors><item><bioguideId>S000003</bioguideId></item></sponsors>
+  </bill>
+</billStatus>
+"""
+
+_COMMITTEES_YAML = """\
+- name: Committee on Data
+  type: house
+  thomas_id: HSDA
+  house_committee_id: HSDA00
+  url: https://example.test/data
+  subcommittees:
+    - name: Subcommittee on Storage
+      thomas_id: "01"
+    - name: Subcommittee on Compute
+      thomas_id: "02"
+- name: Committee on Ethics
+  type: senate
+  thomas_id: SSET
+  senate_committee_id: SSET00
+- name: Joint Committee on Printing
+  type: joint
+  thomas_id: JSPR
+"""
+
+
+def _write(path: str, text: str) -> None:
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+def ensure_fixtures() -> str:
+    """Write every fixture (idempotent); returns the fixture root."""
+    d = FIXTURE_DIR
+    _write(os.path.join(d, "itcont.txt"), "\n".join(_ITCONT_ROWS) + "\n")
+    for i, doc in enumerate([_VOTE_FILE_1, _VOTE_FILE_2, _VOTE_FILE_3], start=1):
+        _write(os.path.join(d, "votes", f"vote{i}", "data.json"), json.dumps(doc, indent=1))
+    for i, xml in enumerate([_BILL_XML_1, _BILL_XML_2, _BILL_XML_3], start=1):
+        _write(os.path.join(d, "bills", f"BILLSTATUS-{i}.xml"), xml)
+    _write(os.path.join(d, "committees.yaml"), _COMMITTEES_YAML)
+    return d
+
+
+# write at import too: load_all() imports this module before the driver
+# runs EITHER side, so the oracle's read_csv/read_text never races the
+# Spark query for fixture existence
+ensure_fixtures()
+
+_ITCONT_PATH = os.path.join(FIXTURE_DIR, "itcont.txt")
+_VOTES_GLOB = os.path.join(FIXTURE_DIR, "votes", "*", "data.json")
+_BILLS_GLOB = os.path.join(FIXTURE_DIR, "bills", "*.xml")
+_YAML_PATH = os.path.join(FIXTURE_DIR, "committees.yaml")
+
+_ITCONT_NAMES = (
+    "'CMTE_ID','AMNDT_IND','RPT_TP','TRANSACTION_PGI','IMAGE_NUM',"
+    "'TRANSACTION_TP','ENTITY_TP','NAME','CITY','STATE','ZIP_CODE',"
+    "'EMPLOYER','OCCUPATION','TRANSACTION_DT','TRANSACTION_AMT',"
+    "'OTHER_ID','TRAN_ID','FILE_NUM','MEMO_CD','MEMO_TEXT','SUB_ID'"
+)
+
+
+@declared_query(
+    "q_src_fec_csv",
+    oracle=f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{_ITCONT_PATH}', delim='|', header=false,
+                         names=[{_ITCONT_NAMES}], all_varchar=true,
+                         null_padding=true)
+), typed AS (
+  SELECT CMTE_ID AS fec_committee_id,
+         coalesce(NAME,'') || '|' || coalesce(ZIP_CODE,'') || '|' || coalesce(EMPLOYER,'') AS donor_uid,
+         CASE WHEN ENTITY_TP IN ('PAC','COM','ORG') THEN 'PAC' ELSE 'Individual' END AS donor_type,
+         CAST(try_strptime(TRANSACTION_DT, '%m%d%Y') AS DATE) AS date,
+         try_cast(TRANSACTION_AMT AS DECIMAL(12,2)) AS amount
+  FROM raw
+  WHERE AMNDT_IND = 'N' AND CMTE_ID IN ('C001','C002','C003')
+)
+SELECT fec_committee_id, donor_type,
+       CAST(COUNT(*) AS BIGINT) AS n_donations,
+       CAST(COUNT(DISTINCT donor_uid) AS BIGINT) AS n_donors,
+       CAST(SUM(amount) AS DOUBLE) AS total_amount,
+       strftime(MIN(date), '%Y-%m-%d') AS first_date,
+       strftime(MAX(date), '%Y-%m-%d') AS last_date
+FROM typed
+WHERE amount IS NOT NULL AND date IS NOT NULL
+GROUP BY fec_committee_id, donor_type
+ORDER BY fec_committee_id, donor_type
+""",
+    ops=("S1", "S2", "S3", "F6", "F7", "F8", "P2", "P4", "P6", "A2"),
+    doc="The FEC bulk pipe-CSV chunk pipeline (reference "
+    "ingest_bulk_donations.py:85-151) against a deterministic fixture, "
+    "verified cell-for-cell against DuckDB's OWN csv reader: headerless "
+    "pipe scan tolerating a short line (PERMISSIVE ~ null_padding), "
+    "amendment filter, committee IN-set, null-safe composite donor uid, "
+    "MMDDYYYY try-parse, decimal try-cast, null drops, then a grouped "
+    "rollup.  Every coercion edge (bad date, bad amount, null name/"
+    "employer, short line) is present in the fixture.",
+)
+def q_src_fec_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.sources import fec
+
+    ensure_fixtures()
+    target = spark.createDataFrame([("C001",), ("C002",), ("C003",)], "CMTE_ID string")
+    raw = fec.transform_donations(fec.read_itcont(spark, _ITCONT_PATH), target)
+    return (
+        raw.groupBy("fec_committee_id", "donor_type")
+        .agg(
+            F.count("*").alias("n_donations"),
+            F.countDistinct("donor_uid").alias("n_donors"),
+            F.sum("amount").alias("total_amount"),
+            F.date_format(F.min("date"), "yyyy-MM-dd").alias("first_date"),
+            F.date_format(F.max("date"), "yyyy-MM-dd").alias("last_date"),
+        )
+        .orderBy("fec_committee_id", "donor_type")
+    )
+
+
+@declared_query(
+    "q_src_votes_json",
+    oracle=f"""
+WITH files AS (
+  SELECT content AS j FROM read_text('{_VOTES_GLOB}')
+), valid AS (
+  SELECT j FROM files
+  WHERE json_extract_string(j, '$.category') <> 'nomination'
+    AND json_extract(j, '$.bill') IS NOT NULL
+), positions AS (
+  SELECT t.j, k AS vote_position,
+         json_extract(t.j, '$.votes."' || k || '"') AS voter_arr
+  FROM valid t, unnest(json_keys(t.j, '$.votes')) AS pos(k)
+), voters AS (
+  SELECT j, vote_position,
+         json_extract_string(voter_arr, '$[' || CAST(i AS VARCHAR) || '].id') AS congress_id
+  FROM positions, unnest(range(CAST(json_array_length(voter_arr) AS BIGINT))) AS idx(i)
+)
+SELECT congress_id,
+       upper(json_extract_string(j, '$.bill.type'))
+         || CAST(CAST(json_extract(j, '$.bill.number') AS INTEGER) AS VARCHAR)
+         || '-' || CAST(CAST(json_extract(j, '$.bill.congress') AS INTEGER) AS VARCHAR)
+         AS bill_key,
+       strftime(CAST(json_extract_string(j, '$.date') AS DATE), '%Y-%m-%d') AS vote_date,
+       vote_position,
+       json_extract_string(j, '$.category') AS vote_category
+FROM voters
+WHERE congress_id IS NOT NULL
+ORDER BY bill_key, vote_position, congress_id
+""",
+    ops=("S6", "N1", "N2", "N3", "J8"),
+    doc="Recursive vote-JSON scan + heterogeneous-array flatten "
+    "(reference ingest_votes.py:82-178) against fixture files, verified "
+    "against DuckDB's json_each over the same files: nomination/"
+    "missing-bill skip (N3), position-map explode (N1), the literal "
+    "'\"VP\"' voter string parsing to a null-id struct and dropping "
+    "(N2), composite TYPE+NUMBER-CONGRESS bill key (J8).",
+)
+def q_src_votes_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.sources import votes_json
+
+    ensure_fixtures()
+    exploded = votes_json.explode_votes(votes_json.read_vote_files(spark, _VOTES_GLOB))
+    return exploded.select(
+        "congress_id",
+        "bill_key",
+        F.date_format("date", "yyyy-MM-dd").alias("vote_date"),
+        "vote_position",
+        "vote_category",
+    ).orderBy("bill_key", "vote_position", "congress_id")
+
+
+@declared_query(
+    "q_src_bills_xml",
+    oracle="""
+SELECT * FROM (VALUES
+  ('HR100', 118, 'Data Act', 'S000001', 'A000001', '2023-03-16', TRUE),
+  ('HR100', 118, 'Data Act', 'S000001', 'A000002', '2023-04-01', FALSE),
+  ('S55',   118, 'Ethics Act', 'S000002', 'A000003', '2023-05-10', TRUE)
+) AS t(official_bill_number, congress, title, sponsor_bioguide,
+       cosponsor_bioguide, sponsorship_date, is_original_cosponsor)
+ORDER BY official_bill_number, cosponsor_bioguide
+""",
+    ops=("S7", "N4", "F16", "J8"),
+    doc="Billstatus XML pipeline (reference update_bills.py:155-239): "
+    "whole-file read, from_xml with nested schema, cosponsor-array "
+    "explode (N4), 'True'/'false' boolean parse (F16), then the "
+    "composite-key join back to the bill headers (J8).  DuckDB has no "
+    "XML reader, so the oracle is the hand-derived expected relation as "
+    "literal VALUES — the fixture has a no-cosponsor bill that must "
+    "vanish through explode_outer + null filter.",
+)
+def q_src_bills_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.sources import bills_xml
+
+    ensure_fixtures()
+    parsed = bills_xml.read_billstatus(spark, _BILLS_GLOB)
+    bills = bills_xml.extract_bills(parsed).select(
+        "official_bill_number", "congress", "title", "sponsor_bioguide"
+    )
+    cos = bills_xml.extract_cosponsors(parsed)
+    return (
+        cos.join(F.broadcast(bills), ["official_bill_number", "congress"])
+        .select(
+            "official_bill_number",
+            "congress",
+            "title",
+            "sponsor_bioguide",
+            F.col("congress_id").alias("cosponsor_bioguide"),
+            F.date_format("sponsorship_date", "yyyy-MM-dd").alias("sponsorship_date"),
+            "is_original_cosponsor",
+        )
+        .orderBy("official_bill_number", "cosponsor_bioguide")
+    )
+
+
+@declared_query(
+    "q_src_committees_yaml",
+    oracle="""
+SELECT * FROM (VALUES
+  ('HSDA00',   'Committee on Data',          'house',  'standing',     NULL),
+  ('HSDA0001', 'Subcommittee on Storage',    'house',  'subcommittee', 'HSDA00'),
+  ('HSDA0002', 'Subcommittee on Compute',    'house',  'subcommittee', 'HSDA00'),
+  ('JSPR',     'Joint Committee on Printing','joint',  'standing',     NULL),
+  ('SSET00',   'Committee on Ethics',        'senate', 'standing',     NULL)
+) AS t(committee_id, name, chamber, type, parent_committee_id)
+ORDER BY committee_id
+""",
+    ops=("S8", "N6", "J5"),
+    doc="Committee YAML hierarchy flatten (reference "
+    "ingest_committees.py:19-95): driver-side YAML parse (documents are "
+    "~100 KB — S8's contract), then the distributed parent∪subcommittee "
+    "flatten with synthesized ids and the upstream type/chamber field "
+    "swap.  DuckDB has no YAML reader; the oracle is the hand-derived "
+    "flatten as literal VALUES.",
+)
+def q_src_committees_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.sources import committees_yaml
+
+    ensure_fixtures()
+    import yaml
+
+    with open(_YAML_PATH) as f:
+        docs = yaml.safe_load(f)
+    flat = committees_yaml.flatten_committees(
+        committees_yaml.committees_df(spark, docs)
+    )
+    return flat.select(
+        "committee_id", "name", "chamber", "type", "parent_committee_id"
+    ).orderBy("committee_id")
