@@ -172,3 +172,48 @@ def test_decontamination_broadcasts_eval_side(spark, specs):
     plan = plan_of(spark, specs, "q_decontamination")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_bucket_pairs_single_band_exchange(spark):
+    """The in-bucket pair enumeration must NOT plan a self-join: one
+    hashpartitioning exchange on (band_id, band_key) shared by the
+    skew-cap window and the bucket aggregation, and no join operator at
+    all in the plan."""
+    from pyspark.sql import functions as F
+
+    from politician_etl_project_spark.operators.dedup import lsh_bucket_pairs
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", str(i)]) for i in range(10)], "doc_id int, toks array<string>"
+    )
+    plan_df = lsh_bucket_pairs(df, "doc_id", max_bucket=8, tokens_col="toks")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    band_exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(band_id" in ln
+    ]
+    assert len(band_exchanges) == 1, plan
+
+
+def test_surrogate_ids_no_global_sort_of_data(spark):
+    """surrogate_ids must keep the data-side window partitioned by the
+    prefix bucket; the only single-partition exchange allowed is the one
+    under the tiny per-bucket COUNT cumsum."""
+    from politician_etl_project_spark.operators.upsert import surrogate_ids
+
+    df = spark.createDataFrame(
+        [(f"key{i:03d}", i) for i in range(50)], "uid string, seq int"
+    )
+    out = surrogate_ids(df, ["uid"], "sid")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # data window runs per prefix bucket
+    assert "hashpartitioning(_sid_bucket" in plan, plan
+    # the lone SinglePartition exchange is the bucket-count cumsum (its
+    # input is the aggregate over bucket counts, not the raw rows)
+    assert plan.count("Exchange SinglePartition") <= 1, plan

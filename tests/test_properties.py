@@ -273,3 +273,47 @@ def test_surrogate_ids_equal_global_window(spark, keys, prefix_len, parts):
         for r in df.withColumn("sid", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcdefgh")), min_size=0, max_size=10),
+        min_size=0,
+        max_size=20,
+    ),
+    cap=st.sampled_from([2, 5, 32]),
+)
+@settings(**_SETTINGS)
+def test_lsh_bucket_pairs_equals_selfjoin_form(spark, docs, cap):
+    """The one-shuffle in-bucket enumeration (lsh_bucket_pairs) must emit
+    exactly the pairs of the self-join form (lsh_candidate_pairs +
+    Jaccard verify) at the same bucket cap — same ids, same jaccard."""
+    from politician_etl_project_spark.operators.dedup import (
+        jaccard,
+        lsh_bucket_pairs,
+        lsh_candidate_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows or [(0, "x")], "doc_id int, text string").filter(
+        F.lit(bool(rows))
+    )
+    toked = df.select("doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"))
+    got = {
+        (r.id_a, r.id_b, str(r.jaccard))
+        for r in lsh_bucket_pairs(
+            toked, "doc_id", n_hashes=4, rows_per_band=2, max_bucket=cap,
+            tokens_col="toks", min_jaccard=0.5,
+        ).distinct().collect()
+    }
+    pairs = lsh_candidate_pairs(df, "doc_id", "text", 4, 2, max_bucket=cap)
+    a = toked.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = toked.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    want = {
+        (r.id_a, r.id_b, str(r.jaccard))
+        for r in pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", jaccard("ta", "tb").alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == want
