@@ -36,13 +36,15 @@ def get_spark(app_name: str = "politician-etl-spark") -> SparkSession:
         # tasks over kilobytes of shuffle data — pure scheduling overhead
         # when query latency is the target (most reduce work here is an
         # aggregation merge; map-side parallelism comes from input splits
-        # and is unaffected).  Target the advisory size instead, sized so
-        # medium shuffles (windowed sorts over the fact table) still fan
-        # out across a few cores.
+        # and is unaffected).  Target the advisory size instead; 2 MiB
+        # measured best locally — tiny reduce stages coalesce to one
+        # task while fact-table aggregations (q18/q21 class) keep enough
+        # reduce parallelism (8 MiB cost them ~25%).  On a cluster the
+        # 64 MiB default advisory is the right order.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(8 * 1024 * 1024)),
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(2 * 1024 * 1024)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
