@@ -93,6 +93,7 @@ DRIVER_WINDOW = [
     "q_decontamination",
     "q_repetition_filter",
     "q_ngram_jaccard_pairs",
+    "q_dup_clusters",
     # source-family fixture queries (S1-S8/N1-N6 under the driver gate)
     "q_src_fec_csv",
     "q_src_votes_json",

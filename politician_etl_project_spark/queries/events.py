@@ -26,6 +26,15 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S"
 
 
+def _ts_us(col: str = "ts") -> F.Column:
+    """Event time as unix-micros BIGINT regardless of whether the parquet
+    column decoded as TIMESTAMP or TIMESTAMP_NTZ (isAdjustedToUTC flips
+    with the writer).  The session timezone is pinned UTC (session.py),
+    so the NTZ->LTZ cast is the identity on the underlying micros and
+    matches DuckDB's epoch_us over its naive timestamps exactly."""
+    return F.unix_micros(F.col(col).cast("timestamp_ltz"))
+
+
 @declared_query(
     "q_tumbling_window",
     oracle=f"""
@@ -138,8 +147,8 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = (
-        events.select("user_id", F.unix_micros("ts").alias("ts_us"), "ts", "event_id")
-        .withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w_order))
+        events.select("user_id", _ts_us().alias("ts_us"), "ts", "event_id")
+        .withColumn("prev_us", F.lag(_ts_us()).over(w_order))
         .withColumn(
             "is_new",
             F.when(F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > gap_us), 1).otherwise(0),
@@ -183,7 +192,7 @@ def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.col("event_id").alias("first_event_id"),
-            F.unix_micros("ts").alias("first_ts_us"),
+            _ts_us().alias("first_ts_us"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") == 1)

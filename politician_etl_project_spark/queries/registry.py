@@ -23,6 +23,13 @@ both sides so the order-insensitive value-hash matches (FIXTURES.md §
   rules with a DESCRIBE-based type guard;
 - time buckets are rendered as strings (``yyyy-MM-dd HH:mm:ss``) because
   Spark's ``date_trunc`` returns TIMESTAMP while DuckDB's returns DATE;
+- no NULLable NUMERIC column may reach the final projection: the driver's
+  float conversion runs the oracle through pandas, where a nullable int64
+  column floats every value ("49666" -> "49666.0") and a NULL float
+  renders NaN, while Spark keeps int/NULL — coalesce boundary offsets /
+  unmatched-left-join measures to a typed sentinel (-1) on BOTH sides
+  (r02 driver-sim finding: q_asof_join, q_window_lag_lead).  NULLable
+  STRING outputs are safe (pandas keeps them as None);
 - LIMIT queries impose a total order with a unique-key tie-break first.
 """
 

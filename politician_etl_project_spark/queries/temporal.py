@@ -23,7 +23,7 @@ _DFMT = "%Y-%m-%d %H:%M:%S"
 SELECT p.event_id, p.user_id,
        strftime(p.ts, '{_DFMT}') AS purchase_ts,
        strftime(c.ts, '{_DFMT}') AS click_ts,
-       CAST(epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000 AS BIGINT) AS gap_s
+       COALESCE(CAST(epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000 AS BIGINT), -1) AS gap_s
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -49,7 +49,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", _FMT).alias("purchase_ts"),
         F.date_format("ts_right", _FMT).alias("click_ts"),
-        (F.unix_timestamp("ts") - F.unix_timestamp("ts_right")).cast("bigint").alias("gap_s"),
+        # unmatched purchases (left join) -> -1 sentinel: a NULLable
+        # numeric output is a driver hazard (pandas floats nullable int64)
+        F.coalesce(
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts_right")).cast("bigint"), F.lit(-1)
+        ).alias("gap_s"),
     ).orderBy("event_id")
 
 

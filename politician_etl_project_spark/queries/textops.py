@@ -375,6 +375,90 @@ ORDER BY id_a, id_b
 """
 
 
+# Transitive closure over the verified near-dup pairs: DuckDB's
+# recursive CTE enumerates (node, reachable-node) over the symmetric
+# edge set — set-semantics UNION terminates it — and MIN(reachable)
+# per node is the component minimum, exactly what the Spark-side
+# star-contraction fixpoint assigns.
+_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE sigs AS (
+  SELECT doc_id,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('0|' || t)), 'min') AS sig0,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('1|' || t)), 'min') AS sig1,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('2|' || t)), 'min') AS sig2,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('3|' || t)), 'min') AS sig3,
+         {_DUCK_DTOKS} AS toks
+  FROM documents
+), all_bands AS (
+  SELECT doc_id, toks, 0 AS band_id, md5(sig0 || '|' || sig1) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, toks, 1 AS band_id, md5(sig2 || '|' || sig3) AS band_key FROM sigs
+), bands AS (
+  SELECT doc_id, toks, band_id, band_key FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS bn
+    FROM all_bands
+  ) WHERE bn <= {_CAP}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.toks AS ta, r.toks AS tb
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(ta, tb)) AS n_inter, len(ta) AS n_a, len(tb) AS n_b
+    FROM cand
+  ) WHERE CAST(CAST(n_inter AS DECIMAL(18,4))
+               / greatest(n_a + n_b - n_inter, 1) AS DECIMAL(18,6)) >= 0.80
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk(n, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, w.r FROM walk w JOIN edges e ON e.u = w.n
+), comp AS (
+  SELECT n AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY n
+)
+SELECT c.doc_id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id) s
+  USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+@declared_query(
+    "q_dup_clusters",
+    oracle=_DUP_CLUSTERS_ORACLE,
+    ops=("TXT-components", "TXT-minhash-lsh"),
+    doc="Duplicate CLUSTERS via distributed connected components "
+    "(alternating large-star/small-star, operators/components.py) over "
+    "the verified near-dup pairs of q_near_dup_pairs_capped.  Near-dup "
+    "similarity is not transitive, so pair-level dedup leaves chained "
+    "templates behind; the production policy keeps one representative "
+    "per component (doc_id == cluster_id).  O(log^2 n) rounds regardless "
+    "of chain length — the naive label-propagation alternative is "
+    "O(diameter) rounds and dies on boilerplate chains at 100 TB.  "
+    "Oracle = DuckDB recursive CTE reachability with MIN over the "
+    "component.  No reference equivalent (its dedup is keyed SQL upsert, "
+    "app/database.py) — LLM-pipeline addition.",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.components import duplicate_clusters
+    from politician_etl_project_spark.operators.dedup import lsh_bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens()).alias("toks")
+    )
+    pairs = lsh_bucket_pairs(
+        docs, "doc_id", n_hashes=4, rows_per_band=2, max_bucket=_CAP,
+        tokens_col="toks", min_jaccard=0.80,
+    )
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
 @declared_query(
     "q_ngram_jaccard_pairs",
     oracle=_NGRAM_JACCARD_ORACLE,

@@ -64,17 +64,21 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey,
        CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
-       CAST(LAG(CAST(o_totalprice AS DECIMAL(12,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(12,2)) AS prev_price,
-       CAST(LEAD(CAST(o_totalprice AS DECIMAL(12,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(12,2)) AS next_price
+       CAST(COALESCE(LAG(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1) AS DECIMAL(12,2)) AS prev_price,
+       CAST(COALESCE(LEAD(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1) AS DECIMAL(12,2)) AS next_price
 FROM orders
 WHERE o_custkey < 100
 ORDER BY o_custkey, o_orderkey
 """,
     ops=("W1",),
     doc="lag/lead offsets over per-entity event order (no reference "
-    "equivalent — required window capability per SURVEY §2.5 note).",
+    "equivalent — required window capability per SURVEY §2.5 note). "
+    "Partition-edge offsets are coalesced to -1 on BOTH sides: a "
+    "NULLable numeric at the projection boundary is a driver hazard "
+    "(pandas floats a nullable int64 and renders NULL as NaN while "
+    "Spark keeps int/NULL — found in the r02 sf0.01 driver sim).",
 )
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
@@ -84,8 +88,8 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         price.alias("totalprice"),
-        F.lag(price).over(w).cast("decimal(12,2)").alias("prev_price"),
-        F.lead(price).over(w).cast("decimal(12,2)").alias("next_price"),
+        F.coalesce(F.lag(price).over(w), F.lit(-1)).cast("decimal(12,2)").alias("prev_price"),
+        F.coalesce(F.lead(price).over(w), F.lit(-1)).cast("decimal(12,2)").alias("next_price"),
     ).orderBy("o_custkey", "o_orderkey")
 
 

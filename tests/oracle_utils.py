@@ -82,9 +82,13 @@ def compare(spark, spec, sf_dir: str) -> None:
     try:
         assert_driver_safe_types(sdf.schema, con, spec.oracle, spec.name)
         s_rows = [tuple(r) for r in sdf.collect()]
-        res = con.execute(spec.oracle)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        # pandas .df(), NOT fetchall(): the driver floats the DuckDB side,
+        # so a nullable int64 becomes float64 (49666 -> 49666.0) and NULL
+        # becomes NaN — fetchall() hides exactly that hazard class (two
+        # queries passed here at fetchall and failed the r02 driver sim)
+        ddf = con.execute(spec.oracle).df()
+        d_cols = list(ddf.columns)
+        d_rows = list(ddf.itertuples(index=False, name=None))
     finally:
         con.close()
 

@@ -317,3 +317,74 @@ def test_lsh_bucket_pairs_equals_selfjoin_form(spark, docs, cap):
         .collect()
     }
     assert got == want
+
+
+# ---- connected components vs driver-side union-find ----------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        if u == v:
+            find(u)
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    for u, v in edges:
+        if u != v:
+            comp[u] = None
+            comp[v] = None
+    for n in comp:
+        comp[n] = find(n)
+    # min-id relabel (union-find roots are already the component min here,
+    # but recompute defensively)
+    mins = {}
+    for n, r in comp.items():
+        mins[r] = min(mins.get(r, n), n)
+    return {(n, mins[r]) for n, r in comp.items()}
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_connected_components_matches_union_find(spark, edges):
+    from politician_etl_project_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges or [(0, 0)], "id_a int, id_b int").filter(
+        F.lit(bool(edges))
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
+
+
+def test_connected_components_chain_and_star(spark):
+    """A 40-node path (worst case for naive propagation) plus a hub star
+    and an isolated pair — converges in O(log^2 n) star rounds and lands
+    every node on the component minimum."""
+    from politician_etl_project_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 140)]
+    star = [(7, i) for i in range(200, 220)]
+    pair = [(998, 999), (999, 998), (998, 998)]  # reversed dup + self-loop
+    df = spark.createDataFrame(chain + star + pair, "id_a int, id_b int")
+    got = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    assert {(i, 100) for i in range(100, 141)} <= got
+    assert {(i, 7) for i in range(200, 220)} <= got
+    assert (999, 998) in got and (998, 998) in got
+    assert len(got) == 41 + 21 + 2
