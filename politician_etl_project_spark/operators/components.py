@@ -94,6 +94,12 @@ def connected_components(
     unique, so the result does not depend on partitioning or join order.
     Raises after ``max_iter`` rounds (2^sqrt(25) ≈ astronomically more
     nodes than any corpus) rather than returning a half-contracted graph.
+
+    Every round MUST materialize (the eager localCheckpoint) before the
+    next: each star references its input twice (symmetric union + the
+    min join), so stacking k lazy rounds re-executes round 1 about 4^k
+    times — measured 3.6 s -> 10 s at sf0.1 for k=2.  One checkpoint per
+    round is both the lineage bound and the anti-blowup guard.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

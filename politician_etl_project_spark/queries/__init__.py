@@ -81,6 +81,8 @@ DRIVER_WINDOW = [
     "q_sequence_packing",
     "q_curation_funnel",
     "q_corpus_stats",
+    "q_train_shuffle",
+    "q_corpus_mixture",
     "q_asof_join",
     "q_range_join",
     "q_window_rank",
@@ -94,6 +96,7 @@ DRIVER_WINDOW = [
     "q_repetition_filter",
     "q_ngram_jaccard_pairs",
     "q_dup_clusters",
+    "q_embed_dup_clusters",
     # source-family fixture queries (S1-S8/N1-N6 under the driver gate)
     "q_src_fec_csv",
     "q_src_votes_json",

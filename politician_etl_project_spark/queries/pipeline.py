@@ -362,3 +362,97 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_N_SHARDS = 8
+# training-order hash: seeded md5, 6 hex digits = 24 bits, portable
+_SPARK_ORD = "md5(concat('shuf42|', cast(doc_id as string)))"
+_DUCK_ORD = "md5('shuf42|' || CAST(doc_id AS VARCHAR))"
+
+
+@declared_query(
+    "q_train_shuffle",
+    oracle=f"""
+SELECT doc_id, shard, pos
+FROM (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr({_DUCK_ORD}, 1, 4) AS INTEGER) % {_N_SHARDS} AS INTEGER) AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST('0x' || substr({_DUCK_ORD}, 1, 4) AS INTEGER) % {_N_SHARDS}
+           ORDER BY {_DUCK_ORD}, doc_id) AS pos
+  FROM documents
+)
+ORDER BY shard, pos
+""",
+    ops=("PIPE-shuffle", "W1"),
+    doc=f"Deterministic global training-order shuffle (north-star pipeline "
+    f"op): every doc gets a (shard, pos) — shard = seeded-hash bucket of "
+    f"{_N_SHARDS}, pos = rank of the hash within the shard.  Reading "
+    f"shards in pos order IS a uniform permutation of the corpus, but "
+    f"nothing global is ever sorted: one hash shuffle + per-shard local "
+    f"sort, each shard an independent training file.  Content-stable and "
+    f"seed-reproducible where an RNG shuffle is neither; at 100 TB the "
+    f"shard count scales with executor count and the plan is unchanged.",
+)
+def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ordkey = F.expr(_SPARK_ORD)
+    shard = (F.conv(F.substring(ordkey, 1, 4), 16, 10).cast("int") % _N_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy("ordkey", "doc_id")
+    return (
+        docs.select("doc_id", ordkey.alias("ordkey"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+# mixture rate per source: (index % 4 + 1)/4 -> 0.25/0.50/0.75/1.00.
+# keep-decision hash: 6 hex digits = 24 bits; thresholds are exact
+# multiples of 2^22 so both engines compare the same integers.
+_MIX_SEED = "mix42|"
+_SPARK_MIX_HV = f"cast(conv(substring(md5(concat('{_MIX_SEED}', cast(doc_id as string))), 1, 6), 16, 10) as bigint)"
+_DUCK_MIX_HV = f"CAST('0x' || substr(md5('{_MIX_SEED}' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)"
+
+
+@declared_query(
+    "q_corpus_mixture",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {_DUCK_MIX_HV} < (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 4194304
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(MIN(CASE WHEN {_DUCK_MIX_HV} < (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 4194304
+                         THEN doc_id END), -1) AS min_kept_doc,
+       COALESCE(MAX(CASE WHEN {_DUCK_MIX_HV} < (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 4194304
+                         THEN doc_id END), -1) AS max_kept_doc
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    ops=("PIPE-mixture",),
+    doc="Weighted corpus-mixture sampling (north-star pipeline op): each "
+    "source is down-sampled at its mixture rate (here (idx%4+1)/4) by a "
+    "seeded content hash — the way a training mix re-weights web vs "
+    "curated sources.  Deterministic: re-runs keep exactly the same "
+    "docs, and growing one source never perturbs another's sample "
+    "(hash-threshold, not quota).  Pure single-pass scan + grouped "
+    "conditional aggregate; kept-doc extremes are coalesced to -1 "
+    "(no nullable numerics at the boundary).",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.expr(_SPARK_MIX_HV)
+    rate_num = F.substring("source", 4, 10).cast("int") % 4 + 1
+    kept = hv < (rate_num * 4194304).cast("bigint")
+    kept_doc = F.when(kept, F.col("doc_id"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.min(kept_doc), F.lit(-1)).alias("min_kept_doc"),
+            F.coalesce(F.max(kept_doc), F.lit(-1)).alias("max_kept_doc"),
+        )
+        .orderBy("source")
+    )

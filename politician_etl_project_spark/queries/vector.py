@@ -263,3 +263,48 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = ivf_train_assign(emb, n_clusters=8, n_iters=2)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return ann_ivf(assigned, centroids, qv, k=10, n_probe=4)
+
+
+_EMBED_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_NEAR_COS})
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk(n, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, w.r FROM walk w JOIN edges e ON e.u = w.n
+), comp AS (
+  SELECT n AS vec_id, MIN(r) AS cluster_id FROM walk GROUP BY n
+)
+SELECT c.vec_id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id) s
+  USING (cluster_id)
+ORDER BY vec_id
+"""
+
+
+@declared_query(
+    "q_embed_dup_clusters",
+    oracle=_EMBED_CLUSTERS_ORACLE,
+    ops=("TXT-embed-neardup", "TXT-components"),
+    doc="Semantic duplicate clusters: connected components "
+    "(operators/components.py, same star-contraction as q_dup_clusters) "
+    "over the embedding-cosine near-dup pairs of q_embed_near_dup — "
+    "cosine similarity is even less transitive than Jaccard, so "
+    "cluster-level dedup is the policy that actually removes paraphrase "
+    "groups.  Demonstrates the components operator composing over any "
+    "pair source (token LSH, shingle LSH, embedding LSH) unchanged.",
+)
+def q_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.components import duplicate_clusters
+
+    pairs = q_embed_near_dup(spark, sf_dir)
+    return (
+        duplicate_clusters(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id")
+    )
