@@ -217,3 +217,37 @@ def test_surrogate_ids_no_global_sort_of_data(spark):
     # the lone SinglePartition exchange is the bucket-count cumsum (its
     # input is the aggregate over bucket counts, not the raw rows)
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_components_star_rounds_are_bounded_shuffles(spark):
+    """One large-star round must plan as grouped-min + shuffle join on u
+    — crucially NO cartesian/nested-loop and no global sort; the whole
+    round's exchanges are hash partitionings on the node id."""
+    from politician_etl_project_spark.operators.components import _large_star, _small_star
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(20)], "u int, v int")
+    for star in (_large_star, _small_star):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            star(e).explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+        # no single-partition funnel anywhere in a star round
+        assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_train_shuffle_no_global_sort_before_window(spark, specs):
+    """The (shard, pos) permutation must rank within hash-partitioned
+    shards; the only total ordering is the final presentation sort."""
+    plan = plan_of(spark, specs, "q_train_shuffle")
+    assert "hashpartitioning(shard" in plan, plan
+    # presentation sort = exactly one range exchange at the top
+    assert plan.count("rangepartitioning") == 1, plan
+
+
+def test_corpus_mixture_single_pass(spark, specs):
+    """Mixture sampling is a scan + one grouped aggregate: no joins, no
+    windows, exactly one hash exchange (on source)."""
+    plan = plan_of(spark, specs, "q_corpus_mixture")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("hashpartitioning(source") == 1, plan
