@@ -248,24 +248,35 @@ def ivf_train_assign(
             F.col(vec_col).cast("array<double>").alias("centroid"),
         )
     )
+    # recentre via an EXACT decimal sum, then one double division — a
+    # float AVG's value depends on partition/summation order, which would
+    # make both the assignment nondeterministic across partitionings and
+    # the DuckDB oracle replay impossible; the decimal sum is
+    # order-independent and identical on both engines
+    def _mean(d: int):
+        s = F.sum(F.element_at(F.col(vec_col), d + 1).cast("decimal(27,10)"))
+        return s.cast("double") / F.count(F.lit(1))
+
     for _ in range(n_iters):
         assigned = _assign(emb, centroids, vec_col, id_col)
         centroids = (
             assigned.groupBy("cluster")
-            .agg(
-                F.array(
-                    *[F.avg(F.element_at(F.col(vec_col), d + 1)) for d in range(dim)]
-                ).alias("centroid")
-            )
+            .agg(F.array(*[_mean(d) for d in range(dim)]).alias("centroid"))
         )
     return _assign(emb, centroids, vec_col, id_col), centroids
 
 
 def _assign(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """Nearest-centroid assignment (squared L2) via broadcast cross join +
-    min-struct argmin."""
+    min-struct argmin.  (x-y)*(x-y), not pow(x-y, 2): self-multiplication
+    is bit-identical across engines while libm pow may differ in the last
+    ulp — required for the DuckDB oracle replay of q_ann_ivf."""
     d2 = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("centroid"), lambda x, y: (x.cast("double") - y) ** 2),
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -292,7 +303,11 @@ def ann_ivf(
     `n_probe` nearest inverted lists, exact-score within them.  Scans
     ~n_probe/n_clusters of the table (vs all of it for brute force)."""
     d2 = F.aggregate(
-        F.zip_with(F.col("q"), F.col("centroid"), lambda x, y: (x.cast("double") - y) ** 2),
+        F.zip_with(
+            F.col("q"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

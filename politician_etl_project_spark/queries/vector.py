@@ -222,9 +222,50 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str, n_planes: int, dim: int) -
     return path
 
 
+def _duck_bucket_expr(tbl: str, n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB replica of operators/similarity.hyperplane_bits: identical
+    md5-derived plane coefficients, identical left-to-right term order —
+    the float sums are bit-for-bit equal, so bucket signs agree (a SUM
+    aggregate would NOT guarantee summation order; the literal `+` chain
+    does)."""
+    planes = []
+    for p in range(n_planes):
+        comps = " + ".join(
+            f"(CAST('0x' || substr(md5('{p}|{d}'), 1, 8) AS BIGINT) / 2147483647.5 - 1.0)"
+            f" * CAST({tbl}.embedding[{d + 1}] AS DOUBLE)"
+            for d in range(dim)
+        )
+        planes.append(f"(CASE WHEN ({comps}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(planes) + " AS INTEGER)"
+
+
+_ANN_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_duck_bucket_expr("embeddings")} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0
+)
+SELECT vec_id, score FROM (
+  SELECT b.vec_id,
+         ROUND(list_sum(list_transform(range(1, 65),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                       i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))), 4) AS score,
+         bit_count(xor(b.bucket, q.qbucket)) AS ham
+  FROM b, q
+)
+WHERE ham <= 1
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
 @declared_query(
     "q_ann_lsh",
-    oracle=None,  # approximate by construction; recall vs brute force is pytest-checked
+    oracle=_ANN_LSH_ORACLE,
     ops=("V2", "TXT-ann"),
     doc="Approximate top-10 cosine via random-hyperplane LSH (4 planes, "
     "multi-probe hamming≤1 → 5/16 of buckets probed) over a STORED index: "
@@ -234,7 +275,10 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str, n_planes: int, dim: int) -
     "to recompute its bucket. Plane count trades recall for scan "
     "fraction; random 64-dim data has near-orthogonal neighbors, so "
     "shallow planes + multiprobe is the right corner. Recall vs "
-    "q_knn_bruteforce is asserted in tests/test_operators.py.",
+    "q_knn_bruteforce is asserted in tests/test_operators.py.  The "
+    "md5-derived plane family makes even this APPROXIMATE query "
+    "hash-verifiable: the oracle replays the exact bucket/probe/score "
+    "computation in DuckDB (_duck_bucket_expr).",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from politician_etl_project_spark.operators.similarity import ann_lsh_indexed
@@ -245,16 +289,90 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_indexed(spark, index, qv, k=10, n_planes=4, dim=64)
 
 
+def _ivf_oracle(n_clusters: int = 8, n_iters: int = 2, n_probe: int = 4, dim: int = 64, k: int = 10) -> str:
+    """DuckDB replay of ivf_train_assign + ann_ivf, CTE per Lloyd step.
+
+    Exactness contract with the Spark side (operators/similarity.py):
+    seeds = first n_clusters vectors by id; squared distance is a
+    list-ordered fold of (x-y)*(x-y) (Spark F.aggregate ≡ DuckDB
+    list_sum over list_transform — same summation order); argmin ties
+    break on cluster id; recentring sums DECIMAL(27,10) exactly (order-
+    independent on both engines) then does ONE double division.  Every
+    float op therefore sees identical operands in identical order."""
+    dd = f"""list_sum(list_transform(range(1, {dim + 1}),
+        j -> (CAST(e.embedding[j] AS DOUBLE) - c.centroid[j])
+           * (CAST(e.embedding[j] AS DOUBLE) - c.centroid[j])))"""
+    ctes = [
+        f"""seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_clusters})
+)"""
+    ]
+    cent = "seeds"
+    for i in range(n_iters):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dd}, c.cluster) AS rn
+    FROM embeddings e, {cent} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""c{i} AS (
+  SELECT cluster, list(m ORDER BY d) AS centroid FROM (
+    SELECT a.cluster, d.range AS d,
+           CAST(SUM(CAST(a.embedding[d.range] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m
+    FROM a{i} a, range(1, {dim + 1}) d
+    GROUP BY a.cluster, d.range
+  ) GROUP BY cluster
+)""")
+        cent = f"c{i}"
+    ctes.append(f"""afin AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dd}, c.cluster) AS rn
+    FROM embeddings e, {cent} c
+  ) WHERE rn = 1
+)""")
+    qd = dd.replace("e.embedding", "q.qe")
+    ctes.append(f"""qv AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+)""")
+    ctes.append(f"""probe AS (
+  SELECT cluster FROM (
+    SELECT c.cluster, ROW_NUMBER() OVER (ORDER BY {qd}, c.cluster) AS rn
+    FROM {cent} c, qv q
+  ) WHERE rn <= {n_probe}
+)""")
+    body = f"""SELECT vec_id, score FROM (
+  SELECT a.vec_id,
+         ROUND(list_sum(list_transform(range(1, {dim + 1}),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                       i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))), 4) AS score
+  FROM afin a JOIN probe USING (cluster), qv q
+)
+ORDER BY score DESC, vec_id
+LIMIT {k}"""
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
 @declared_query(
     "q_ann_ivf",
-    oracle=None,  # approximate by construction; recall vs brute force pytest-checked
+    oracle=_ivf_oracle(),
     ops=("V2", "TXT-ann-ivf"),
     doc="Approximate top-10 cosine via IVF: deterministic mini k-means "
     "coarse quantizer (8 clusters, 2 Lloyd iterations — each iteration "
     "one broadcast cross join + argmin + 8-group mean), then probe the "
     "4 nearest inverted lists only. The second ANN scale path next to "
     "LSH (q_ann_lsh): IVF wins when the data clusters, LSH when it "
-    "doesn't. Recall + pruning asserted in tests/test_operators.py.",
+    "doesn't. Recall + pruning asserted in tests/test_operators.py.  "
+    "Hash-verifiable despite being approximate: seeds are the first "
+    "n_clusters ids, recentring is an exact decimal-sum mean, distances "
+    "are literal (x-y)*(x-y) folds — so the DuckDB oracle replays the "
+    "whole Lloyd loop bit-for-bit (_ivf_oracle).",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from politician_etl_project_spark.operators.similarity import ann_ivf, ivf_train_assign
