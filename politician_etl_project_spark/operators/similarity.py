@@ -130,6 +130,13 @@ def build_lsh_index(
     from politician_etl_project_spark.storage import write_partitioned
 
     bucketed = emb.withColumn("bucket", hyperplane_bits(vec_col, n_planes, dim))
+    if bucketed.isEmpty():
+        # a partitioned write of zero rows emits no data files at all, and
+        # a later read fails with UNABLE_TO_INFER_SCHEMA; an unpartitioned
+        # empty write keeps the schema (bucket column included), so probes
+        # still plan — they just read an empty relation
+        bucketed.write.mode("overwrite").parquet(path)
+        return
     write_partitioned(bucketed, path, ["bucket"])
 
 

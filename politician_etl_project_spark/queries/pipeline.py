@@ -275,13 +275,15 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         k = F.col("_keeper").cast("bigint")
+        # every SUM coalesced: over an EMPTY corpus SUM is NULL and the
+        # stage arithmetic below would crash on None - int
         n_raw, n_quality, n_exact, k_train, k_val, k_test = base.agg(
             F.count("*"),
-            F.sum(F.col("_q").cast("bigint")),
-            F.sum(k),
-            F.sum(F.when(F.col("_split") == "train", k).otherwise(F.lit(0))),
-            F.sum(F.when(F.col("_split") == "val", k).otherwise(F.lit(0))),
-            F.sum(F.when(F.col("_split") == "test", k).otherwise(F.lit(0))),
+            F.coalesce(F.sum(F.col("_q").cast("bigint")), F.lit(0)),
+            F.coalesce(F.sum(k), F.lit(0)),
+            F.coalesce(F.sum(F.when(F.col("_split") == "train", k).otherwise(F.lit(0))), F.lit(0)),
+            F.coalesce(F.sum(F.when(F.col("_split") == "val", k).otherwise(F.lit(0))), F.lit(0)),
+            F.coalesce(F.sum(F.when(F.col("_split") == "test", k).otherwise(F.lit(0))), F.lit(0)),
         ).first()
 
         # Job 2 — ONLY the near-dup drop chain.  The survivors' counts
