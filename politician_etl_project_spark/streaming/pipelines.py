@@ -229,3 +229,48 @@ def incremental_upsert_stream(
             log_update(batch_df.sparkSession, update_log, "events", n, notes=f"batch={batch_id}")
 
     run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user accumulator as :func:`user_running_totals`, on
+    the Spark 4 ``transformWithStateInPandas`` API (StatefulProcessor +
+    typed ValueState).  The modern surface matters at scale: typed state
+    cells support per-state TTL, multiple independent states per key,
+    timers, and schema evolution of state — none of which the legacy
+    ``applyInPandasWithState`` blob state offers.  Requires the RocksDB
+    state-store provider (tests set it; a real cluster should run RocksDB
+    anyway for state larger than executor heap) and the ``protobuf``
+    package for the Python↔JVM state protocol — absent in this container,
+    so the equivalence test import-skips (the legacy-API twin
+    :func:`user_running_totals` is fully tested here)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _USER_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=_USER_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -293,3 +293,48 @@ def test_foreachbatch_merge_into_partitioned_table(spark, tmp_path):
     got = sorted(tuple(r) for r in tbl.read().select("k", "congress", "v").collect())
     assert got == [(1, 118, 10), (2, 119, 21), (3, 119, 30)]
     assert set(os.listdir(str(tmp_path / "tbl" / "congress=118"))) == files_118
+
+
+def test_user_running_totals_transform_with_state(spark, staged_events, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) must produce
+    the same final per-user totals as the legacy applyInPandasWithState
+    accumulator and the batch groupBy."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf "
+        "(not shipped in this container; operator runs on a real cluster)",
+    )
+    from politician_etl_project_spark.streaming.pipelines import user_running_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = events_stream(spark, staged_events, max_files_per_trigger=1)
+        got = run_to_memory(
+            user_running_totals_tws(stream),
+            "tws_sink",
+            output_mode="update",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    last: dict[int, tuple] = {}
+    for r in got:
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    expected = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(last) == set(expected)
+    for uid, (n, total) in expected.items():
+        assert last[uid][0] == n
+        assert abs(last[uid][1] - total) < 1e-6
