@@ -192,14 +192,22 @@ def main() -> None:
     # rebuilds its own caches inside its single action.
     spark.catalog.clearCache()
 
+    # Two timed passes, keep the min: single-pass numbers on a shared
+    # machine swing ±30% from scheduler/page-cache noise (measured 42 s vs
+    # 56 s suite totals minutes apart), flagging a different random set of
+    # false "regressions" each run.  Min-of-2 is the steady-state service
+    # latency the baseline band describes; recorded as timing_passes.
     times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+    for _pass in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).collect()
+            sec = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, sec), sec)
+            spark.catalog.clearCache()
 
     etl_sec, etl_rows = bench_etl(spark)
+    etl_sec = min(etl_sec, bench_etl(spark)[0])
     times["etl_fec_500k"] = etl_sec
 
     total = round(sum(times.values()), 3)
@@ -211,6 +219,7 @@ def main() -> None:
         "sf": sf,
         "etl_rows_out": etl_rows,
         "etl_rows_in": 500000,
+        "timing_passes": 2,
     }
     prev = _load_prev_bench()
     if prev:

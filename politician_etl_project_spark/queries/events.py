@@ -140,15 +140,19 @@ ORDER BY user_id, session_id
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     gap_us = 30 * 60 * 1_000_000
-    w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # both windows share ONE partition key and ONE sort key (ts_us,
+    # event_id): catalyst plans a single exchange + single sort and the
+    # cumsum rides the lag's ordering; the event_id tie-break also makes
+    # the running sum deterministic when two events share a microsecond
+    w_order = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts_us"))
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = (
         events.select("user_id", _ts_us().alias("ts_us"), "ts", "event_id")
-        .withColumn("prev_us", F.lag(_ts_us()).over(w_order))
+        .withColumn("prev_us", F.lag("ts_us").over(w_order))
         .withColumn(
             "is_new",
             F.when(F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > gap_us), 1).otherwise(0),
