@@ -97,6 +97,7 @@ DRIVER_WINDOW = [
     "q_ngram_jaccard_pairs",
     "q_dup_clusters",
     "q_embed_dup_clusters",
+    "q_dedup_survivors",
     # source-family fixture queries (S1-S8/N1-N6 under the driver gate)
     "q_src_fec_csv",
     "q_src_votes_json",

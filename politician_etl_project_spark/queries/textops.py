@@ -459,6 +459,61 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
+_DEDUP_SURVIVORS_ORACLE = (
+    _DUP_CLUSTERS_ORACLE.replace(
+        """SELECT c.doc_id, c.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id) s
+  USING (cluster_id)
+ORDER BY doc_id""",
+        """SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source""",
+    )
+)
+
+
+@declared_query(
+    "q_dedup_survivors",
+    oracle=_DEDUP_SURVIVORS_ORACLE,
+    ops=("TXT-components", "TXT-minhash-lsh", "A6"),
+    doc="Cluster-policy dedup as a DATASET: keep exactly one document "
+    "(the minimum id) per near-dup connected component, everything "
+    "unclustered survives untouched; reported as per-source survivor "
+    "counts.  This is the end-to-end policy q_dup_clusters enables — "
+    "pair-level drop-the-larger-id (curation funnel) over-keeps on "
+    "chained templates; component-level keep-one does not.  One LSH "
+    "band shuffle + O(log^2 n) star rounds + a broadcast-size join "
+    "back to the corpus.",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.components import duplicate_clusters
+    from politician_etl_project_spark.operators.dedup import lsh_bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.array_distinct(tokens()).alias("toks"))
+    pairs = lsh_bucket_pairs(
+        toks, "doc_id", n_hashes=4, rows_per_band=2, max_bucket=_CAP,
+        tokens_col="toks", min_jaccard=0.80,
+    )
+    clusters = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    survives = F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .join(clusters, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(survives, 1).otherwise(0)).cast("bigint").alias("n_survivors"),
+        )
+        .orderBy("source")
+    )
+
+
 @declared_query(
     "q_ngram_jaccard_pairs",
     oracle=_NGRAM_JACCARD_ORACLE,
