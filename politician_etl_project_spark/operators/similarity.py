@@ -140,6 +140,47 @@ def build_lsh_index(
     write_partitioned(bucketed, path, ["bucket"])
 
 
+def extend_lsh_index(
+    spark,
+    index_path: str,
+    new_emb: DataFrame,
+    n_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    validate_new: bool = True,
+) -> None:
+    """Incremental index maintenance: append NEW vectors to a stored LSH
+    index, rewriting only the bucket partitions the batch lands in
+    (partition-scoped MERGE via ParquetUpsertTable) — a 100-vector batch
+    against a billion-vector index touches ≤ 100 directories, not the
+    index.
+
+    Contract: incoming ids must be NEW.  A *changed* embedding can move
+    to a different hyperplane bucket, and removing it from its old bucket
+    would require scanning every partition (the old bucket is unknown) —
+    exactly the pruning this layout exists to keep.  Production systems
+    handle re-embeds with delete bitmaps or periodic rebuild; here
+    ``validate_new=True`` enforces the contract with one column-pruned id
+    scan (flip it off when id discipline — e.g. monotonically growing doc
+    ids — makes the check redundant at scale)."""
+    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+
+    bucketed = new_emb.withColumn("bucket", hyperplane_bits(vec_col, n_planes, dim))
+    if validate_new:
+        existing = spark.read.parquet(index_path).select(id_col)
+        clash = existing.join(bucketed.select(id_col), id_col, "semi").limit(1).collect()
+        if clash:
+            raise ValueError(
+                f"extend_lsh_index: id {clash[0][id_col]} already indexed — "
+                "changed embeddings need a rebuild (bucket may move), not an extend"
+            )
+    table = ParquetUpsertTable(
+        spark, index_path, keys=["bucket", id_col], partition_cols=["bucket"]
+    )
+    table.upsert(bucketed, update_wins=True)
+
+
 def ann_lsh_indexed(
     spark,
     index_path: str,

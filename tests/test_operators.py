@@ -191,3 +191,68 @@ def test_compact_merges_small_files(spark, tmp_path):
     assert reported == before
     assert after == 1
     assert tbl.read().count() == 40
+
+
+def test_extend_lsh_index_partition_scoped(spark, tmp_path):
+    """Incremental ANN index maintenance: extending with new vectors must
+    (1) leave untouched bucket partitions' files physically alone,
+    (2) yield exactly the index a from-scratch rebuild would, and
+    (3) refuse already-indexed ids (changed embeddings can move buckets)."""
+    import os
+
+    from politician_etl_project_spark.operators.similarity import (
+        build_lsh_index,
+        extend_lsh_index,
+        hyperplane_bits,
+    )
+
+    def vec(seed: int):
+        # deterministic spread over buckets
+        return [((seed * 31 + d * 7) % 13 - 6) / 6.0 for d in range(8)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(base, path, n_planes=2, dim=8)
+
+    new = spark.createDataFrame(
+        [(100 + i, vec(100 + i)) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    new_buckets = {
+        r["bucket"]
+        for r in new.withColumn("bucket", hyperplane_bits("embedding", 2, 8))
+        .select("bucket").distinct().collect()
+    }
+    untouched = [b for b in range(4) if b not in new_buckets]
+    assert untouched, "fixture must leave at least one bucket untouched"
+    before = {
+        b: sorted(os.listdir(os.path.join(path, f"bucket={b}")))
+        for b in untouched
+        if os.path.isdir(os.path.join(path, f"bucket={b}"))
+    }
+
+    extend_lsh_index(spark, path, new, n_planes=2, dim=8)
+
+    after = {
+        b: sorted(os.listdir(os.path.join(path, f"bucket={b}")))
+        for b in before
+    }
+    assert after == before  # untouched partitions not rewritten
+
+    rebuilt_path = str(tmp_path / "idx_rebuild")
+    build_lsh_index(base.unionByName(new), rebuilt_path, n_planes=2, dim=8)
+    got = {
+        (r["vec_id"], r["bucket"])
+        for r in spark.read.parquet(path).select("vec_id", "bucket").collect()
+    }
+    want = {
+        (r["vec_id"], r["bucket"])
+        for r in spark.read.parquet(rebuilt_path).select("vec_id", "bucket").collect()
+    }
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already indexed"):
+        extend_lsh_index(spark, path, new, n_planes=2, dim=8)
