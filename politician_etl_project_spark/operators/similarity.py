@@ -338,6 +338,78 @@ def _assign(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> 
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> None:
+    """Materialize IVF as a STORED index: vectors directory-partitioned
+    by their inverted list (`cluster=` dirs) plus the trained centroids
+    as a tiny sibling parquet.  A probe then reads n_probe/n_clusters of
+    the FILES — partition pruning at planning time — instead of
+    re-training the quantizer and scanning the corpus per query
+    (the stored twin of :func:`ann_ivf`, same relationship
+    :func:`build_lsh_index` has to :func:`ann_lsh`)."""
+    assigned, centroids = ivf_train_assign(
+        emb, n_clusters=n_clusters, n_iters=n_iters, vec_col=vec_col, id_col=id_col, dim=dim
+    )
+    from politician_etl_project_spark.storage import write_partitioned
+
+    lists = assigned.select(id_col, vec_col, "cluster")
+    if lists.isEmpty():
+        lists.write.mode("overwrite").parquet(f"{path}/lists")
+    else:
+        write_partitioned(lists, f"{path}/lists", ["cluster"])
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_ivf_indexed(
+    spark,
+    index_path: str,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a stored IVF index: rank the (tiny, driver-collected)
+    centroid set against the query, then scan ONLY the n_probe nearest
+    `cluster=` partitions via an IN-list that folds into the scan's
+    PartitionFilters (plan-asserted).  Same results as :func:`ann_ivf`
+    over the same quantizer; I/O proportional to n_probe/n_clusters."""
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe_rows = (
+        centroids.crossJoin(F.broadcast(query_vec))
+        .select("cluster", d2.alias("d2"))
+        .orderBy("d2", "cluster")
+        .limit(n_probe)
+        .collect()
+    )
+    probes = [r["cluster"] for r in probe_rows]
+    lists = spark.read.parquet(f"{index_path}/lists").filter(
+        F.col("cluster").isin(probes) if probes else F.lit(False)
+    )
+    return (
+        lists.crossJoin(F.broadcast(query_vec))
+        .select(F.col(id_col), F.round(cosine(vec_col, "q"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_ivf(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -375,12 +375,45 @@ LIMIT {k}"""
     "whole Lloyd loop bit-for-bit (_ivf_oracle).",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from politician_etl_project_spark.operators.similarity import ann_ivf, ivf_train_assign
+    from politician_etl_project_spark.operators.similarity import ann_ivf_indexed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_train_assign(emb, n_clusters=8, n_iters=2)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return ann_ivf(assigned, centroids, qv, k=10, n_probe=4)
+    index = _ivf_index_path(spark, sf_dir, n_clusters=8, n_iters=2)
+    return ann_ivf_indexed(spark, index, qv, k=10, n_probe=4)
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str, n_clusters: int, n_iters: int) -> str:
+    """Build-once stored IVF index per corpus (same pattern and staleness
+    fingerprint as _lsh_index_path): trained lists partitioned by
+    cluster + centroids parquet, built atomically via staging+rename."""
+    import hashlib
+    import os
+    import tempfile
+
+    from politician_etl_project_spark.operators.similarity import build_ivf_index
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "unknown"
+    key = hashlib.md5(
+        f"{sf_dir}|{n_clusters}|{n_iters}|{fp}|v{_LSH_FAMILY_VERSION}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    if not os.path.isdir(path):
+        staging = f"{path}.building-{os.getpid()}"
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ivf_index(emb, staging, n_clusters=n_clusters, n_iters=n_iters)
+        try:
+            os.rename(staging, path)
+        except OSError:  # another process won the race; theirs is identical
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
 
 
 _EMBED_CLUSTERS_ORACLE = f"""

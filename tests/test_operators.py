@@ -256,3 +256,34 @@ def test_extend_lsh_index_partition_scoped(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already indexed"):
         extend_lsh_index(spark, path, new, n_planes=2, dim=8)
+
+
+def test_ivf_indexed_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """Stored IVF index: probe results must equal the inline ann_ivf over
+    the same quantizer, and the probed scan must plan with
+    PartitionFilters on the cluster directories."""
+    import contextlib
+    import io
+
+    from politician_etl_project_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_indexed,
+        build_ivf_index,
+        ivf_train_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_clusters=8, n_iters=2)
+
+    got = ann_ivf_indexed(spark, path, qv, k=10, n_probe=4)
+    assigned, centroids = ivf_train_assign(emb, n_clusters=8, n_iters=2)
+    want = ann_ivf(assigned, centroids, qv, k=10, n_probe=4)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster" in plan, plan
