@@ -83,6 +83,7 @@ DRIVER_WINDOW = [
     "q_corpus_stats",
     "q_train_shuffle",
     "q_corpus_mixture",
+    "q_funnel_clusters",
     "q_asof_join",
     "q_range_join",
     "q_window_rank",

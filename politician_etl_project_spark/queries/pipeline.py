@@ -458,3 +458,96 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Cluster-policy funnel: shares every CTE with _FUNNEL_ORACLE up to the
+# candidate pairs, then contracts pairs to components instead of dropping
+# the larger id of each pair.
+_FUNNEL_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _FUNNEL_ORACLE.split("WITH ", 1)[1].split("), drops AS")[0]
+    + """), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
+                              list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))) AS ni,
+           len(list_distinct(regexp_split_to_array(trim(text_a), '\\s+'))) AS na,
+           len(list_distinct(regexp_split_to_array(trim(text_b), '\\s+'))) AS nb
+    FROM cand
+  ) WHERE CAST(ni AS DOUBLE) / greatest(na + nb - ni, 1) >= 0.80
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), walk(n, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, w.r FROM walk w JOIN edges e ON e.u = w.n
+), comp AS (
+  SELECT n AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY n
+)
+SELECT split,
+       COUNT(*) AS n_keepers,
+       CAST(SUM(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = k.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM exact
+) k LEFT JOIN comp c ON c.doc_id = k.doc_id
+GROUP BY split
+ORDER BY split"""
+)
+
+
+@declared_query(
+    "q_funnel_clusters",
+    oracle=_FUNNEL_CLUSTERS_ORACLE,
+    ops=("PIPE-funnel", "TXT-components", "TXT-minhash-lsh", "PIPE-split"),
+    doc="The curation funnel's near-dup stage under the CLUSTER policy: "
+    "quality gate -> exact dedup -> capped LSH pairs -> connected "
+    "components -> keep one doc (the component minimum) per cluster, "
+    "reported per split.  The pair policy q_curation_funnel uses (drop "
+    "the larger id of each verified pair) over-keeps on chained "
+    "templates A~B~C where A!~C; component contraction does not — this "
+    "query quantifies that gap per split.  Same plan as the funnel plus "
+    "O(log^2 n) bounded star rounds.",
+)
+def q_funnel_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.components import duplicate_clusters
+    from politician_etl_project_spark.operators.dedup import fingerprint, lsh_bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens())
+    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and)\b"))
+    is_q = (n_tokens >= 30) & (
+        stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.02
+    )
+    bucket = F.expr(_SPARK_HASH) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    keepers = (
+        docs.filter(is_q)
+        .select("doc_id", "text", fingerprint("text").alias("_fp"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", split.alias("split"), F.array_distinct(tokens()).alias("toks"))
+    )
+    pairs = lsh_bucket_pairs(
+        keepers, "doc_id", n_hashes=4, rows_per_band=2, max_bucket=32,
+        tokens_col="toks", min_jaccard=0.80,
+    )
+    clusters = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    survives = F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    return (
+        keepers.select("doc_id", "split")
+        .join(clusters, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_keepers"),
+            F.sum(F.when(survives, 1).otherwise(0)).cast("bigint").alias("n_survivors"),
+        )
+        .orderBy("split")
+    )
