@@ -67,7 +67,9 @@ DRIVER_WINDOW = [
     "q_knn_with_metadata",  # V3
     "q_media_pixel_stats",  # D3
     "q_frame_sample",  # D4
-    # LLM-data-pipeline operators
+    # LLM-data-pipeline operators — one per family, trimmed so slot 50
+    # still closes over temporal + skew (r02 additions displaced three
+    # redundant-family entries to 51+)
     "q_dedup_exact",
     "q_minhash_signatures",
     "q_near_dup_pairs_capped",
@@ -77,19 +79,20 @@ DRIVER_WINDOW = [
     "q_ann_ivf",
     "q_token_stats",
     "q_hash_split",
-    "q_stratified_sample",
     "q_sequence_packing",
     "q_curation_funnel",
-    "q_corpus_stats",
     "q_train_shuffle",
     "q_corpus_mixture",
-    "q_funnel_clusters",
+    "q_dup_clusters",
     "q_asof_join",
     "q_range_join",
-    "q_window_rank",
     "q_salted_agg",
-    # 51+: endpoint shapes (VERDICT item 7) — first in line if the driver
-    # checks more than 50 entries
+    # 51+: redundant-family + endpoint shapes — first in line if the
+    # driver checks more than 50 entries
+    "q_window_rank",
+    "q_stratified_sample",
+    "q_corpus_stats",
+    "q_funnel_clusters",
     "q_list_endpoint_page",
     "q_entity_navigation",
     "q_child_roster_page",
