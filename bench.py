@@ -211,6 +211,23 @@ def main() -> None:
     times["etl_fec_500k"] = etl_sec
 
     total = round(sum(times.values()), 3)
+    # The driver records only the LAST 2000 bytes of stdout (BENCH_r02
+    # lesson: a single ~2.5 KB line got front-clipped → parsed: null), so
+    # the regression map goes on its own EARLIER line and the headline
+    # summary — compact-separated, ~1.5 KB at 48 queries — prints LAST.
+    prev = _load_prev_bench()
+    if prev:
+        delta = {
+            n: round(times[n] / prev["queries"][n], 2)
+            for n in times
+            if prev["queries"].get(n)
+        }
+        print(
+            json.dumps(
+                {"delta_vs_prev": delta, "prev_round": prev["_round"]},
+                separators=(",", ":"),
+            )
+        )
     out = {
         "metric": "headline_query_suite_total",
         "value": total,
@@ -221,15 +238,12 @@ def main() -> None:
         "etl_rows_in": 500000,
         "timing_passes": 2,
     }
-    prev = _load_prev_bench()
-    if prev:
-        out["delta_vs_prev"] = {
-            n: round(times[n] / prev["queries"][n], 2)
-            for n in times
-            if prev["queries"].get(n)
-        }
-        out["prev_round"] = prev["_round"]
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # never let the summary line outgrow the capture
+        slim = dict(out, queries={n: times[n] for n in sorted(times, key=times.get, reverse=True)[:40]})
+        slim["queries_truncated_to_slowest"] = 40
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
@@ -239,35 +253,35 @@ def _load_prev_bench() -> dict | None:
     import re
 
     root = Path(__file__).resolve().parent
-    best = None
+    rounds = []
     for p in root.glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
         if m:
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, p)
-    if best is None:
-        return None
-    try:
-        data = json.loads(best[1].read_text())
-    except (OSError, json.JSONDecodeError):
-        return None
-    if not isinstance(data.get("queries"), dict) and isinstance(data.get("tail"), str):
-        # driver wrapper format: our JSON line is embedded in the captured stdout
-        for line in reversed(data["tail"].splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                try:
-                    inner = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if isinstance(inner.get("queries"), dict):
-                    data = inner
-                    break
-    if not isinstance(data.get("queries"), dict):
-        return None
-    data["_round"] = best[0]
-    return data
+            rounds.append((int(m.group(1)), p))
+    # newest parseable round wins — a clipped/unparseable artifact (r02's
+    # front-truncated tail) falls back to the previous round instead of
+    # silently dropping the regression axis
+    for n, p in sorted(rounds, reverse=True):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data.get("queries"), dict) and isinstance(data.get("tail"), str):
+            # driver wrapper format: our JSON line is embedded in the captured stdout
+            for line in reversed(data["tail"].splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        inner = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if isinstance(inner.get("queries"), dict):
+                        data = inner
+                        break
+        if isinstance(data.get("queries"), dict):
+            data["_round"] = n
+            return data
+    return None
 
 
 if __name__ == "__main__":

@@ -67,3 +67,75 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# --- JDBC twin (SURVEY §2.1 S9) --------------------------------------------
+# The reference reads/writes Postgres through pooled SQLAlchemy sessions
+# (app/database.py:25-45) and psycopg2 batch inserts
+# (scripts/ingest_fec_links.py:63).  The Spark-first equivalent is the
+# built-in JDBC source: the SAME load_table interface, but the scan happens
+# on executors with predicate pushdown into the database and
+# partition-parallel reads.  No JDBC driver jar ships in this container,
+# so connecting is environment-gated — but the option construction (the
+# part that encodes the scale decisions) is plain code, unit-tested
+# without a database.
+
+
+def jdbc_scan_options(
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    fetch_size: int = 10_000,
+    driver: str | None = None,
+) -> dict[str, str]:
+    """Build the option map for a partition-parallel JDBC scan.
+
+    Scale contract: without ``partition_column`` a JDBC read is ONE
+    executor pulling the whole table through one cursor — fine for dims,
+    fatal for facts.  With (column, bounds, n) Spark issues n range
+    predicates and reads in parallel; ``fetch_size`` keeps the cursor
+    streaming instead of buffering the table driver-side (psycopg2's
+    itersize analog).
+    """
+    if not url.startswith("jdbc:"):
+        raise ValueError(f"JDBC url must start with 'jdbc:': {url!r}")
+    opts = {"url": url, "dbtable": table, "fetchsize": str(fetch_size)}
+    if driver:
+        opts["driver"] = driver
+    elif url.startswith("jdbc:postgresql:"):
+        opts["driver"] = "org.postgresql.Driver"
+    bounds = (partition_column, lower_bound, upper_bound)
+    if any(b is not None for b in bounds):
+        if any(b is None for b in bounds):
+            raise ValueError(
+                "partition_column, lower_bound and upper_bound must be set together"
+            )
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def load_table_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    **kwargs,
+) -> DataFrame:
+    """JDBC-backed twin of :func:`load_table` — same lazy-DataFrame
+    interface, database scan instead of parquet.  Catalyst pushes filters
+    and projections into the generated SQL (`PushedFilters` in explain),
+    so downstream queries behave identically.  Requires the driver jar on
+    the classpath (spark.jars / --packages); see :func:`jdbc_scan_options`
+    for the partition-parallel scan contract."""
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_scan_options(url, table, **kwargs).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -19,6 +19,9 @@ first-class ``array<float>`` column and search is a Spark job:
   for the entity-resolution join when native levenshtein isn't enough.
 """
 
+import functools
+import hashlib
+
 import pandas as pd  # noqa: F401  (module-level so pandas_udf type hints resolve)
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -66,21 +69,51 @@ def knn_bruteforce(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
-def hyperplane_bits(vec_col: str, n_planes: int, dim: int) -> Column:
-    """Sign-bit bucket id from deterministic pseudo-random hyperplanes.
-
-    Plane p's component d = (md5-derived int of 'p|d') scaled to [-1, 1].
-    Everything is expression-level: the plane family needs no driver-side
-    state, no broadcast, and is identical on every executor."""
-    terms = []
-    for p in range(n_planes):
-        comps = " + ".join(
-            f"(cast(conv(substring(md5('{p}|{d}'), 1, 8), 16, 10) as double) / 2147483647.5 - 1.0)"
-            f" * cast(element_at({vec_col}, {d + 1}) as double)"
+@functools.lru_cache(maxsize=32)
+def _plane_family(n_planes: int, dim: int) -> tuple[tuple[float, ...], ...]:
+    """Plane p's component d = (md5-derived int of 'p|d') scaled to [-1, 1]
+    — computed driver-side in IEEE-754 double, bit-identical to the SQL
+    `conv(substring(md5('p|d'),1,8),16,10)/2147483647.5 - 1.0` the DuckDB
+    oracle replays (pinned by test_hyperplane_family_matches_sql)."""
+    return tuple(
+        tuple(
+            int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16) / 2147483647.5
+            - 1.0
             for d in range(dim)
         )
-        terms.append(f"(case when ({comps}) >= 0 then {1 << p} else 0 end)")
-    return F.expr(" + ".join(terms)).cast("int")
+        for p in range(n_planes)
+    )
+
+
+def hyperplane_bits(vec_col: str | Column, n_planes: int, dim: int) -> Column:
+    """Sign-bit bucket id from deterministic pseudo-random hyperplanes.
+
+    The plane family ships as ONE nested-array literal (a single Catalyst
+    Literal node) folded with zip_with + aggregate, so the expression tree
+    is O(n_planes) regardless of dim — at the reference's real vector
+    width (1536-dim, scripts/hydrate_vectors.py:98-106) × 16 planes the
+    previous generated-SQL form was a ~25k-term expression, codegen-blowup
+    territory.  Dot products left-fold in dimension order, matching the
+    literal `+` chain the DuckDB oracle uses, so bucket signs are
+    bit-for-bit reproducible (q_ann_lsh's hash oracle depends on this).
+    No driver-side state beyond the literal; identical on every executor."""
+    vec = F.slice(F.col(vec_col) if isinstance(vec_col, str) else vec_col, 1, dim)
+    planes = F.lit([list(row) for row in _plane_family(n_planes, dim)])
+
+    def _dot(plane: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(plane, vec, lambda a, b: a * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = F.transform(
+        planes,
+        lambda plane, i: F.when(
+            _dot(plane) >= 0, F.pow(F.lit(2.0), i.cast("double"))
+        ).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(bits, F.lit(0.0), lambda acc, v: acc + v).cast("int")
 
 
 def ann_lsh(

@@ -26,14 +26,70 @@ import os
 
 from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, declared_query
 
-# First slots = driver verification window.  Composition: the 17 r01
-# hash-fails, then the never-driver-checked §2 ops (VERDICT item 3), then
-# one query per LLM-pipeline operator (dedup/LSH/ANN/multimodal/temporal/
-# streaming-shape/windows/skew).  Everything not listed keeps declaration
-# order after these.
+# First slots = driver verification window (the driver checks entries
+# [:50] per round).  Round-3 composition: the 35 queries that have never
+# had a driver CORRECTNESS row (r1 and r2 windows were disjoint 50s), then
+# 15 sentinels from already-green families — biased toward code modified
+# this round so regressions surface.  Everything not listed keeps
+# declaration order after these (all were driver-green in r1).
 DRIVER_WINDOW = [
-    # r01 hash-fails (decimal/hugeint rendering) — must flip to green
+    # Slots 1-35: every query never driver-checked in r1/r2 (VERDICT r02
+    # item 1) — source oracles, windows family, text/dedup variants,
+    # rollup/cube/percentiles/sketches, endpoint pagination shapes.
+    "q_src_fec_csv",
+    "q_src_votes_json",
+    "q_src_bills_xml",
+    "q_src_committees_yaml",
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_window_running_sum",
+    "q_window_moving_avg",
+    "q_window_ntile",
+    "q_sliding_window",
+    "q_session_windows",
+    "q_text_quality",
+    "q_lang_id",
+    "q_near_dup_pairs",
+    "q_simhash",
+    "q_rolling_fingerprint",
+    "q_bpe_token_count",
+    "q_tfidf_top_terms",
+    "q_ngram_jaccard_pairs",
+    "q_repetition_filter",
+    "q_decontamination",
+    "q_stratified_sample",
+    "q_corpus_stats",
+    "q_label_centroid",
+    "q_embed_dup_clusters",
+    "q_dedup_survivors",
+    "q_funnel_clusters",
+    "q_media_metadata",
+    "q_rollup_hierarchy",
+    "q_cube_matrix",
+    "q_percentiles",
+    "q_approx_sketches",
+    "q_list_endpoint_page",
+    "q_entity_navigation",
+    "q_child_roster_page",
+    # Slots 36-50: sentinels from driver-green families, biased toward
+    # code touched in round 3 (ANN hyperplane fix, funnel/cluster rework).
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_knn_bruteforce",
+    "q_curation_funnel",
+    "q_dup_clusters",
+    "q_near_dup_pairs_capped",
+    "q_dedup_exact",
+    "q_simhash_near_pairs",
     "q01_pricing_summary",
+    "q_asof_join",
+    "q_salted_agg",
+    "q_event_dedup",
+    "q_json_extract",
+    "q_train_shuffle",
+    "q_media_pixel_stats",
+    # 51+: previously driver-green shapes — first in line if the driver
+    # ever checks more than 50 entries.
     "q06_forecast_revenue",
     "q07_nation_volume",
     "q08_market_share",
@@ -50,63 +106,25 @@ DRIVER_WINDOW = [
     "q_monthly_timeline",
     "q_pct_of_total",
     "q_pagination",
-    # §2 ops with no r01 driver row (VERDICT item 3)
-    "q_junction_hierarchy",  # J3-J5
-    "q_broadcast_lookup",  # J7/J11
-    "q_multikey_sort",  # O1
-    "q_limit1_probe",  # O5
-    "q_name_split_map",  # F4/F5
-    "q_date_roundtrip",  # F7
-    "q_json_extract",  # N7
-    "q_surrogate_ids",  # S18
-    "q_watermark_cutoff",  # T1/T2
-    "q_tumbling_window",  # T3
-    "q_event_dedup",  # T6
-    "q_vector_norms",  # V1
-    "q_knn_bruteforce",  # V2
-    "q_knn_with_metadata",  # V3
-    "q_media_pixel_stats",  # D3
-    "q_frame_sample",  # D4
-    # LLM-data-pipeline operators — one per family, trimmed so slot 50
-    # still closes over temporal + skew (r02 additions displaced three
-    # redundant-family entries to 51+)
-    "q_dedup_exact",
+    "q_junction_hierarchy",
+    "q_broadcast_lookup",
+    "q_multikey_sort",
+    "q_limit1_probe",
+    "q_name_split_map",
+    "q_date_roundtrip",
+    "q_surrogate_ids",
+    "q_watermark_cutoff",
+    "q_tumbling_window",
+    "q_vector_norms",
+    "q_knn_with_metadata",
+    "q_frame_sample",
     "q_minhash_signatures",
-    "q_near_dup_pairs_capped",
-    "q_simhash_near_pairs",
     "q_embed_near_dup",
-    "q_ann_lsh",
-    "q_ann_ivf",
     "q_token_stats",
     "q_hash_split",
     "q_sequence_packing",
-    "q_curation_funnel",
-    "q_train_shuffle",
     "q_corpus_mixture",
-    "q_dup_clusters",
-    "q_asof_join",
     "q_range_join",
-    "q_salted_agg",
-    # 51+: redundant-family + endpoint shapes — first in line if the
-    # driver checks more than 50 entries
-    "q_window_rank",
-    "q_stratified_sample",
-    "q_corpus_stats",
-    "q_funnel_clusters",
-    "q_list_endpoint_page",
-    "q_entity_navigation",
-    "q_child_roster_page",
-    "q_decontamination",
-    "q_repetition_filter",
-    "q_ngram_jaccard_pairs",
-    "q_dup_clusters",
-    "q_embed_dup_clusters",
-    "q_dedup_survivors",
-    # source-family fixture queries (S1-S8/N1-N6 under the driver gate)
-    "q_src_fec_csv",
-    "q_src_votes_json",
-    "q_src_bills_xml",
-    "q_src_committees_yaml",
 ]
 
 _ORACLE_TABLES = (

@@ -434,28 +434,55 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared_query(
     "q_approx_sketches",
-    oracle=None,  # sketch outputs are engine-specific; tolerance pytest-checked
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       TRUE AS hll_ok,
+       TRUE AS median_ok
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
     ops=("AGG-approx",),
     doc="Sketch aggregates for 100 TB interactive analytics: HLL++ "
     "approx_count_distinct and KLL-style approx_percentile per segment. "
-    "Deterministic for a fixed dataset (merge is order-independent) but "
-    "engine-specific, so the check is a tolerance test vs exact values "
-    "(tests/test_operators.py::test_approx_sketches_within_tolerance) "
-    "rather than a DuckDB hash. At scale these replace exact "
-    "countDistinct/percentile: fixed-size state, single pass, mergeable.",
+    "Raw sketch outputs are engine-specific (DuckDB's HLL disagrees with "
+    "Spark's in the last few counts), so the hash-verifiable surface is "
+    "the TOLERANCE CONTRACT: the query emits exact n_orders/n_customers "
+    "plus booleans asserting the sketch landed within its error bound "
+    "(HLL within 3x its 2% rsd of exact; approx-median between the exact "
+    "p45/p55), and the oracle emits the same exact values with literal "
+    "TRUEs — so the driver hash fails exactly when a sketch drifts out "
+    "of tolerance.  Raw sketch values are additionally pinned by "
+    "tests/test_operators.py::test_approx_sketches_within_tolerance. "
+    "At scale these replace exact countDistinct/percentile: fixed-size "
+    "state, single pass, mergeable.",
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    price = F.col("o_totalprice").cast("double")
     return (
         joined.groupBy("c_mktsegment")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.percentile_approx(F.col("o_totalprice").cast("double"), 0.5, 10000).alias(
-                "approx_median"
-            ),
             F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_ac"),
+            F.percentile_approx(price, 0.5, 10000).alias("_am"),
+            F.expr("percentile(cast(o_totalprice as double), 0.45)").alias("_p45"),
+            F.expr("percentile(cast(o_totalprice as double), 0.55)").alias("_p55"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "n_customers",
+            (
+                F.abs(F.col("_ac") - F.col("n_customers"))
+                <= 0.06 * F.col("n_customers")
+            ).alias("hll_ok"),
+            F.col("_am").between(F.col("_p45"), F.col("_p55")).alias("median_ok"),
         )
         .orderBy("c_mktsegment")
     )

@@ -150,8 +150,12 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL_ORACLE = """
-WITH quality AS (
+# Shared funnel CTE prefix (quality gate → exact dedup → MinHash sigs →
+# capped LSH bands → candidate pairs).  Both funnel oracles compose from
+# this NAMED constant — the clusters oracle was previously derived from
+# _FUNNEL_ORACLE by string surgery (split on a marker), which silently
+# corrupted the derived SQL on any benign formatting edit (ADVICE r02).
+_FUNNEL_PREFIX_CTES = """quality AS (
   SELECT doc_id, text
   FROM documents
   WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 30
@@ -185,15 +189,31 @@ WITH quality AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.text AS text_a, r.text AS text_b
   FROM bands l JOIN bands r
     ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-), drops AS (
-  SELECT DISTINCT id_b FROM (
+)"""
+
+# Verified-pair CTE over `cand` — DECIMAL(18,4)/DECIMAL(18,6) comparator,
+# the SAME fixed-point form operators/dedup.jaccard() and the sibling
+# _DUP_CLUSTERS_ORACLE (textops.py) use, so every jaccard threshold in
+# the repo shares one rounding contract (ADVICE r02: the previous DOUBLE
+# form could diverge from the engine within ~5e-7 of the threshold).
+_FUNNEL_PAIRS_CTE = """pairs AS (
+  SELECT id_a, id_b FROM (
     SELECT id_a, id_b,
            len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
                               list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))) AS ni,
            len(list_distinct(regexp_split_to_array(trim(text_a), '\\s+'))) AS na,
            len(list_distinct(regexp_split_to_array(trim(text_b), '\\s+'))) AS nb
     FROM cand
-  ) WHERE CAST(ni AS DOUBLE) / greatest(na + nb - ni, 1) >= 0.80
+  ) WHERE CAST(CAST(ni AS DECIMAL(18,4)) / greatest(na + nb - ni, 1) AS DECIMAL(18,6)) >= 0.80
+)"""
+
+_FUNNEL_ORACLE = (
+    "WITH "
+    + _FUNNEL_PREFIX_CTES
+    + ", "
+    + _FUNNEL_PAIRS_CTE
+    + """, drops AS (
+  SELECT DISTINCT id_b FROM pairs
 ), final AS (
   SELECT doc_id FROM exact WHERE doc_id NOT IN (SELECT id_b FROM drops)
 )
@@ -211,6 +231,51 @@ SELECT stage, n_docs FROM (
 )
 ORDER BY stage
 """
+)
+
+
+# --- shared funnel stages (Spark side) -------------------------------------
+# One definition of the quality gate / split label / exact-dedup keeper for
+# BOTH funnel policies, mirroring how both oracles compose _FUNNEL_PREFIX_CTES
+# — a drifted predicate between the two queries would silently change one
+# funnel's population but not the other's.
+
+
+def _funnel_quality() -> "F.Column":
+    """Quality gate: ≥30 tokens and ≥2% stopword hits."""
+    n_tokens = F.size(tokens())
+    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and)\b"))
+    return (n_tokens >= 30) & (
+        stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.02
+    )
+
+
+def _funnel_split() -> "F.Column":
+    """Deterministic 80/10/10 split label from the doc-id hash."""
+    bucket = F.expr(_SPARK_HASH) % 100
+    return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+
+def _funnel_keepers(docs: DataFrame) -> DataFrame:
+    """Quality rows surviving exact dedup (min doc_id per fingerprint),
+    with their split label and distinct-token array — the input both
+    near-dup policies (pair drops / component contraction) feed to the
+    SAME lsh_bucket_pairs band-shuffle stage (plan-asserted single band
+    exchange in tests/test_plans.py)."""
+    from politician_etl_project_spark.operators.dedup import fingerprint
+
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    return (
+        docs.filter(_funnel_quality())
+        .select("doc_id", "text", fingerprint("text").alias("_fp"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            _funnel_split().alias("split"),
+            F.array_distinct(tokens()).alias("toks"),
+        )
+    )
 
 
 @declared_query(
@@ -236,31 +301,31 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    # TWO Spark jobs total (was five): with ~10 shuffle stages the wall
-    # time of this 7-row report is pure stage-scheduling overhead, so the
-    # design goal is minimum job/stage count at identical semantics.
+    # ONE Spark job total (r1: five, r2: two): with ~10 shuffle stages
+    # the wall time of this 7-row report is pure job/stage-scheduling
+    # overhead, so the design goal is minimum job count at identical
+    # semantics.  The stage-count branch and the near-dup drop branch
+    # are UNIONed into one action over a persisted base.  Column pruning
+    # gives the branches different scan projections, so ReuseExchange
+    # can NOT dedupe them (measured: the uncached union scans the corpus
+    # twice and runs 1.64 s); the cache is what both branches share.
+    # The union races both branches into the not-yet-populated cache —
+    # some narrow compute duplicates before blocks land — but the
+    # duplicated work runs in the same job wave on otherwise-idle cores:
+    # measured 1.19 s vs 1.45 s for r2's two serialized actions
+    # (cache-materializing agg, then drops) at sf0.1 on local[32].
     #
-    # Job 1 — one cached pass over the corpus computes stage counts 1-3
-    # as conditional aggregates: quality is a flag (not a separate
-    # filtered frame), the exact-dedup keeper is a row_number over
-    # (quality, fingerprint) — non-quality rows can never be keepers
-    # because the keeper predicate requires the flag.  The agg action
-    # doubles as the cache materialization, so downstream branches read
-    # the cache instead of racing to populate it (measured round 1: a
-    # lazy persist under concurrent union branches recomputed the full
-    # lineage per branch).
+    # Branch 1 — stage counts 1-3 as conditional aggregates: quality is
+    # a flag (not a separate filtered frame), the exact-dedup keeper is
+    # a row_number over (quality, fingerprint) — non-quality rows can
+    # never be keepers because the keeper predicate requires the flag.
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(tokens())
-    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and)\b"))
-    is_q = (n_tokens >= 30) & (
-        stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.02
-    )
-    bucket = F.expr(_SPARK_HASH) % 100
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    is_q = _funnel_quality()
+    split = _funnel_split()
     w = Window.partitionBy("_q", "_fp").orderBy("doc_id")
-    # The cache holds exactly what job 2 re-reads: flags + the keeper's
-    # distinct-token array (tokenized once, here; NULL for non-keepers so
-    # the cached frame stays lean).
+    # The cache holds exactly what the branches re-read: flags + the
+    # keeper's distinct-token array (tokenized once; NULL for
+    # non-keepers so the cached frame stays lean).
     base = (
         docs.select("doc_id", "text", is_q.alias("_q"), fingerprint("text").alias("_fp"))
         .withColumn("_keeper", F.col("_q") & (F.row_number().over(w) == 1))
@@ -277,23 +342,27 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = F.col("_keeper").cast("bigint")
         # every SUM coalesced: over an EMPTY corpus SUM is NULL and the
         # stage arithmetic below would crash on None - int
-        n_raw, n_quality, n_exact, k_train, k_val, k_test = base.agg(
-            F.count("*"),
-            F.coalesce(F.sum(F.col("_q").cast("bigint")), F.lit(0)),
-            F.coalesce(F.sum(k), F.lit(0)),
-            F.coalesce(F.sum(F.when(F.col("_split") == "train", k).otherwise(F.lit(0))), F.lit(0)),
-            F.coalesce(F.sum(F.when(F.col("_split") == "val", k).otherwise(F.lit(0))), F.lit(0)),
-            F.coalesce(F.sum(F.when(F.col("_split") == "test", k).otherwise(F.lit(0))), F.lit(0)),
-        ).first()
+        counts = base.agg(
+            F.count("*").alias("c0"),
+            F.coalesce(F.sum(F.col("_q").cast("bigint")), F.lit(0)).alias("c1"),
+            F.coalesce(F.sum(k), F.lit(0)).alias("c2"),
+            F.coalesce(F.sum(F.when(F.col("_split") == "train", k).otherwise(F.lit(0))), F.lit(0)).alias("c3"),
+            F.coalesce(F.sum(F.when(F.col("_split") == "val", k).otherwise(F.lit(0))), F.lit(0)).alias("c4"),
+            F.coalesce(F.sum(F.when(F.col("_split") == "test", k).otherwise(F.lit(0))), F.lit(0)).alias("c5"),
+        ).select(
+            F.expr(
+                "stack(6, 'raw', c0, 'quality', c1, 'exact', c2, "
+                "'train', c3, 'val', c4, 'test', c5) AS (label, n)"
+            )
+        )
 
-        # Job 2 — ONLY the near-dup drop chain.  The survivors' counts
-        # are never computed by anti-join: stage 4/5 numbers are the
-        # keeper counts minus the per-split distinct drop counts (the
-        # split label is a pure function of doc_id, so subtraction per
-        # label is exact).  rollup(split) + count_distinct(id_b) yields
-        # the per-split and total drop counts in one aggregate, and the
-        # whole chain is two exchanges: the band shuffle, then the tiny
-        # split-key rollup.
+        # Branch 2 — the near-dup drop chain.  Survivor counts are never
+        # computed by anti-join: stage 4/5 numbers are the keeper counts
+        # minus the per-split distinct drop counts (the split label is a
+        # pure function of doc_id, so subtraction per label is exact).
+        # rollup(split) + count_distinct(id_b) yields the per-split and
+        # total drop counts in one aggregate; the chain is two exchanges
+        # — the band shuffle, then the tiny split-key rollup.
         exact = base.filter("_keeper").select("doc_id", "toks", "_split")
         drops = lsh_bucket_drops(
             exact,
@@ -304,32 +373,42 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             tokens_col="toks",
             min_jaccard=0.80,
         )
-        drop_counts = {
-            r["_split"]: r["n"]
-            for r in drops.select(
-                F.col("id_b").alias("doc_id")
-            )
+        drop_rollup = (
+            drops.select(F.col("id_b").alias("doc_id"))
             .withColumn("_split", split)
             .rollup("_split")
             .agg(F.count_distinct("doc_id").alias("n"))
-            .collect()
-        }
-        d_total = drop_counts.get(None, 0)
-        rows = [
-            ("1_raw", n_raw),
-            ("2_quality", n_quality),
-            ("3_exact_dedup", n_exact),
-            ("4_near_dedup", n_exact - d_total),
-        ]
-        # the oracle's GROUP BY emits a split row only when the split is
-        # non-empty — mirror that (matters at tiny scale factors)
-        for name, keepers in (("train", k_train), ("val", k_val), ("test", k_test)):
-            n = keepers - drop_counts.get(name, 0)
-            if n > 0:
-                rows.append((f"5_{name}", n))
+            .select(
+                F.concat(F.lit("drop_"), F.coalesce("_split", F.lit("all"))).alias("label"),
+                F.col("n"),
+            )
+        )
+
+        collected = {r["label"]: r["n"] for r in counts.unionByName(drop_rollup).collect()}
     finally:
         base.unpersist()
-    return spark.createDataFrame(rows, "stage string, n_docs bigint").orderBy("stage")
+    n_exact = collected["exact"]
+    d_total = collected.get("drop_all", 0)
+    rows = [
+        ("1_raw", collected["raw"]),
+        ("2_quality", collected["quality"]),
+        ("3_exact_dedup", n_exact),
+        ("4_near_dedup", n_exact - d_total),
+    ]
+    # the oracle's GROUP BY emits a split row only when the split is
+    # non-empty — mirror that (matters at tiny scale factors)
+    for name in ("train", "val", "test"):
+        n = collected[name] - collected.get(f"drop_{name}", 0)
+        if n > 0:
+            rows.append((f"5_{name}", n))
+    # VALUES literal instead of createDataFrame: the 7-row local list is
+    # already on the driver, and createDataFrame's python->JVM conversion
+    # costs ~0.8 s per call vs ~0.1 s for a parsed LocalRelation
+    # (measured local[32]) — pure overhead on a report this small
+    vals = ", ".join(f"('{stage}', CAST({n} AS BIGINT))" for stage, n in rows)
+    return spark.sql(
+        f"SELECT stage, n_docs FROM VALUES {vals} AS t(stage, n_docs) ORDER BY stage"
+    )
 
 
 @declared_query(
@@ -460,22 +539,15 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Cluster-policy funnel: shares every CTE with _FUNNEL_ORACLE up to the
-# candidate pairs, then contracts pairs to components instead of dropping
+# Cluster-policy funnel: composes the SAME named prefix + pairs CTEs as
+# _FUNNEL_ORACLE, then contracts pairs to components instead of dropping
 # the larger id of each pair.
 _FUNNEL_CLUSTERS_ORACLE = (
     "WITH RECURSIVE "
-    + _FUNNEL_ORACLE.split("WITH ", 1)[1].split("), drops AS")[0]
-    + """), pairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT id_a, id_b,
-           len(list_intersect(list_distinct(regexp_split_to_array(trim(text_a), '\\s+')),
-                              list_distinct(regexp_split_to_array(trim(text_b), '\\s+')))) AS ni,
-           len(list_distinct(regexp_split_to_array(trim(text_a), '\\s+'))) AS na,
-           len(list_distinct(regexp_split_to_array(trim(text_b), '\\s+'))) AS nb
-    FROM cand
-  ) WHERE CAST(ni AS DOUBLE) / greatest(na + nb - ni, 1) >= 0.80
-), edges AS (
+    + _FUNNEL_PREFIX_CTES
+    + ", "
+    + _FUNNEL_PAIRS_CTE
+    + """, edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b AS u, id_a AS v FROM pairs
@@ -517,24 +589,9 @@ ORDER BY split"""
 )
 def q_funnel_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from politician_etl_project_spark.operators.components import duplicate_clusters
-    from politician_etl_project_spark.operators.dedup import fingerprint, lsh_bucket_pairs
+    from politician_etl_project_spark.operators.dedup import lsh_bucket_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(tokens())
-    stop_hits = F.regexp_count("text", F.lit(r"\b(the|a|of|and)\b"))
-    is_q = (n_tokens >= 30) & (
-        stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.02
-    )
-    bucket = F.expr(_SPARK_HASH) % 100
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    w = Window.partitionBy("_fp").orderBy("doc_id")
-    keepers = (
-        docs.filter(is_q)
-        .select("doc_id", "text", fingerprint("text").alias("_fp"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", split.alias("split"), F.array_distinct(tokens()).alias("toks"))
-    )
+    keepers = _funnel_keepers(load_table(spark, sf_dir, "documents"))
     pairs = lsh_bucket_pairs(
         keepers, "doc_id", n_hashes=4, rows_per_band=2, max_bucket=32,
         tokens_col="toks", min_jaccard=0.80,

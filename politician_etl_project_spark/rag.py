@@ -30,13 +30,24 @@ from politician_etl_project_spark.operators.similarity import knn_bruteforce
 _STOPWORDS = {"the", "a", "an", "of", "and", "or", "to", "in", "is", "what", "which", "who", "how"}
 
 
-def hash_embedding(col: str | Column, dim: int = 64, max_chars: int = 10_000) -> Column:
+def hash_embedding(col: str, dim: int = 64, max_chars: int = 10_000) -> Column:
     """Deterministic feature-hash embedding: each distinct token adds ±1
     to bucket md5(token)%dim (sign from the next md5 nibble); the result
     is L2-normalized.  Pure Column expression — embeds 100 TB of text as
-    a narrow map with zero Python."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = f"array_distinct(split(trim(lower(substring({_sql(c)}, 1, {max_chars}))), '\\\\s+'))"
+    a narrow map with zero Python.
+
+    ``col`` is a column NAME (quoted into the expression as a SQL
+    identifier).  Accepting only names keeps this Spark-Connect-safe:
+    rendering an arbitrary Column to SQL text needs the private
+    ``Column._jc`` JVM handle, which Connect clients don't have."""
+    if not isinstance(col, str):
+        raise TypeError(
+            "hash_embedding takes a column name (str); alias the expression "
+            "into a column first — Column objects can't be rendered to SQL "
+            "without private JVM APIs"
+        )
+    ident = "`" + col.replace("`", "``") + "`"
+    toks = f"array_distinct(split(trim(lower(substring({ident}, 1, {max_chars}))), '\\\\s+'))"
     bucket = "cast(conv(substring(md5(t), 1, 7), 16, 10) as int) % " + str(dim)
     sign = "(case when conv(substring(md5(t), 8, 1), 16, 10) % 2 = 0 then 1.0D else -1.0D end)"
     raw = (
@@ -47,11 +58,6 @@ def hash_embedding(col: str | Column, dim: int = 64, max_chars: int = 10_000) ->
     return F.expr(
         f"transform({raw}, v -> cast(v / greatest({norm}, 1e-12D) as float))"
     )
-
-
-def _sql(c: Column) -> str:
-    # Column -> SQL fragment for embedding inside expr strings
-    return c._jc.toString()  # noqa: SLF001 — expression text, stable for plain columns
 
 
 def embed_corpus(docs: DataFrame, text_col: str = "text", dim: int = 64) -> DataFrame:

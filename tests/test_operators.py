@@ -138,27 +138,34 @@ def test_ivf_assignment_deterministic(spark, sf_dir):
 
 
 def test_approx_sketches_within_tolerance(spark, sf_dir):
-    """HLL distinct counts within 5% of exact; approx median within 2%
-    of exact (accuracy=10000 on ~3k rows per group is near-exact)."""
+    """Raw sketch values: HLL distinct counts within 5% of exact; approx
+    median within 2% of exact (accuracy=10000 on ~3k rows per group is
+    near-exact).  The query itself now emits only the tolerance VERDICT
+    booleans (hash-verifiable vs DuckDB) — so this test recomputes the
+    raw sketches and also asserts every emitted verdict is True."""
     from politician_etl_project_spark.queries import load_all
 
     got = {r.c_mktsegment: r for r in load_all()["q_approx_sketches"].fn(spark, sf_dir).collect()}
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    exact = {
+    both = {
         r.c_mktsegment: r
         for r in orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("o_custkey").alias("nd"),
             F.expr("percentile(cast(o_totalprice as double), 0.5)").alias("med"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("ac"),
+            F.percentile_approx(F.col("o_totalprice").cast("double"), 0.5, 10000).alias("am"),
         )
         .collect()
     }
-    assert set(got) == set(exact)
-    for seg, e in exact.items():
-        assert abs(got[seg].approx_customers - e.nd) / e.nd < 0.05
-        assert abs(got[seg].approx_median - e.med) / e.med < 0.02
+    assert set(got) == set(both)
+    for seg, e in both.items():
+        assert abs(e.ac - e.nd) / e.nd < 0.05
+        assert abs(e.am - e.med) / e.med < 0.02
+        assert got[seg].hll_ok and got[seg].median_ok
+        assert got[seg].n_customers == e.nd
 
 
 def test_lsh_bucket_cap_bounds_pairs(spark, sf_dir):
@@ -287,3 +294,81 @@ def test_ivf_indexed_matches_inline_and_prunes(spark, sf_dir, tmp_path):
         got.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "cluster" in plan, plan
+
+
+def test_hyperplane_family_matches_sql(spark):
+    """Driver-side plane coefficients must be bit-identical to the
+    conv(md5(...)) SQL form the DuckDB oracle replays (vector.py
+    _duck_bucket_expr) — the hash-verifiability of q_ann_lsh rests on
+    this equality."""
+    from politician_etl_project_spark.operators.similarity import _plane_family
+
+    fam = _plane_family(3, 7)
+    row = spark.range(1).select(
+        *[
+            F.expr(
+                f"cast(conv(substring(md5('{p}|{d}'), 1, 8), 16, 10) as double)"
+                " / 2147483647.5 - 1.0"
+            ).alias(f"c_{p}_{d}")
+            for p in range(3)
+            for d in range(7)
+        ]
+    ).first()
+    for p in range(3):
+        for d in range(7):
+            assert fam[p][d] == row[f"c_{p}_{d}"], (p, d)
+
+
+def test_hyperplane_bits_matches_generated_sql(spark, sf_dir):
+    """The literal-array fold must reproduce the bucket ids of the
+    original O(n_planes*dim) generated-SQL expression exactly (same
+    coefficients, same left-to-right summation order)."""
+    from politician_etl_project_spark.operators.similarity import hyperplane_bits
+
+    def old_sql(vec_col: str, n_planes: int, dim: int):
+        terms = []
+        for p in range(n_planes):
+            comps = " + ".join(
+                f"(cast(conv(substring(md5('{p}|{d}'), 1, 8), 16, 10) as double)"
+                f" / 2147483647.5 - 1.0)"
+                f" * cast(element_at({vec_col}, {d + 1}) as double)"
+                for d in range(dim)
+            )
+            terms.append(f"(case when ({comps}) >= 0 then {1 << p} else 0 end)")
+        return F.expr(" + ".join(terms)).cast("int")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mism = (
+        emb.select(
+            hyperplane_bits("embedding", 4, 64).alias("new"),
+            old_sql("embedding", 4, 64).alias("old"),
+        )
+        .filter(F.col("new") != F.col("old"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_hyperplane_bits_wide_dim(spark):
+    """dim=1536 (the reference's real vector width) x 16 planes must plan
+    and evaluate — the generated-SQL form was a ~25k-term expression here
+    (codegen blowup); the literal fold is O(n_planes) nodes."""
+    from politician_etl_project_spark.operators.similarity import hyperplane_bits
+
+    df = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(1536)),
+            lambda d: F.sin(d.cast("double") * (F.col("id") + 1).cast("double")),
+        ).alias("embedding"),
+    )
+    rows = df.select(
+        "vec_id", hyperplane_bits("embedding", 16, 1536).alias("bucket")
+    ).collect()
+    assert len(rows) == 8
+    assert all(r.bucket is not None and 0 <= r.bucket < 2**16 for r in rows)
+    # deterministic across evaluations
+    again = df.select(
+        "vec_id", hyperplane_bits("embedding", 16, 1536).alias("bucket")
+    ).collect()
+    assert sorted(r.bucket for r in rows) == sorted(r.bucket for r in again)

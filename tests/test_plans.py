@@ -251,3 +251,31 @@ def test_corpus_mixture_single_pass(spark, specs):
     plan = plan_of(spark, specs, "q_corpus_mixture")
     assert "Join" not in plan and "Window" not in plan, plan
     assert plan.count("hashpartitioning(source") == 1, plan
+
+
+def test_funnel_keepers_pairs_single_band_exchange(spark, sf_dir):
+    """Both funnel policies feed the SAME keepers frame into
+    lsh_bucket_pairs; over the real lineage (quality gate + fingerprint
+    window + band explode) the candidate stage must still plan exactly
+    one band exchange and no join (VERDICT r02 item 7: shared band
+    shuffle).  The cluster query's final plan can't be asserted directly
+    — duplicate_clusters' per-round localCheckpoint truncates lineage —
+    so the shared stage is asserted here."""
+    from politician_etl_project_spark.catalog import load_table
+    from politician_etl_project_spark.operators.dedup import lsh_bucket_pairs
+    from politician_etl_project_spark.queries.pipeline import _funnel_keepers
+
+    keepers = _funnel_keepers(load_table(spark, sf_dir, "documents"))
+    pairs = lsh_bucket_pairs(
+        keepers, "doc_id", n_hashes=4, rows_per_band=2, max_bucket=32,
+        tokens_col="toks", min_jaccard=0.80,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    band_exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(band_id" in ln
+    ]
+    assert len(band_exchanges) == 1, plan

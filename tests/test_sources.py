@@ -418,3 +418,35 @@ def test_itcont_malformed_line_tolerated(spark, tmp_path):
     out = fec.transform_donations(fec.read_itcont(spark, str(p)), target).collect()
     assert len(out) == 1
     assert out[0].fec_filing_id == "SUB0000000001"
+
+
+def test_jdbc_scan_options_partitioned():
+    from politician_etl_project_spark.catalog import jdbc_scan_options
+
+    opts = jdbc_scan_options(
+        "jdbc:postgresql://db:5432/politics",
+        "donations",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=5_000_000,
+        num_partitions=16,
+    )
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["partitionColumn"] == "id"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "5000000"
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "10000"
+
+
+def test_jdbc_scan_options_validation():
+    import pytest
+
+    from politician_etl_project_spark.catalog import jdbc_scan_options
+
+    with pytest.raises(ValueError):
+        jdbc_scan_options("postgresql://nope", "t")
+    with pytest.raises(ValueError):
+        jdbc_scan_options("jdbc:postgresql://db/x", "t", partition_column="id")
+    # dim-table scan: no partitioning options emitted at all
+    opts = jdbc_scan_options("jdbc:mysql://db/x", "region", driver="com.mysql.cj.jdbc.Driver")
+    assert "partitionColumn" not in opts and opts["driver"] == "com.mysql.cj.jdbc.Driver"
