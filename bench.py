@@ -72,10 +72,14 @@ BENCH_QUERIES = [
     "q_curation_funnel",
     "q_decontamination",
     "q_repetition_filter",
+    "q_boilerplate_shingles",
+    "q_context_windows",
+    "q_pii_scrub",
     # serving-layer endpoint shape
     "q_list_endpoint_page",
-    # stored-index ANN probe (partition-pruned)
+    # stored-index ANN probe (partition-pruned) + batched serving
     "q_ann_lsh",
+    "q_ann_batch",
     # temporal joins
     "q_asof_join",
     "q_range_join",

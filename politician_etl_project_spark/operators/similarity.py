@@ -476,3 +476,47 @@ def ann_ivf(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_lsh_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Batched LSH top-k: MANY query vectors served in ONE job — the
+    serving-throughput shape (the single-query :func:`ann_lsh` pays a
+    full job per request).  The query batch broadcasts with its buckets
+    precomputed; each corpus row is bucketed once and scored only
+    against queries within hamming<=1 of its bucket; per-query top-k is
+    a window over the (tiny) surviving candidate set.
+
+    Scale: corpus-side work is one narrow map + a filtered broadcast
+    join — no shuffle until the per-query ranking, whose input is
+    O(batch * bucket_size) rows.  Against a stored index
+    (build_lsh_index) the same batch folds into a partition IN-list of
+    the union of all probed buckets."""
+    bucketed = emb.withColumn("bucket", hyperplane_bits(vec_col, n_planes, dim))
+    qb = queries.withColumn("qbucket", hyperplane_bits(q_vec_col, n_planes, dim))
+    joined = bucketed.join(
+        F.broadcast(qb),
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= (1 if multiprobe else 0),
+    )
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(vec_col, q_vec_col), 4).alias("score"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(q_id_col, F.desc("score"), F.asc(id_col))
+    )

@@ -28,10 +28,11 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 
 # First slots = driver verification window (the driver checks entries
 # [:50] per round).  Round-3 composition: the 35 queries that have never
-# had a driver CORRECTNESS row (r1 and r2 windows were disjoint 50s), then
-# 15 sentinels from already-green families — biased toward code modified
-# this round so regressions surface.  Everything not listed keeps
-# declaration order after these (all were driver-green in r1).
+# had a driver CORRECTNESS row (r1 and r2 windows were disjoint 50s), the
+# 7 queries new in round 3, then 8 sentinels from already-green families
+# — biased toward code modified this round so regressions surface.
+# Everything not listed keeps declaration order after these (all were
+# driver-green in r1).
 DRIVER_WINDOW = [
     # Slots 1-35: every query never driver-checked in r1/r2 (VERDICT r02
     # item 1) — source oracles, windows family, text/dedup variants,
@@ -71,8 +72,16 @@ DRIVER_WINDOW = [
     "q_list_endpoint_page",
     "q_entity_navigation",
     "q_child_roster_page",
-    # Slots 36-50: sentinels from driver-green families, biased toward
-    # code touched in round 3 (ANN hyperplane fix, funnel/cluster rework).
+    # Slots 36-42: queries NEW in round 3 (no prior driver row possible).
+    "q_boilerplate_shingles",
+    "q_pii_scrub",
+    "q_scd2_history",
+    "q_ann_batch",
+    "q_grouping_sets",
+    "q_context_windows",
+    "q_bpe_merge_candidates",
+    # Slots 43-50: sentinels from driver-green families whose code was
+    # touched this round (ANN hyperplane fix, funnel/cluster rework).
     "q_ann_lsh",
     "q_ann_ivf",
     "q_knn_bruteforce",
@@ -80,16 +89,16 @@ DRIVER_WINDOW = [
     "q_dup_clusters",
     "q_near_dup_pairs_capped",
     "q_dedup_exact",
-    "q_simhash_near_pairs",
     "q01_pricing_summary",
+    # 51+: previously driver-green shapes — first in line if the driver
+    # ever checks more than 50 entries.
+    "q_simhash_near_pairs",
     "q_asof_join",
     "q_salted_agg",
     "q_event_dedup",
     "q_json_extract",
     "q_train_shuffle",
     "q_media_pixel_stats",
-    # 51+: previously driver-green shapes — first in line if the driver
-    # ever checks more than 50 entries.
     "q06_forecast_revenue",
     "q07_nation_volume",
     "q08_market_share",

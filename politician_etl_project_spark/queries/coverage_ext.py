@@ -599,3 +599,41 @@ def q_child_roster_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "p_name", "l_quantity", "total_matches")
         .orderBy("l_linenumber")
     )
+
+
+@declared_query(
+    "q_grouping_sets",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(c_mktsegment) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((o_orderstatus, c_mktsegment), (o_orderstatus), (c_mktsegment))
+ORDER BY gid, status, segment
+""",
+    ops=("AGG-groupingsets", "A2"),
+    doc="Explicit GROUPING SETS (the general form ROLLUP/CUBE are sugar "
+    "for): (status,segment), (status), (segment) — but NOT the grand "
+    "total, a set neither rollup nor cube can express alone — with "
+    "grouping_id disambiguating which set produced each row (needed "
+    "because a genuinely-NULL dimension value is otherwise "
+    "indistinguishable from a subtotal row).  One expand + one hash "
+    "aggregate, same single-pass property as the rollup/cube queries.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    joined.createOrReplaceTempView("_gs_oc")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(c_mktsegment, 'ALL') AS segment,
+               CAST(grouping_id(o_orderstatus, c_mktsegment) AS INT) AS gid,
+               COUNT(*) AS n_orders
+        FROM _gs_oc
+        GROUP BY GROUPING SETS ((o_orderstatus, c_mktsegment), (o_orderstatus), (c_mktsegment))
+        ORDER BY gid, status, segment
+        """
+    )

@@ -263,3 +263,94 @@ def q_watermark_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_recent"))
         .orderBy("event_type")
     )
+
+
+@declared_query(
+    "q_pii_scrub",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT md5('pseud-v1|' || CAST(user_id AS VARCHAR))) AS n_pseudonyms,
+       COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS n_prop_shapes,
+       MIN(md5('pseud-v1|' || CAST(user_id AS VARCHAR))) AS sample_pseudonym
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    ops=("TXT-pii", "A2", "F11"),
+    doc="PII handling for training pipelines, both standard moves in one "
+    "pass: (a) PSEUDONYMIZATION — user ids become keyed md5 tokens, "
+    "consistent across the corpus so joins/sessionization still work "
+    "after scrubbing (n_pseudonyms == n_users is the collision check, "
+    "verified by the oracle hash); (b) REDACTION — digit runs in the "
+    "raw payload are masked to '#', and the distinct redacted shapes "
+    "count shows the residual payload cardinality a privacy review "
+    "audits.  Pure narrow expressions (md5/regexp_replace in codegen) + "
+    "one grouped aggregate; at 100 TB the pseudonym key comes from a "
+    "secret salt (here a fixed literal so the oracle can replay it).",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pseud = F.md5(F.concat(F.lit("pseud-v1|"), F.col("user_id").cast("string")))
+    shape = F.regexp_replace("props", r"[0-9]+", "#")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(pseud).alias("n_pseudonyms"),
+            F.countDistinct(shape).alias("n_prop_shapes"),
+            F.min(pseud).alias("sample_pseudonym"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared_query(
+    "q_scd2_history",
+    oracle="""
+SELECT user_id, event_type AS state, valid_from_us,
+       COALESCE(valid_to_us, -1) AS valid_to_us,
+       (valid_to_us IS NULL) AS is_current
+FROM (
+  SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+  FROM events
+  WHERE user_id < 25
+)
+ORDER BY user_id, valid_from_us, state
+""",
+    ops=("T-scd2", "W1", "S12"),
+    doc="Slowly-changing-dimension type-2 history build: each user's "
+    "event stream becomes versioned state intervals — valid_from = the "
+    "event time, valid_to = the NEXT event's time (lead over the "
+    "user-partitioned, time-ordered window), open interval (-1 sentinel, "
+    "driver rule: no nullable numerics at the boundary) marks the "
+    "current row.  This is how an upsert log (reference: "
+    "politician_update_log, scripts/update_donations.py:52-65) is "
+    "replayed into point-in-time-queryable history.  One window per "
+    "user partition — single shuffle on user_id, no self-join; at "
+    "100 TB this is the standard CDC-to-SCD2 compaction shape "
+    "(partition by key, sort within partition).  user_id < 25 bounds "
+    "the declared output; the operator itself is unbounded.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        events.filter(F.col("user_id") < 25)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            _ts_us().alias("valid_from_us"),
+            F.lead(_ts_us()).over(w).alias("_next_us"),
+        )
+    )
+    return hist.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.coalesce("_next_us", F.lit(-1)).alias("valid_to_us"),
+        F.col("_next_us").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from_us", "state")

@@ -608,3 +608,82 @@ def q_funnel_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_CHUNK = 64
+_STRIDE = 32
+
+
+@declared_query(
+    "q_context_windows",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents
+), chunks AS (
+  SELECT doc_id, source, n,
+         unnest(range(0, CASE WHEN n <= {_CHUNK} THEN 1
+                              ELSE (n - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE} + 1 END)) AS i
+  FROM sized WHERE n > 0
+), spans AS (
+  SELECT doc_id, source,
+         i * {_STRIDE} + 1 AS start_tok,
+         least(i * {_STRIDE} + {_CHUNK}, n) AS end_tok
+  FROM chunks
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(end_tok - start_tok + 1) AS BIGINT) AS total_chunk_tokens,
+       CAST(SUM(CASE WHEN end_tok - start_tok + 1 = {_CHUNK} THEN 1 ELSE 0 END) AS BIGINT) AS n_full_chunks
+FROM spans
+GROUP BY source
+ORDER BY source
+""",
+    ops=("PIPE-chunk", "D4"),
+    doc=f"RAG context-window chunking: documents cut into {_CHUNK}-token "
+    f"windows with {_STRIDE}-token stride (50%% overlap) — the chunking "
+    "pass every retrieval corpus build runs before embedding "
+    "(the reference embeds whole bill summaries, "
+    "scripts/hydrate_vectors.py:72-95; overlapping windows are the "
+    "standard upgrade for long texts).  Chunk spans are generated with "
+    "sequence+explode per document and all boundary math is INTEGER "
+    "(count = (n-chunk+stride-1) div stride + 1), so the oracle hash is "
+    "exact.  Narrow map + explode + one grouped aggregate: at 100 TB "
+    "this chains directly into hash_embedding/mapInPandas per chunk — "
+    "no shuffle until the final per-source report.",
+)
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens()).cast("bigint")
+    # integer division: Spark `/` on bigint yields double — use div
+    n_chunks = F.when(n <= _CHUNK, F.lit(1).cast("bigint")).otherwise(
+        F.expr(f"(size(split(trim(text), '\\\\s+')) - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE} + 1")
+    )
+    sized = docs.select("doc_id", "source", n.alias("n"), n_chunks.alias("nc")).filter(
+        F.col("n") > 0
+    )
+    spans = sized.select(
+        "doc_id",
+        "source",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("i") * _STRIDE + 1).alias("start_tok"),
+        F.least(F.col("i") * _STRIDE + _CHUNK, F.col("n")).alias("end_tok"),
+    )
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("end_tok") - F.col("start_tok") + 1).cast("bigint").alias("total_chunk_tokens"),
+            F.sum(F.when(F.col("end_tok") - F.col("start_tok") + 1 == _CHUNK, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_full_chunks"),
+        )
+        .orderBy("source")
+    )

@@ -859,3 +859,125 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_DUCK_SH3 = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+)
+
+
+@declared_query(
+    "q_boilerplate_shingles",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source, unnest({_DUCK_SH3}) AS sh FROM toks
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), dfreq AS (
+  SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+), flagged AS (
+  SELECT s.doc_id, s.source, s.sh, (d.df * 20 >= n.n_docs) AS is_boiler
+  FROM sh s JOIN dfreq d USING (sh) CROSS JOIN n
+), per_doc AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_sh,
+         SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_boiler
+  FROM flagged GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs_with_shingles,
+       CAST(SUM(CASE WHEN n_boiler * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_docs,
+       CAST(SUM(n_boiler) AS BIGINT) AS n_boiler_hits
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+    ops=("TXT-boilerplate", "A2", "J1"),
+    doc="Cross-document boilerplate detection (the C4 rule family): a "
+    "3-token shingle is boilerplate when it appears in >=5%% of all "
+    "documents (document frequency, not within-doc repetition — the "
+    "complement of q_repetition_filter); a document is flagged when "
+    ">=50%% of its distinct shingles are boilerplate.  Both thresholds "
+    "are INTEGER comparisons (df*20 >= n_docs, n_boiler*2 >= n_sh) so "
+    "the oracle hash is exact — no float ratio ever materializes.  "
+    "Shape: explode distinct shingles, one shuffle to count df, join "
+    "back on the shingle, per-doc then per-source aggregates.  This is "
+    "the classic two-pass n-gram document-frequency job; at 100 TB hash "
+    "the shingle to 64-bit first (narrower shuffle) and broadcast the "
+    "boilerplate set if it fits (it usually does — df>=5%% shingles are "
+    "few by Zipf).",
+)
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    sh = docs.select("doc_id", "source", F.explode(shingles("text", 3)).alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    flagged = (
+        sh.join(dfreq, "sh")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "source", (F.col("df") * 20 >= F.col("n_docs")).alias("is_boiler"))
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_sh"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_with_shingles"),
+            F.sum(F.when(F.col("n_boiler") * 2 >= F.col("n_sh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged_docs"),
+            F.sum("n_boiler").cast("bigint").alias("n_boiler_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+@declared_query(
+    "q_bpe_merge_candidates",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest({_DUCK_TOKS}) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM words, unnest(range(1, greatest(length(w) - 1, 0) + 1)) AS t(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+""",
+    ops=("TXT-bpe-train", "A2"),
+    doc="BPE merge-candidate scoring — the inner statistic of tokenizer "
+    "TRAINING (q_bpe_token_count applies a fixed vocab; this ranks what "
+    "the next merge WOULD be): count every adjacent character pair "
+    "inside every word occurrence across the corpus, rank by frequency. "
+    "One explode per word position (sequence+substring in codegen) + "
+    "one grouped count with map-side partial aggregation; at 100 TB "
+    "this is a single shuffle on the pair key — the iterative BPE loop "
+    "re-runs it on the merged corpus, exactly how distributed tokenizer "
+    "training jobs are built.  Top-20 with count-then-pair tie-break "
+    "keeps the output deterministic for the hash oracle.",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens()).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )

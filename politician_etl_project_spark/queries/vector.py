@@ -459,3 +459,55 @@ def q_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "vec_id")
         .orderBy("vec_id")
     )
+
+
+_BATCH_COS = """ROUND(list_sum(list_transform(range(1, 65),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                       i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))), 4)"""
+
+_ANN_BATCH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_duck_bucket_expr("embeddings")} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, embedding AS qe, bucket AS qbucket FROM b WHERE vec_id < 5
+), cand AS (
+  SELECT q.q_id, b.vec_id, {_BATCH_COS} AS score
+  FROM b JOIN q ON bit_count(xor(b.bucket, q.qbucket)) <= 1
+)
+SELECT q_id, vec_id, score FROM (
+  SELECT q_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+  FROM cand
+)
+WHERE rn <= 3
+ORDER BY q_id, score DESC, vec_id
+"""
+
+
+@declared_query(
+    "q_ann_batch",
+    oracle=_ANN_BATCH_ORACLE,
+    ops=("V2", "TXT-ann", "W1"),
+    doc="BATCHED ANN serving: 5 query vectors answered in ONE job — "
+    "corpus rows bucket once (narrow map), the tiny query batch "
+    "broadcasts with precomputed buckets, candidates survive only "
+    "within hamming<=1 of a query's bucket, and per-query top-3 is a "
+    "window over the candidate set.  This is the throughput shape the "
+    "reference's per-request Pinecone path (app/app.py:338-367) can't "
+    "express: amortizing the corpus scan across a request batch.  The "
+    "md5 plane family makes the whole probe hash-verifiable "
+    "(operators/similarity.ann_lsh_batch; oracle replays bucket, probe "
+    "set, and scores bit-for-bit).",
+)
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.similarity import ann_lsh_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    return ann_lsh_batch(emb, queries, k=3, n_planes=4, dim=64)

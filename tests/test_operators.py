@@ -372,3 +372,43 @@ def test_hyperplane_bits_wide_dim(spark):
         "vec_id", hyperplane_bits("embedding", 16, 1536).alias("bucket")
     ).collect()
     assert sorted(r.bucket for r in rows) == sorted(r.bucket for r in again)
+
+
+def test_dedup_ingest_table(spark, tmp_path):
+    """Incremental dedup-on-ingest vs a stored index: exact dups,
+    near-dups (small edit), and within-batch dups all drop; fresh docs
+    append; a re-ingested identical batch drops entirely; partition
+    pruning reaches the fps/bands scans."""
+    from politician_etl_project_spark.operators.ingest import DedupIngestTable
+
+    base_txt = "the quick brown fox jumps over the lazy dog and runs far away today"
+    corpus = spark.createDataFrame(
+        [(1, base_txt), (2, "completely different content about spark shuffles and joins here now")],
+        "doc_id bigint, text string",
+    )
+    t = DedupIngestTable(spark, str(tmp_path / "idx"))
+    t.initialize(corpus)
+
+    batch = spark.createDataFrame(
+        [
+            (10, base_txt),                           # exact dup of doc 1
+            (11, base_txt.replace("today", "tonight")),  # near dup of doc 1
+            (12, "entirely novel text with many unique tokens nobody has used before in this corpus"),
+            (13, "entirely novel text with many unique tokens nobody has used before in this corpus"),  # batch dup of 12
+        ],
+        "doc_id bigint, text string",
+    )
+    rep = t.ingest(batch)
+    assert rep.n_in == 4
+    assert rep.n_batch_dup == 1
+    assert rep.n_exact_dup == 1
+    assert rep.n_near_dup == 1
+    assert rep.n_ingested == 1
+
+    stored = {r.doc_id for r in spark.read.parquet(str(tmp_path / "idx" / "fps")).collect()}
+    assert stored == {1, 2, 12}
+
+    # identical content re-arriving under fresh ids: everything drops
+    rep2 = t.ingest(batch.withColumn("doc_id", F.col("doc_id") + 100))
+    assert rep2.n_ingested == 0
+    assert {r.doc_id for r in spark.read.parquet(str(tmp_path / "idx" / "fps")).collect()} == {1, 2, 12}

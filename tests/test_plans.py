@@ -279,3 +279,37 @@ def test_funnel_keepers_pairs_single_band_exchange(spark, sf_dir):
         ln for ln in plan.splitlines() if "hashpartitioning(band_id" in ln
     ]
     assert len(band_exchanges) == 1, plan
+
+
+def test_dedup_ingest_probe_prunes_partitions(spark, tmp_path):
+    """The ingest-dedup exact-dup probe must reach the stored fps scan as
+    a PARTITION filter over the batch's fingerprint prefixes — reading
+    O(batch) directories, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from politician_etl_project_spark.operators.ingest import DedupIngestTable, _with_fp
+
+    corpus = spark.createDataFrame(
+        [(i, f"stored document number {i} with some distinct tokens {i*7}") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    t = DedupIngestTable(spark, str(tmp_path / "idx"))
+    t.initialize(corpus)
+    batch = _with_fp(
+        spark.createDataFrame([(100, "a fresh incoming document")], "doc_id bigint, text string"),
+        "doc_id",
+        "text",
+    )
+    prefixes = [r["fpp"] for r in batch.select("fpp").distinct().collect()]
+    probe = t._pruned("fps", "fpp", prefixes)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert part_lines, plan
+    # a 1-prefix IN-list constant-folds to equality; either form prunes
+    assert any(
+        "fpp" in ln and ("IN" in ln or "in(" in ln.lower() or "= x" in ln)
+        for ln in part_lines
+    ), part_lines
