@@ -100,19 +100,40 @@ class DedupIngestTable:
         self.text_col = text_col
         self.min_jaccard = min_jaccard
 
+    _SCHEMAS = {
+        "fps": "{id} bigint, fp string, fpp string",
+        "bands": "band_id int, band_key string, {id} bigint, toks array<string>, bkp string",
+    }
+
     # -- state ---------------------------------------------------------
     def initialize(self, corpus: DataFrame) -> None:
-        """Bootstrap the index from an already-deduplicated corpus."""
+        """Bootstrap the index from an already-deduplicated corpus.  An
+        empty corpus writes nothing — a partitioned write of zero rows
+        emits no files at all and a later read can't infer a schema, so
+        the probe side falls back to a typed empty frame instead
+        (:meth:`_pruned`)."""
         enriched = _with_fp(corpus, self.id_col, self.text_col)
+        self._append(enriched, overwrite=True)
+
+    def _append(self, enriched: DataFrame, overwrite: bool = False) -> None:
+        mode = "overwrite" if overwrite else "append"
+        if enriched.isEmpty():
+            return
         enriched.select(self.id_col, "fp", "fpp").write.partitionBy("fpp").mode(
-            "overwrite"
+            mode
         ).parquet(f"{self.path}/fps")
         _bands_of(enriched, self.id_col).write.partitionBy("bkp").mode(
-            "overwrite"
+            mode
         ).parquet(f"{self.path}/bands")
 
     def _pruned(self, table: str, part_col: str, prefixes: list[str]) -> DataFrame:
-        df = self.spark.read.parquet(f"{self.path}/{table}")
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.parquet(f"{self.path}/{table}")
+        except AnalysisException:  # index not yet materialized: empty store
+            schema = self._SCHEMAS[table].format(id=self.id_col)
+            return self.spark.createDataFrame([], schema)
         return df.filter(F.col(part_col).isin(prefixes) if prefixes else F.lit(False))
 
     # -- ingest --------------------------------------------------------
@@ -157,12 +178,7 @@ class DedupIngestTable:
 
             # 4. append survivor state (new ids by contract — plain
             #    partition-dir appends, no merge needed)
-            survivors.select(id_col, "fp", "fpp").write.partitionBy("fpp").mode(
-                "append"
-            ).parquet(f"{self.path}/fps")
-            _bands_of(survivors, id_col).write.partitionBy("bkp").mode(
-                "append"
-            ).parquet(f"{self.path}/bands")
+            self._append(survivors)
             return IngestReport(
                 n_in=n_in,
                 n_batch_dup=n_batch_dup,

@@ -637,3 +637,58 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, status, segment
         """
     )
+
+
+@declared_query(
+    "q_format_report",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderstatus AS status,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_orderstatus
+), tot AS (
+  SELECT CAST(SUM(total) AS DECIMAL(18,2)) AS grand FROM agg
+)
+SELECT status,
+       n_orders,
+       '$' || format('{:,}', CAST(floor(total) AS BIGINT)) || '.' ||
+         lpad(CAST(CAST(round((total - floor(total)) * 100, 0) AS INTEGER) AS VARCHAR), 2, '0')
+         AS revenue_usd,
+       CAST(CAST(round(total * 100.0 / grand, 1) AS DECIMAL(18,1)) AS VARCHAR) || '%' AS revenue_share
+FROM agg CROSS JOIN tot
+ORDER BY status
+""",
+    ops=("F18", "A10"),
+    doc="Presentation-layer currency/percent formatting (F18 — the "
+    "reference formats dashboard money/percent strings in pandas, "
+    "app/app.py:200-230): revenue per order status as '$1,234,567.89' "
+    "(format_number grouping over an exact DECIMAL sum) and share of "
+    "total as '12.3%'.  All rounding happens ONCE in DECIMAL (HALF_UP "
+    "on both engines) before formatting, so the strings — and the hash "
+    "— are exact; DuckDB lacks float thousand-separators, so its replay "
+    "formats the integer and cent parts separately.  Formatting is a "
+    "narrow projection over a 3-row aggregate — free at any scale.",
+)
+def q_format_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("decimal(18,2)").alias("total"),
+        F.count("*").alias("n_orders"),
+    )
+    tot = agg.agg(F.sum("total").cast("decimal(18,2)").alias("grand"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "status",
+            "n_orders",
+            F.concat(F.lit("$"), F.format_number(F.col("total"), 2)).alias("revenue_usd"),
+            F.concat(
+                F.round(F.col("total") * 100.0 / F.col("grand"), 1)
+                .cast("decimal(18,1)")
+                .cast("string"),
+                F.lit("%"),
+            ).alias("revenue_share"),
+        )
+        .orderBy("status")
+    )

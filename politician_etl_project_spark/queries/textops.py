@@ -8,7 +8,7 @@ near-dup pipeline is hash-verified end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from politician_etl_project_spark.catalog import load_table
@@ -981,3 +981,126 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(20)
     )
+
+
+# Multi-policy dedup dashboard: each policy's DROP set (doc ids removed)
+# computed over the SAME corpus, plus the union — the report a curation
+# team uses to choose/defend its dedup policy mix.  The oracle composes
+# the already-verified per-policy CTE chains (exact fingerprint groups,
+# capped MinHash-LSH pairs, source-blocked SimHash pairs).
+_MULTI_POLICY_ORACLE = f"""
+WITH drops_exact AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn > 1
+), sigs AS (
+  SELECT doc_id, text,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('0|' || t)), 'min') AS sig0,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('1|' || t)), 'min') AS sig1,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('2|' || t)), 'min') AS sig2,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('3|' || t)), 'min') AS sig3
+  FROM documents
+), bands AS (
+  SELECT doc_id, text, band_id, band_key FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS bn
+    FROM (
+      SELECT doc_id, text, 0 AS band_id, md5(sig0 || '|' || sig1) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, text, 1 AS band_id, md5(sig2 || '|' || sig3) AS band_key FROM sigs
+    )
+  ) WHERE bn <= {_CAP}
+), drops_minhash AS (
+  SELECT DISTINCT id_b AS doc_id FROM (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           list_distinct(regexp_split_to_array(trim(l.text), '\\s+')) AS ta,
+           list_distinct(regexp_split_to_array(trim(r.text), '\\s+')) AS tb
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+  )
+  WHERE CAST(CAST(len(list_intersect(ta, tb)) AS DECIMAL(18,4))
+             / greatest(len(ta) + len(tb) - len(list_intersect(ta, tb)), 1)
+             AS DECIMAL(18,6)) >= 0.80
+), sh AS (
+  SELECT doc_id, source, CAST({_DUCK_SIMHASH_FROM_TH} AS INTEGER) AS simhash
+  FROM (SELECT doc_id, source, {_DUCK_TH} AS th FROM documents)
+), drops_simhash AS (
+  SELECT DISTINCT r.doc_id FROM sh l JOIN sh r
+    ON l.source = r.source AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+)
+SELECT method, n_drops FROM (
+  SELECT 'exact' AS method, COUNT(*) AS n_drops FROM drops_exact
+  UNION ALL SELECT 'minhash_lsh', COUNT(*) FROM drops_minhash
+  UNION ALL SELECT 'simhash', COUNT(*) FROM drops_simhash
+  UNION ALL SELECT 'any_policy', COUNT(*) FROM (
+    SELECT doc_id FROM drops_exact
+    UNION SELECT doc_id FROM drops_minhash
+    UNION SELECT doc_id FROM drops_simhash
+  )
+)
+ORDER BY method
+"""
+
+
+@declared_query(
+    "q_dedup_multi_policy",
+    oracle=_MULTI_POLICY_ORACLE,
+    ops=("TXT-dedup-exact", "TXT-minhash-lsh", "TXT-simhash", "U1"),
+    doc="Dedup policy dashboard: the drop set of each policy over the "
+    "same corpus — exact fingerprints, capped MinHash-LSH (Jaccard "
+    ">=0.8), source-blocked SimHash (hamming<=2) — plus their distinct "
+    "union ('any_policy').  Exactly the report a curation team reads to "
+    "pick a policy mix: overlap between methods shows redundancy, the "
+    "union row the combined removal rate.  Each policy is the "
+    "already-verified operator (one shuffle each: fingerprint / band "
+    "key / block key) and the union is a distinct over ids — no "
+    "cross-policy join, so the dashboard costs the sum of its parts.",
+)
+def q_dedup_multi_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import lsh_bucket_drops
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    drops_exact = (
+        docs.select("doc_id", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id")
+    )
+
+    with_toks = docs.select(
+        "doc_id", F.array_distinct(tokens()).alias("toks")
+    )
+    drops_minhash = (
+        lsh_bucket_drops(
+            with_toks, "doc_id", n_hashes=4, rows_per_band=2, max_bucket=32,
+            tokens_col="toks", min_jaccard=0.80,
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+
+    sh = docs.withColumn("_th", token_hashes("text")).select(
+        "doc_id", "source", simhash16_from_hashes("_th").alias("simhash")
+    )
+    l = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src"), F.col("simhash").alias("sh_a"))
+    r = sh.select(F.col("doc_id").alias("doc_id"), F.col("source").alias("src"), F.col("simhash").alias("sh_b"))
+    drops_simhash = (
+        l.join(r, (l.src == r.src) & (F.col("id_a") < F.col("doc_id")))
+        .filter(hamming16("sh_a", "sh_b") <= 2)
+        .select("doc_id")
+        .distinct()
+    )
+
+    any_policy = drops_exact.union(drops_minhash).union(drops_simhash).distinct()
+
+    counts = (
+        drops_exact.agg(F.count("*").alias("n_drops")).select(F.lit("exact").alias("method"), "n_drops")
+        .unionByName(drops_minhash.agg(F.count("*").alias("n_drops")).select(F.lit("minhash_lsh").alias("method"), "n_drops"))
+        .unionByName(drops_simhash.agg(F.count("*").alias("n_drops")).select(F.lit("simhash").alias("method"), "n_drops"))
+        .unionByName(any_policy.agg(F.count("*").alias("n_drops")).select(F.lit("any_policy").alias("method"), "n_drops"))
+    )
+    return counts.orderBy("method")

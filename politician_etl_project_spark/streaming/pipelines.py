@@ -274,3 +274,27 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def dedup_ingest_stream(
+    docs: DataFrame,
+    index,
+    checkpoint_dir: str | None = None,
+    reports: list | None = None,
+) -> None:
+    """Streaming corpus ingestion with cross-batch dedup: each micro-batch
+    of documents is deduplicated against the STORED corpus index (exact
+    fingerprints + LSH near-dup, partition-pruned probes) and survivors
+    append — operators/ingest.DedupIngestTable under foreachBatch.  This
+    is the always-on form of the batch curation funnel: state lives in
+    the index tables, not in streaming state, so the stream restarts
+    cheaply and the index is queryable mid-flight.  ``reports`` (if
+    given) collects one IngestReport per batch for observability."""
+    from politician_etl_project_spark.streaming.sources import run_foreach_batch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        rep = index.ingest(batch_df)
+        if reports is not None:
+            reports.append((batch_id, rep))
+
+    run_foreach_batch(docs, _apply, checkpoint_dir=checkpoint_dir)

@@ -338,3 +338,48 @@ def test_user_running_totals_transform_with_state(spark, staged_events, tmp_path
     for uid, (n, total) in expected.items():
         assert last[uid][0] == n
         assert abs(last[uid][1] - total) < 1e-6
+
+
+def test_dedup_ingest_stream(spark, tmp_path):
+    """Streaming corpus ingestion dedups each micro-batch against the
+    stored index: batch 2's exact/near dup of batch 1 content drops even
+    though they never coexist in one micro-batch."""
+    import json
+
+    from politician_etl_project_spark.operators.ingest import DedupIngestTable
+    from politician_etl_project_spark.streaming.pipelines import dedup_ingest_stream
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    (src / "b1.json").write_text("\n".join([
+        json.dumps({"doc_id": 1, "text": base}),
+        json.dumps({"doc_id": 2, "text": "unrelated first-batch content with its own tokens"}),
+    ]))
+    (src / "b2.json").write_text("\n".join([
+        json.dumps({"doc_id": 10, "text": base}),                                # exact dup of 1
+        json.dumps({"doc_id": 11, "text": base.replace("today", "tonight")}),    # near dup of 1
+        json.dumps({"doc_id": 12, "text": "genuinely new second-batch material never seen before"}),
+    ]))
+
+    idx = DedupIngestTable(spark, str(tmp_path / "idx"))
+    idx.initialize(spark.createDataFrame([], "doc_id bigint, text string"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    reports: list = []
+    dedup_ingest_stream(stream, idx, checkpoint_dir=str(tmp_path / "ckpt"), reports=reports)
+
+    stored = {r.doc_id for r in spark.read.parquet(str(tmp_path / "idx" / "fps")).collect()}
+    assert 1 in stored and 2 in stored and 12 in stored
+    assert 10 not in stored and 11 not in stored
+    total = {
+        "in": sum(r.n_in for _, r in reports),
+        "ingested": sum(r.n_ingested for _, r in reports),
+        "dropped": sum(r.n_exact_dup + r.n_near_dup + r.n_batch_dup for _, r in reports),
+    }
+    assert total == {"in": 5, "ingested": 3, "dropped": 2}
