@@ -137,9 +137,12 @@ class DedupIngestTable:
         return df.filter(F.col(part_col).isin(prefixes) if prefixes else F.lit(False))
 
     # -- ingest --------------------------------------------------------
-    def ingest(self, batch: DataFrame) -> IngestReport:
+    def ingest(self, batch: DataFrame, dry_run: bool = False) -> IngestReport:
         """Dedup ``batch`` within itself and against the stored corpus;
-        append survivors.  Returns per-stage drop counts."""
+        append survivors (unless ``dry_run`` — then only report, leaving
+        the index untouched: the what-would-this-batch-add probe, and
+        the form the declared query q_dedup_incremental verifies).
+        Returns per-stage drop counts."""
         id_col = self.id_col
         enriched = _with_fp(batch, id_col, self.text_col).persist()
         no_exact = survivors = None
@@ -178,7 +181,8 @@ class DedupIngestTable:
 
             # 4. append survivor state (new ids by contract — plain
             #    partition-dir appends, no merge needed)
-            self._append(survivors)
+            if not dry_run:
+                self._append(survivors)
             return IngestReport(
                 n_in=n_in,
                 n_batch_dup=n_batch_dup,

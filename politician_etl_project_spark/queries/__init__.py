@@ -29,7 +29,7 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 # First slots = driver verification window (the driver checks entries
 # [:50] per round).  Round-3 composition: the 35 queries that have never
 # had a driver CORRECTNESS row (r1 and r2 windows were disjoint 50s), the
-# 9 queries new in round 3, then 6 sentinels from already-green families
+# 10 queries new in round 3, then 5 sentinels from already-green families
 # — biased toward code modified this round so regressions surface.
 # Everything not listed keeps declaration order after these (all were
 # driver-green in r1).
@@ -72,7 +72,7 @@ DRIVER_WINDOW = [
     "q_list_endpoint_page",
     "q_entity_navigation",
     "q_child_roster_page",
-    # Slots 36-44: queries NEW in round 3 (no prior driver row possible).
+    # Slots 36-45: queries NEW in round 3 (no prior driver row possible).
     "q_boilerplate_shingles",
     "q_pii_scrub",
     "q_scd2_history",
@@ -82,16 +82,17 @@ DRIVER_WINDOW = [
     "q_bpe_merge_candidates",
     "q_format_report",
     "q_dedup_multi_policy",  # re-exercises exact/minhash/simhash drops
-    # Slots 45-50: sentinels from driver-green families whose code was
+    "q_dedup_incremental",  # stored-index ingest probe, dry-run
+    # Slots 46-50: sentinels from driver-green families whose code was
     # touched this round (ANN hyperplane fix, funnel/cluster rework).
     "q_ann_lsh",
     "q_ann_ivf",
-    "q_knn_bruteforce",
     "q_curation_funnel",
     "q_dup_clusters",
     "q01_pricing_summary",
     # 51+: previously driver-green shapes — first in line if the driver
     # ever checks more than 50 entries.
+    "q_knn_bruteforce",
     "q_near_dup_pairs_capped",
     "q_dedup_exact",
     "q_simhash_near_pairs",

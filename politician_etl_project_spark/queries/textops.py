@@ -1104,3 +1104,126 @@ def q_dedup_multi_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(any_policy.agg(F.count("*").alias("n_drops")).select(F.lit("any_policy").alias("method"), "n_drops"))
     )
     return counts.orderBy("method")
+
+
+def _ingest_index_path(spark, sf_dir: str) -> str:
+    """Build-once stored dedup-ingest index over the corpus slice
+    (doc_id %% 10 != 0), cached like the stored ANN indexes: keyed on the
+    source file fingerprint, staged + renamed so concurrent queries never
+    read a half-written index."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from politician_etl_project_spark.operators.ingest import DedupIngestTable
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "unknown"
+    key = _hashlib.md5(f"{sf_dir}|ingest-v1|{fp}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_{key}")
+    if not os.path.isdir(path):
+        staging = f"{path}.building-{os.getpid()}"
+        corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+        DedupIngestTable(spark, staging).initialize(corpus.select("doc_id", "text"))
+        try:
+            os.rename(staging, path)
+        except OSError:  # another process won the race; theirs is identical
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+_INGEST_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+), batch_kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, ROW_NUMBER() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM batch
+  ) WHERE rn = 1
+), corpus_fps AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM corpus
+), no_exact AS (
+  SELECT doc_id, text FROM batch_kept
+  WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN (SELECT fp FROM corpus_fps)
+), bsig AS (
+  SELECT doc_id, {_DUCK_DTOKS} AS toks,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('0|' || t)), 'min') AS sig0,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('1|' || t)), 'min') AS sig1,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('2|' || t)), 'min') AS sig2,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('3|' || t)), 'min') AS sig3
+  FROM no_exact
+), csig AS (
+  SELECT doc_id, {_DUCK_DTOKS} AS toks,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('0|' || t)), 'min') AS sig0,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('1|' || t)), 'min') AS sig1,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('2|' || t)), 'min') AS sig2,
+         list_aggregate(list_transform({_DUCK_DTOKS}, t -> md5('3|' || t)), 'min') AS sig3
+  FROM corpus
+), bbands AS (
+  SELECT doc_id, toks, 0 AS band_id, md5(sig0 || '|' || sig1) AS band_key FROM bsig
+  UNION ALL SELECT doc_id, toks, 1, md5(sig2 || '|' || sig3) FROM bsig
+), cbands AS (
+  SELECT doc_id, toks, 0 AS band_id, md5(sig0 || '|' || sig1) AS band_key FROM csig
+  UNION ALL SELECT doc_id, toks, 1, md5(sig2 || '|' || sig3) FROM csig
+), near AS (
+  SELECT DISTINCT b.doc_id
+  FROM bbands b JOIN cbands c ON b.band_id = c.band_id AND b.band_key = c.band_key
+  WHERE CAST(CAST(len(list_intersect(b.toks, c.toks)) AS DECIMAL(18,4))
+             / greatest(len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks)), 1)
+             AS DECIMAL(18,6)) >= 0.80
+)
+SELECT stage, n FROM (
+  SELECT 'n_in' AS stage, COUNT(*) AS n FROM batch
+  UNION ALL SELECT 'n_batch_dup', (SELECT COUNT(*) FROM batch) - COUNT(*) FROM batch_kept
+  UNION ALL SELECT 'n_exact_dup', (SELECT COUNT(*) FROM batch_kept) - COUNT(*) FROM no_exact
+  UNION ALL SELECT 'n_near_dup', COUNT(*) FROM near
+  UNION ALL SELECT 'n_ingested', (SELECT COUNT(*) FROM no_exact) - COUNT(*) FROM near
+)
+ORDER BY stage
+"""
+
+
+@declared_query(
+    "q_dedup_incremental",
+    oracle=_INGEST_ORACLE,
+    ops=("TXT-dedup-exact", "TXT-minhash-lsh", "T5", "S13"),
+    doc="Incremental dedup-on-ingest, driver-verified end to end: the "
+    "corpus slice (doc_id %% 10 != 0) is a STORED index (fingerprint + "
+    "LSH-band parquet, partition-pruned probes — operators/ingest."
+    "DedupIngestTable, built once and cached like the stored ANN "
+    "indexes) and the held-out slice arrives as a new batch.  The "
+    "report counts within-batch dups, exact dups vs the store, "
+    "band-join near-dups (Jaccard >= 0.8), and survivors — the oracle "
+    "replays every probe in SQL against the same slices.  dry_run "
+    "keeps the query pure (no index mutation), so reruns are "
+    "idempotent.  This is the production ingestion shape: each batch "
+    "reads O(batch) index partitions, never the corpus.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.ingest import DedupIngestTable
+
+    index = DedupIngestTable(spark, _ingest_index_path(spark, sf_dir))
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    rep = index.ingest(batch, dry_run=True)
+    rows = [
+        ("n_in", rep.n_in),
+        ("n_batch_dup", rep.n_batch_dup),
+        ("n_exact_dup", rep.n_exact_dup),
+        ("n_near_dup", rep.n_near_dup),
+        ("n_ingested", rep.n_ingested),
+    ]
+    vals = ", ".join(f"('{s}', CAST({n} AS BIGINT))" for s, n in rows)
+    return spark.sql(f"SELECT stage, n FROM VALUES {vals} AS t(stage, n) ORDER BY stage")
