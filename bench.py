@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "q_window_rank",
     "q_window_running_sum",
     # event-time family
+    "q_retention_cohorts",
     "q_tumbling_window",
     "q_session_windows",
     "q_event_dedup",

@@ -29,7 +29,7 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 # First slots = driver verification window (the driver checks entries
 # [:50] per round).  Round-3 composition: the 35 queries that have never
 # had a driver CORRECTNESS row (r1 and r2 windows were disjoint 50s), the
-# 10 queries new in round 3, then 5 sentinels from already-green families
+# 15 queries new in round 3, then 1 sentinel from already-green families
 # — biased toward code modified this round so regressions surface.
 # Everything not listed keeps declaration order after these (all were
 # driver-green in r1).
@@ -72,7 +72,7 @@ DRIVER_WINDOW = [
     "q_list_endpoint_page",
     "q_entity_navigation",
     "q_child_roster_page",
-    # Slots 36-45: queries NEW in round 3 (no prior driver row possible).
+    # Slots 36-50: queries NEW in round 3 (no prior driver row possible).
     "q_boilerplate_shingles",
     "q_pii_scrub",
     "q_scd2_history",
@@ -83,15 +83,23 @@ DRIVER_WINDOW = [
     "q_format_report",
     "q_dedup_multi_policy",  # re-exercises exact/minhash/simhash drops
     "q_dedup_incremental",  # stored-index ingest probe, dry-run
-    # Slots 46-50: sentinels from driver-green families whose code was
-    # touched this round (ANN hyperplane fix, funnel/cluster rework).
+    "q_event_funnel",
+    "q_retention_cohorts",
+    "q_pivot_status_matrix",
+    "q_unpivot_measures",
+    "q_hll_mergeable",
+    # Slot 50: the one sentinel — q_ann_lsh exercises the round's
+    # riskiest change (hyperplane literal family + stored-LSH partition
+    # pruning).  Other touched shapes (funnel/clusters) are covered by
+    # never-checked window entries (q_funnel_clusters, q_dedup_survivors)
+    # and the new q_dedup_multi_policy/q_dedup_incremental.
     "q_ann_lsh",
-    "q_ann_ivf",
-    "q_curation_funnel",
-    "q_dup_clusters",
-    "q01_pricing_summary",
     # 51+: previously driver-green shapes — first in line if the driver
     # ever checks more than 50 entries.
+    "q_curation_funnel",
+    "q_ann_ivf",
+    "q_dup_clusters",
+    "q01_pricing_summary",
     "q_knn_bruteforce",
     "q_near_dup_pairs_capped",
     "q_dedup_exact",

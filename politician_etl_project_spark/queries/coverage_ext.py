@@ -692,3 +692,149 @@ def q_format_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@declared_query(
+    "q_pivot_status_matrix",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_F,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_O,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_P
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    ops=("AGG-pivot", "A2"),
+    doc="PIVOT: long-to-wide reshaping — order counts per market segment "
+    "spread across one column per order status.  Spark's "
+    "groupBy().pivot(col, values) with EXPLICIT pivot values compiles "
+    "to a single pass of conditional aggregates (exactly what the "
+    "oracle spells out); omitting the value list would add a distinct "
+    "pre-pass AND make the output schema data-dependent — never do "
+    "that at 100 TB.  Missing cells coalesce to 0 (no nullable "
+    "numerics at the boundary).",
+)
+def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    wide = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+    )
+    return wide.select(
+        "c_mktsegment",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"status_{s}")
+            for s in ("F", "O", "P")
+        ],
+    ).orderBy("c_mktsegment")
+
+
+@declared_query(
+    "q_unpivot_measures",
+    oracle="""
+SELECT c_mktsegment, measure, CAST(value AS BIGINT) AS value
+FROM (
+  SELECT c_mktsegment,
+         COUNT(*) AS n_orders,
+         COUNT(DISTINCT o_custkey) AS n_customers,
+         CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+) UNPIVOT (value FOR measure IN (n_orders, n_customers, max_orderkey))
+ORDER BY c_mktsegment, measure
+""",
+    ops=("AGG-unpivot", "A2"),
+    doc="UNPIVOT/melt: wide-to-long reshaping — a per-segment metrics row "
+    "becomes (segment, measure, value) triples, the shape metric stores "
+    "and chart layers consume.  Spark's DataFrame.unpivot (3.4+) is a "
+    "zero-shuffle expand over the aggregate output; the oracle uses "
+    "DuckDB's native UNPIVOT.  Measures are homogenized to BIGINT "
+    "before melting (unpivot requires one value type; mixed types melt "
+    "to the least common type or fail).",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    wide = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        )
+    )
+    return wide.unpivot(
+        ["c_mktsegment"],
+        ["n_orders", "n_customers", "max_orderkey"],
+        "measure",
+        "value",
+    ).orderBy("c_mktsegment", "measure")
+
+
+@declared_query(
+    "q_hll_mergeable",
+    oracle="""
+WITH per_seg AS (
+  SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_exact
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+), total AS (
+  SELECT COUNT(DISTINCT o_custkey) AS n_total
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, n_exact, TRUE AS seg_estimate_ok, TRUE AS merged_estimate_ok
+FROM per_seg CROSS JOIN total
+ORDER BY c_mktsegment
+""",
+    ops=("AGG-approx", "AGG-hll-merge"),
+    doc="MERGEABLE HLL sketches (Apache DataSketches via hll_sketch_agg /"
+    " hll_union_agg): one sketch per market segment, then the segment "
+    "sketches UNIONed into a corpus-wide estimate WITHOUT rescanning "
+    "the fact table — the property that makes sketch rollups work at "
+    "100 TB (pre-aggregate per partition/day, merge on demand; exact "
+    "COUNT DISTINCT cannot merge).  Verified through the tolerance "
+    "contract (same pattern as q_approx_sketches): the query emits "
+    "exact per-segment counts plus booleans asserting (a) each "
+    "segment's sketch estimate is within 5% of its exact count and "
+    "(b) the MERGED estimate is within 5% of the exact global distinct "
+    "— the oracle emits the exact counts with literal TRUEs, so the "
+    "hash fails exactly when a sketch or the merge drifts.",
+)
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    per_seg = joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+    )
+    merged = per_seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total")
+    )
+    exact_total = joined.agg(F.countDistinct("o_custkey").alias("n_total"))
+    return (
+        per_seg.select(
+            "c_mktsegment",
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("seg_estimate_ok"),
+        )
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact_total))
+        .select(
+            "c_mktsegment",
+            "n_exact",
+            "seg_estimate_ok",
+            (
+                F.abs(F.col("est_total") - F.col("n_total")) <= 0.05 * F.col("n_total")
+            ).alias("merged_estimate_ok"),
+        )
+        .orderBy("c_mktsegment")
+    )

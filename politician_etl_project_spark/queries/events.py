@@ -354,3 +354,117 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("_next_us", F.lit(-1)).alias("valid_to_us"),
         F.col("_next_us").isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from_us", "state")
+
+
+@declared_query(
+    "q_event_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+  GROUP BY e.user_id
+)
+SELECT step, n_users FROM (
+  SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT '2_click_after_view', COUNT(*) FROM c
+  UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p
+)
+ORDER BY step
+""",
+    ops=("EVT-funnel", "A7", "J1"),
+    doc="Ordered conversion funnel: users who viewed -> clicked AFTER "
+    "their first view -> purchased AFTER that first qualifying click.  "
+    "The ORDERING constraint is what separates this from three plain "
+    "counts (a purchase before any view must not convert) and is what "
+    "product-analytics engines special-case; here it is three min-ts "
+    "aggregates chained by user-key joins — every stage shuffles on "
+    "user_id, so at scale the three aggregations ride one partitioning "
+    "and the joins are co-located.  All outputs are integer counts: "
+    "hash-exact.",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_users")).select(F.lit("1_view").alias("step"), "n_users")
+        .unionByName(c.agg(F.count("*").alias("n_users")).select(F.lit("2_click_after_view").alias("step"), "n_users"))
+        .unionByName(p.agg(F.count("*").alias("n_users")).select(F.lit("3_purchase_after_click").alias("step"), "n_users"))
+        .orderBy("step")
+    )
+
+
+@declared_query(
+    "q_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', MIN(ts)::DATE) // 7 AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', DATE '2024-01-01', e.ts::DATE) // 7 AS BIGINT) - f.cohort_week AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+    ops=("EVT-retention", "A2", "W1"),
+    doc="Weekly cohort retention matrix: users grouped by the week of "
+    "their first event; each later active week counts toward that "
+    "cohort's offset column — the analytics table behind every "
+    "retention curve.  Week ids are INTEGER day-arithmetic (epoch days "
+    "div 7 from a fixed origin), so no date-formatting ambiguity "
+    "reaches the hash.  Shape: one min-ts aggregate, a user-key join "
+    "back (co-partitioned with the aggregate), distinct, and a grouped "
+    "count — two shuffles total at any scale.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.floor(F.datediff(F.to_date(F.min("ts")), F.lit("2024-01-01")) / 7).cast("bigint").alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7).cast("bigint")
+                - F.col("cohort_week")
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
