@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "q_label_centroid",
     # multimodal (Arrow-batched mapInPandas path)
     "q_media_pixel_stats",
+    # warehouse analytics (round-3 additions)
+    "q_gap_fill",
+    "q_moments_mergeable",
+    "q_snapshot_diff",
+    "q_inverted_index",
 ]
 
 

@@ -145,6 +145,21 @@ DRIVER_WINDOW = [
     "q_sequence_packing",
     "q_corpus_mixture",
     "q_range_join",
+    # NEW this session (analytics_ext.py) — first candidates for the
+    # round-4 window rotation alongside anything the r3 driver flags.
+    "q_gap_fill",
+    "q_calendar_spine",
+    "q_snapshot_diff",
+    "q_moments_mergeable",
+    "q_equidepth_histogram",
+    "q_outlier_zscore",
+    "q_inverted_index",
+    "q_skew_diagnostic",
+    "q_weighted_downsample",
+    "q_orc_roundtrip",
+    "q_abtest_lift",
+    "q_pmi_terms",
+    "q_incremental_rollup",
 ]
 
 _ORACLE_TABLES = (
@@ -231,6 +246,7 @@ def load_all() -> dict[str, QuerySpec]:
         temporal,
         pipeline,
         sources_decl,
+        analytics_ext,
     )
 
     if _CANON_CACHE is None:

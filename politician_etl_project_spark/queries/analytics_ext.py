@@ -1,0 +1,821 @@
+"""Warehouse-analytics extensions: time-series gap fill, calendar dim,
+snapshot diff, mergeable moments, equi-depth histograms, z-score outliers,
+inverted index, skew diagnostics, weighted downsampling, ORC roundtrip,
+A/B readout, PMI term association.
+
+These extend the SURVEY §2 families with the remaining shapes a
+warehouse / training-data pipeline runs daily (the reference's analytics
+layer computes several of them in pandas over SQL pulls, e.g. the
+donations-timeline resample in app/app.py and per-state aggregates in
+app/app_old.py:141; here each is one declarative Spark plan with an exact
+DuckDB oracle).
+
+Cross-engine determinism rules follow FIXTURES.md: decimal-before-agg,
+micro-int fixed-point for transcendentals (the tfidf precedent in
+textops.py), identical double expression trees for derived stats, and a
+total ORDER BY over unique keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.catalog import load_table
+from politician_etl_project_spark.queries.registry import declared_query
+
+# Engine-identical 32-bit content hash (same idiom as pipeline.py:29-31):
+# md5 is bit-identical everywhere; both engines parse the first 8 hex chars
+# to the same BIGINT.
+_SPARK_HASH_DOC = "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+_DUCK_HASH_DOC = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+_SPARK_HASH_USER = "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"
+_DUCK_HASH_USER = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + forward fill
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_gap_fill",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS day_total
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), bounds AS (
+  SELECT event_type, MIN(d) AS dmin, MAX(d) AS dmax FROM daily GROUP BY event_type
+), spine AS (
+  SELECT b.event_type, CAST(g.g AS DATE) AS d
+  FROM bounds b, LATERAL (SELECT unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS g) g
+)
+SELECT s.event_type,
+       strftime(s.d, '%Y-%m-%d') AS day,
+       LAST_VALUE(dl.day_total IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total,
+       dl.day_total IS NOT NULL AS observed
+FROM spine s LEFT JOIN daily dl ON s.event_type = dl.event_type AND s.d = dl.d
+ORDER BY s.event_type, day
+""",
+    ops=("TS-gapfill", "A4", "W1"),
+    doc="Time-series gap fill: a per-series date spine (sequence/explode "
+    "between each series' own min and max day) left-joined to observed "
+    "daily totals, missing days forward-filled with last-non-null over a "
+    "per-series window.  The reference resamples its donations timeline "
+    "in pandas (`.resample('D').ffill()`-style, app/app.py charts); here "
+    "the spine is generated inside the plan — no driver loop.  Scale: "
+    "the spine is |series| x |days| rows built from a tiny per-series "
+    "bounds aggregate; the fill window partitions by series so no global "
+    "sort exists.  Day totals are exact decimal sums; the first spine day "
+    "per series is always observed, so the fill is never NULL.",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("day_total")
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+        .select("event_type", F.explode(F.sequence("dmin", "dmax")).alias("d"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    return (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.last("day_total", ignorenulls=True).over(w).alias("filled_total"),
+            F.col("day_total").isNotNull().alias("observed"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension spine
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_calendar_spine",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS dmin, MAX(CAST(o_orderdate AS DATE)) AS dmax
+  FROM orders
+), cal AS (
+  SELECT CAST(g.g AS DATE) AS d
+  FROM bounds b, LATERAL (SELECT unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS g) g
+), per_day AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS day_total
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT strftime(c.d, '%Y-%m-%d') AS day,
+       CAST(year(c.d) AS INTEGER) AS yr,
+       CAST(quarter(c.d) AS INTEGER) AS qtr,
+       CAST(month(c.d) AS INTEGER) AS mo,
+       CAST(date_diff('day', DATE '1970-01-05', c.d) % 7 AS INTEGER) AS dow,
+       c.d = last_day(c.d) AS is_month_end,
+       CAST(COALESCE(p.n_orders, 0) AS BIGINT) AS n_orders,
+       COALESCE(p.day_total, CAST(0 AS DECIMAL(18,2))) AS day_total
+FROM cal c LEFT JOIN per_day p ON c.d = p.d
+ORDER BY day
+""",
+    ops=("DIM-calendar", "S18", "F9"),
+    doc="Generated calendar dimension joined to per-day order facts: the "
+    "date spine every BI layer needs (zero-order days appear with "
+    "explicit zeros instead of vanishing, the classic gap-in-the-chart "
+    "bug in the reference's Streamlit timeline).  Day-of-week is pure "
+    "epoch-day arithmetic from a fixed Monday origin (1970-01-05) so "
+    "neither engine's locale-dependent dayofweek() enters the hash.  "
+    "Scale: the spine derives from a 1-row bounds aggregate and is "
+    "|days| rows — broadcast side of the join against the per-day "
+    "aggregate; one fact shuffle total.",
+)
+def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    per_day = o.groupBy("d").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price").cast("decimal(18,2)").alias("day_total"),
+    )
+    spine = (
+        o.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+        .select(F.explode(F.sequence("dmin", "dmax")).alias("d"))
+    )
+    return (
+        spine.join(per_day, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.year("d").cast("int").alias("yr"),
+            F.quarter("d").cast("int").alias("qtr"),
+            F.month("d").cast("int").alias("mo"),
+            (F.datediff("d", F.lit("1970-01-05")) % 7).cast("int").alias("dow"),
+            (F.col("d") == F.last_day("d")).alias("is_month_end"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce("day_total", F.lit(0).cast("decimal(18,2)")).alias("day_total"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC-style reconciliation)
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+  SELECT l_orderkey AS k, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01' GROUP BY l_orderkey
+), snap_b AS (
+  SELECT l_orderkey AS k, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01' GROUP BY l_orderkey
+), tagged AS (
+  SELECT COALESCE(b.k, a.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN a.total <> b.total THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(b.total, CAST(0 AS DECIMAL(18,2))) - COALESCE(a.total, CAST(0 AS DECIMAL(18,2))) AS delta
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(delta) AS DECIMAL(18,2)) AS total_delta
+FROM tagged GROUP BY status ORDER BY status
+""",
+    ops=("CDC-diff", "J6", "U3"),
+    doc="Snapshot reconciliation: order revenue totals as-of two cutoff "
+    "dates, full-outer-joined on the key and classified added / changed "
+    "/ unchanged with the net delta — the audit step behind every "
+    "incremental load (the reference re-ingests FEC files and trusts "
+    "row counts; this is the verifiable version).  Both snapshots "
+    "aggregate the same scan and shuffle on the same key, so the join "
+    "is co-partitioned; no snapshot is collected.  Deletes would appear "
+    "as a 'removed' class symmetrically (the fixture's append-only "
+    "dates produce none, so the output stays 3 rows).",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy(F.col("l_orderkey").alias("k"))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").alias("total"))
+        )
+
+    a = snap("1999-01-01").withColumnRenamed("total", "total_a")
+    b = snap("2000-01-01").withColumnRenamed("total", "total_b")
+    zero = F.lit(0).cast("decimal(18,2)")
+    tagged = a.join(b, "k", "full_outer").select(
+        F.when(F.col("total_a").isNull(), "added")
+        .when(F.col("total_a") != F.col("total_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (F.coalesce("total_b", zero) - F.coalesce("total_a", zero)).alias("delta"),
+    )
+    return (
+        tagged.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("delta").cast("decimal(18,2)").alias("total_delta"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable moments (distributed mean/variance via algebraic partials)
+# ---------------------------------------------------------------------------
+
+_MOMENTS_FINALS = (
+    "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)",
+    "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))",
+)
+
+
+@declared_query(
+    "q_moments_mergeable",
+    oracle=f"""
+WITH partials AS (
+  SELECT o_orderpriority, shard, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS s,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,4)) AS s2
+  FROM (SELECT o_orderpriority, o_totalprice, o_orderkey % 8 AS shard FROM orders)
+  GROUP BY o_orderpriority, shard
+), merged AS (
+  SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS DECIMAL(32,2)) AS s,
+         CAST(SUM(s2) AS DECIMAL(38,4)) AS s2
+  FROM partials GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       ROUND({_MOMENTS_FINALS[0]}, 4) AS mean_price,
+       ROUND({_MOMENTS_FINALS[1]}, 0) AS var_pop,
+       ROUND(sqrt(greatest({_MOMENTS_FINALS[1]}, 0)), 2) AS std_pop
+FROM merged ORDER BY o_orderpriority
+""",
+    ops=("AGG-moments", "A8", "A12"),
+    doc="Mergeable moments sketch: per-shard (n, sum, sum-of-squares) "
+    "partials in exact DECIMAL, algebraically merged, mean/variance "
+    "derived only at the end — the commutative-monoid structure that "
+    "lets running stats live in an incremental pipeline (partials from "
+    "yesterday's partitions merge with today's without rescanning; same "
+    "contract as q_hll_mergeable for count-distinct).  The partials "
+    "are exact decimals, but the sum-of-squares exceeds 2^53 in scaled "
+    "units, where DuckDB's DECIMAL->DOUBLE (int128 convert, then "
+    "divide) double-rounds vs Spark's single correctly-rounded "
+    "conversion — a measured 1-ulp divergence — so the derived "
+    "mean/var/std are ROUNDed at digits ~1e9 ulps above the noise "
+    "floor.  Shards here are synthetic (key % 8) to pin merge "
+    "associativity in the oracle.",
+)
+def q_moments_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 8).alias("shard"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    partials = o.groupBy("o_orderpriority", "shard").agg(
+        F.count("*").alias("n"),
+        F.sum("price").cast("decimal(22,2)").alias("s"),
+        F.sum(F.col("price") * F.col("price")).cast("decimal(30,4)").alias("s2"),
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("decimal(32,2)").alias("s"),
+        F.sum("s2").cast("decimal(38,4)").alias("s2"),
+    )
+    mean, var = _MOMENTS_FINALS
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.expr(mean), 4).alias("mean_price"),
+        F.round(F.expr(var), 0).alias("var_pop"),
+        F.round(F.expr(f"sqrt(greatest({var}, 0))"), 2).alias("std_pop"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (per-group ntile)
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_equidepth_histogram",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         NTILE(8) OVER (PARTITION BY o_orderpriority
+                        ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS bucket
+  FROM orders
+)
+SELECT o_orderpriority, CAST(bucket AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(price) AS lo, MAX(price) AS hi
+FROM ranked GROUP BY o_orderpriority, bucket
+ORDER BY o_orderpriority, bucket
+""",
+    ops=("AGG-histogram", "W2", "A2"),
+    doc="Equi-depth histogram: 8 equal-population buckets per priority "
+    "class with per-bucket bounds — the optimizer-statistics shape "
+    "(selectivity estimation wants depth-balanced, not width-balanced, "
+    "bins).  NTILE is ordered by (value, unique key) so tie placement "
+    "is total and both engines bucket identically.  The window "
+    "partitions by the group key — per-group sort, no global ordering "
+    "bottleneck; same scale stance as q_percentiles' rank arithmetic.",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("price", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("o_orderpriority", F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+        )
+        .orderBy("o_orderpriority", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outliers
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_outlier_zscore",
+    oracle="""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DECIMAL(30,4)) AS s2
+  FROM events GROUP BY event_type
+), params AS (
+  SELECT event_type, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0)) AS sd
+  FROM stats
+)
+SELECT e.event_type,
+       CAST(p.n AS BIGINT) AS n_events,
+       CAST(COUNT(CASE WHEN p.sd > 0
+                        AND abs((CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) - p.mu) / p.sd) > 2.0
+                       THEN 1 END) AS BIGINT) AS n_outliers
+FROM events e JOIN params p ON e.event_type = p.event_type
+GROUP BY e.event_type, p.n
+ORDER BY e.event_type
+""",
+    ops=("AGG-outlier", "A6", "J7"),
+    doc="Z-score outlier screen per event type: exact-decimal first/"
+    "second moments -> population mean/std as identical double "
+    "expressions, broadcast back onto the stream, |z| > 2 counted.  "
+    "This is the quality gate a metrics pipeline runs before alerting "
+    "on a sum (one poisoned value inflates a naive total).  The "
+    "per-type params frame is group-cardinality rows — broadcast join, "
+    "no second fact shuffle beyond the stats aggregate.  Comparisons "
+    "at the threshold are safe because z is bit-identical on both "
+    "engines (exact inputs, same expression tree).",
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("decimal(22,2)").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(30,4)").alias("s2"),
+    )
+    mu = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    var = (
+        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - ({mu}) * ({mu})"
+    )
+    params = stats.select(
+        "event_type",
+        "n",
+        F.expr(mu).alias("mu"),
+        F.expr(f"sqrt(greatest({var}, 0))").alias("sd"),
+    )
+    return (
+        ev.join(F.broadcast(params), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("sd") > 0)
+                    & (F.abs((F.col("v").cast("double") - F.col("mu")) / F.col("sd")) > 2.0),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (token -> posting list)
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_inverted_index",
+    oracle="""
+WITH postings AS (
+  SELECT t.token, d.doc_id
+  FROM documents d, LATERAL (
+    SELECT unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS token) t
+)
+SELECT token,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       array_to_string(list_transform(list_sort(list(DISTINCT doc_id))[1:5],
+                                      x -> CAST(x AS VARCHAR)), ',') AS posting_head
+FROM postings
+GROUP BY token
+HAVING COUNT(DISTINCT doc_id) >= 8
+ORDER BY df DESC, token
+LIMIT 100
+""",
+    ops=("TXT-invindex", "A2", "A3"),
+    doc="Inverted-index build: explode tokens to (token, doc) postings, "
+    "aggregate document frequency, term frequency, and the head of the "
+    "sorted posting list per token — the search-engine core the "
+    "reference delegates to Pinecone metadata filters.  One shuffle on "
+    "the token key; posting heads are built with collect_set + "
+    "sort_array + slice so the emitted sample is order-canonical on "
+    "both engines.  At 100 TB the full posting lists would go to a "
+    "bucketed sink keyed by token rather than a LIMIT projection; the "
+    "df>=8 floor plus top-100 keeps the verified surface deterministic.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    return (
+        postings.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+            F.count("*").cast("bigint").alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("posting_head"),
+        )
+        .filter(F.col("df") >= 8)
+        .orderBy(F.desc("df"), "token")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostic
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_skew_diagnostic",
+    oracle="""
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(length(bin(cnt)) - 1 AS INTEGER) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_rows_one_key
+FROM per_key
+GROUP BY length(bin(cnt)) - 1
+ORDER BY log2_bucket
+""",
+    ops=("DIAG-skew", "A2"),
+    doc="Join-key skew profile: per-key row counts bucketed by "
+    "floor(log2) — the histogram you read before deciding whether a "
+    "shuffle join needs salting or AQE skew splitting (operators/"
+    "skew.py implements the remedy; this is the diagnosis).  log2 is "
+    "computed as the bit-length of the exact integer count (length of "
+    "its binary rendering) so no transcendental touches the hash.  Two "
+    "exact aggregates; the second input is |distinct keys| rows.",
+)
+def q_skew_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return (
+        per_key.groupBy(
+            (F.length(F.bin("cnt")) - 1).cast("int").alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.max("cnt").cast("bigint").alias("max_rows_one_key"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (per-source) deterministic downsampling
+# ---------------------------------------------------------------------------
+
+_DOWNSAMPLE_RATES = "CASE source WHEN 'web' THEN 2500 WHEN 'wiki' THEN 10000 WHEN 'books' THEN 10000 WHEN 'code' THEN 5000 ELSE 5000 END"
+
+
+@declared_query(
+    "q_weighted_downsample",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(CASE WHEN {_DUCK_HASH_DOC} % 10000 < {_DOWNSAMPLE_RATES}
+                       THEN 1 END) AS BIGINT) AS n_kept,
+       CAST({_DOWNSAMPLE_RATES} AS BIGINT) AS rate_bp
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    ops=("PIPE-downsample", "P3", "A6"),
+    doc="Importance-weighted downsampling: each source gets a keep rate "
+    "in basis points (web 25%, code 50%, wiki/books 100% — the "
+    "rebalancing every pretraining mixture applies to over-crawled "
+    "domains), membership decided by an md5-derived integer hash of the "
+    "stable doc id against the rate — pure integer arithmetic, so the "
+    "decision is content-stable (re-running on a grown corpus never "
+    "flips an existing doc, unlike rand()-based sample()) and exact on "
+    "both engines.  Narrow map + one aggregate; at 100 TB the kept set "
+    "writes out partition-parallel with no shuffle at all.",
+)
+def q_weighted_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.expr(_DOWNSAMPLE_RATES)
+    h = F.expr(_SPARK_HASH_DOC)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.count(F.when(h % 10000 < rate, 1)).cast("bigint").alias("n_kept"),
+        )
+        .withColumn("rate_bp", rate.cast("bigint"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC roundtrip (columnar-format interchange)
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_orc_roundtrip",
+    oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+    ops=("S11", "SRC-orc"),
+    doc="ORC sink + scan roundtrip: document metadata written to ORC "
+    "(Spark's second built-in columnar format — the interchange path "
+    "for Hive-era warehouses the parquet-only reference can't read), "
+    "read back, and aggregated; the oracle aggregates the original "
+    "parquet, so the hash proves the roundtrip is lossless.  The "
+    "payload column is pruned before the write — format conversion "
+    "jobs should never carry columns the consumer won't read.  Write "
+    "is stage-then-swap idempotent like ParquetUpsertTable.overwrite.",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{key}")
+    d.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_abtest_lift",
+    oracle=f"""
+WITH assigned AS (
+  SELECT user_id, {_DUCK_HASH_USER} % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+)
+SELECT CAST(variant AS INTEGER) AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST((1000000 * CAST(SUM(converted) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS conv_micro
+FROM assigned GROUP BY variant ORDER BY variant
+""",
+    ops=("EVT-abtest", "A6", "F8"),
+    doc="A/B readout: users hash-assigned to two variants (md5-derived "
+    "integer — deterministic, balanced, and stable under re-runs, the "
+    "property RNG assignment lacks), per-variant user and converter "
+    "counts plus conversion rate in exact micro-units (integer DIV — "
+    "no float or decimal division reaches the hash).  Two "
+    "aggregates riding one user_id shuffle.",
+)
+def q_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    ).select(
+        (F.expr(_SPARK_HASH_USER) % 2).alias("variant"), "converted"
+    )
+    return (
+        assigned.groupBy(F.col("variant").cast("int").alias("variant"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.expr("CAST((1000000 * CAST(SUM(converted) AS BIGINT)) DIV COUNT(*) AS BIGINT)").alias(
+                "conv_micro"
+            ),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI term-source association
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_pmi_terms",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT d.doc_id, d.source, t.token
+  FROM documents d, LATERAL (
+    SELECT unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS token) t
+), joint AS (
+  SELECT token, source, COUNT(*) AS n_ts FROM tok GROUP BY token, source
+), tmarg AS (
+  SELECT token, SUM(n_ts) AS n_t FROM joint GROUP BY token
+), smarg AS (
+  SELECT source, SUM(n_ts) AS n_s FROM joint GROUP BY source
+), total AS (
+  SELECT SUM(n_ts) AS n FROM joint
+)
+SELECT j.token, j.source,
+       CAST(j.n_ts AS BIGINT) AS n_joint,
+       CAST(FLOOR(1000000 * ln((CAST(j.n_ts AS DOUBLE) * CAST(t2.n AS DOUBLE))
+                             / (CAST(tm.n_t AS DOUBLE) * CAST(sm.n_s AS DOUBLE)))) AS BIGINT) AS pmi_micro
+FROM joint j
+JOIN tmarg tm ON j.token = tm.token
+JOIN smarg sm ON j.source = sm.source
+CROSS JOIN total t2
+WHERE tm.n_t >= 40
+ORDER BY pmi_micro DESC, j.token, j.source
+LIMIT 50
+""",
+    ops=("TXT-pmi", "A10", "J7"),
+    doc="Pointwise mutual information between tokens and sources: which "
+    "terms are over-represented in which corpus slice — the "
+    "domain-signature diagnostic run before mixing corpora (a term "
+    "with high PMI to one source flags templated boilerplate).  "
+    "Doc-level (distinct) co-occurrence counts; marginals join back on "
+    "token and source (both far smaller than the postings), the scalar "
+    "total broadcast.  PMI is fixed-pointed to exact micro-units via "
+    "floor(1e6*ln(...)) — the tfidf precedent (textops.py:707) — so "
+    "ranking and hashing never see a raw float.",
+)
+def q_pmi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).distinct()
+    joint = tok.groupBy("token", "source").agg(F.count("*").alias("n_ts"))
+    tmarg = joint.groupBy("token").agg(F.sum("n_ts").alias("n_t"))
+    smarg = joint.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
+    total = joint.agg(F.sum("n_ts").alias("n"))
+    out = (
+        joint.join(tmarg, "token")
+        .filter(F.col("n_t") >= 40)
+        .join(F.broadcast(smarg), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "source",
+            F.col("n_ts").cast("bigint").alias("n_joint"),
+            F.floor(
+                1000000
+                * F.log(
+                    (F.col("n_ts").cast("double") * F.col("n").cast("double"))
+                    / (F.col("n_t").cast("double") * F.col("n_s").cast("double"))
+                )
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "token", "source")
+        .limit(50)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-rollup maintenance
+# ---------------------------------------------------------------------------
+
+
+def _rollup_store_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_rollup_{key}")
+
+
+@declared_query(
+    "q_incremental_rollup",
+    oracle="""
+SELECT o_orderpriority,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+FROM orders
+GROUP BY o_orderpriority, strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+ORDER BY o_orderpriority, month
+""",
+    ops=("AGG-incremental", "A4", "S12", "T5"),
+    doc="Incremental materialized-view maintenance, driver-verified end "
+    "to end: a bucket-partitioned store of additive (count, exact-"
+    "decimal-sum) partials (operators/rollup.RollupStore) is built from "
+    "the base slice (o_orderkey %% 10 != 0, cached like the stored ANN "
+    "indexes), then the held-out slice arrives as a delta batch and "
+    "folds in by aggregating ONLY the delta and reading ONLY the store "
+    "buckets it touches (partition-pruned; touched-bucket list is "
+    "O(buckets), the upsert.py discipline).  The oracle is a FULL "
+    "recompute over all orders — passing proves partial-merge "
+    "maintenance is bit-equal to rescan, the property that lets a "
+    "dashboard refresh cost O(delta) instead of O(100 TB).  dry_run "
+    "keeps the query pure; the mutating path (dynamic partition "
+    "overwrite + batch-id idempotency markers) is pinned by "
+    "tests/test_operators.py::test_rollup_store_merge_*.  The "
+    "reference recomputes these aggregates per dashboard load "
+    "(app/app.py metric queries).",
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.rollup import RollupStore
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("measure"),
+        "o_orderkey",
+    )
+    store = RollupStore(
+        spark, _rollup_store_path(spark, sf_dir), ["o_orderpriority", "month"]
+    )
+    if not store.exists():
+        store.build(orders.filter(F.col("o_orderkey") % 10 != 0).drop("o_orderkey"))
+    merged = store.merge(
+        orders.filter(F.col("o_orderkey") % 10 == 0).drop("o_orderkey"), dry_run=True
+    )
+    return merged.select(
+        "o_orderpriority",
+        "month",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("s").alias("total"),
+    ).orderBy("o_orderpriority", "month")

@@ -412,3 +412,56 @@ def test_dedup_ingest_table(spark, tmp_path):
     rep2 = t.ingest(batch.withColumn("doc_id", F.col("doc_id") + 100))
     assert rep2.n_ingested == 0
     assert {r.doc_id for r in spark.read.parquet(str(tmp_path / "idx" / "fps")).collect()} == {1, 2, 12}
+
+
+def test_rollup_store_merge_equals_full_recompute(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from politician_etl_project_spark.catalog import load_table
+    from politician_etl_project_spark.operators.rollup import RollupStore
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("measure"),
+        "o_orderkey",
+    )
+    store = RollupStore(spark, str(tmp_path / "rollup"), ["o_orderpriority", "month"])
+    store.build(orders.filter(F.col("o_orderkey") % 10 != 0).drop("o_orderkey"))
+    store.merge(
+        orders.filter(F.col("o_orderkey") % 10 == 0).drop("o_orderkey"),
+        batch_id="b1",
+    )
+    served = {
+        (r["o_orderpriority"], r["month"]): (r["n"], r["s"])
+        for r in store.serve().collect()
+    }
+    full = {
+        (r["o_orderpriority"], r["month"]): (r["n"], r["s"])
+        for r in orders.groupBy("o_orderpriority", "month")
+        .agg(F.count("*").alias("n"), F.sum("measure").cast("decimal(18,2)").alias("s"))
+        .collect()
+    }
+    assert served == full
+
+
+def test_rollup_store_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from politician_etl_project_spark.catalog import load_table
+    from politician_etl_project_spark.operators.rollup import RollupStore
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("measure"),
+        "o_orderkey",
+    )
+    store = RollupStore(spark, str(tmp_path / "rollup"), ["o_orderpriority", "month"])
+    store.build(orders.filter(F.col("o_orderkey") % 10 != 0).drop("o_orderkey"))
+    delta = orders.filter(F.col("o_orderkey") % 10 == 0).drop("o_orderkey")
+    store.merge(delta, batch_id="b1")
+    first = sorted(map(tuple, store.serve().collect()))
+    # at-least-once upstream replays the same batch: must be a no-op
+    store.merge(delta, batch_id="b1")
+    assert sorted(map(tuple, store.serve().collect())) == first

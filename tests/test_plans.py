@@ -313,3 +313,56 @@ def test_dedup_ingest_probe_prunes_partitions(spark, tmp_path):
         "fpp" in ln and ("IN" in ln or "in(" in ln.lower() or "= x" in ln)
         for ln in part_lines
     ), part_lines
+
+
+def test_outlier_zscore_broadcasts_params(spark, specs):
+    # the per-type params frame is group-cardinality rows; a sort-merge
+    # join here would shuffle the fact a second time
+    plan = plan_of(spark, specs, "q_outlier_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_calendar_spine_joins_aggregated_not_fact(spark, specs):
+    # the left join must run spine x per-day aggregate (|days| rows each
+    # side), never spine x raw orders
+    plan = plan_of(spark, specs, "q_calendar_spine")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_copartitioned_join(spark, specs):
+    # both snapshots aggregate on the same key, so AQE may plan SMJ or
+    # (small side) broadcast — but never a nested loop
+    plan = plan_of(spark, specs, "q_snapshot_diff")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan") <= 2  # two passes over lineitem, no more
+
+
+def test_pmi_broadcasts_marginals(spark, specs):
+    plan = plan_of(spark, specs, "q_pmi_terms")
+    # source marginal (|sources| rows) and scalar total must broadcast
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_gap_fill_windows_partition_by_series(spark, specs):
+    # the forward-fill window must partition by event_type — a global
+    # (empty-partition-spec) running window would serialize the spine
+    df = specs["q_gap_fill"].fn(spark, SF_SMALL)
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    logical = buf.getvalue()
+    assert "windowspecdefinition(event_type" in logical
+
+
+def test_equidepth_ntile_partitions_by_group(spark, specs):
+    df = specs["q_equidepth_histogram"].fn(spark, SF_SMALL)
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    logical = buf.getvalue()
+    assert "windowspecdefinition(o_orderpriority" in logical
