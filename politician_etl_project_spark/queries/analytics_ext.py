@@ -196,31 +196,36 @@ FROM tagged GROUP BY status ORDER BY status
     "dates, full-outer-joined on the key and classified added / changed "
     "/ unchanged with the net delta — the audit step behind every "
     "incremental load (the reference re-ingests FEC files and trusts "
-    "row counts; this is the verifiable version).  Both snapshots "
-    "aggregate the same scan and shuffle on the same key, so the join "
-    "is co-partitioned; no snapshot is collected.  Deletes would appear "
-    "as a 'removed' class symmetrically (the fixture's append-only "
-    "dates produce none, so the output stays 3 rows).",
+    "row counts; this is the verifiable version).  Because the old "
+    "snapshot's membership is a predicate over the same fact, BOTH "
+    "as-of totals come from ONE scan + ONE shuffle (conditional sums "
+    "per key — total_a NULL exactly when the key has no pre-T1 rows, "
+    "i.e. 'added') instead of materializing two snapshots and "
+    "full-outer-joining them; the oracle keeps the two-snapshot "
+    "spelling, so the hash also proves the rewrite.  Deletes would "
+    "appear as a 'removed' class symmetrically (the fixture's "
+    "append-only dates produce none, so the output stays 3 rows).",
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-
-    def snap(cutoff: str) -> DataFrame:
-        return (
-            li.filter(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
-            .groupBy(F.col("l_orderkey").alias("k"))
-            .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").alias("total"))
+    t1 = F.lit("1999-01-01").cast("timestamp")
+    t2 = F.lit("2000-01-01").cast("timestamp")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    per_key = (
+        li.filter(F.col("l_shipdate") < t2)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < t1, price)).cast("decimal(18,2)").alias("total_a"),
+            F.sum(price).cast("decimal(18,2)").alias("total_b"),
         )
-
-    a = snap("1999-01-01").withColumnRenamed("total", "total_a")
-    b = snap("2000-01-01").withColumnRenamed("total", "total_b")
+    )
     zero = F.lit(0).cast("decimal(18,2)")
-    tagged = a.join(b, "k", "full_outer").select(
+    tagged = per_key.select(
         F.when(F.col("total_a").isNull(), "added")
         .when(F.col("total_a") != F.col("total_b"), "changed")
         .otherwise("unchanged")
         .alias("status"),
-        (F.coalesce("total_b", zero) - F.coalesce("total_a", zero)).alias("delta"),
+        (F.col("total_b") - F.coalesce("total_a", zero)).alias("delta"),
     )
     return (
         tagged.groupBy("status")

@@ -330,12 +330,13 @@ def test_calendar_spine_joins_aggregated_not_fact(spark, specs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_snapshot_diff_copartitioned_join(spark, specs):
-    # both snapshots aggregate on the same key, so AQE may plan SMJ or
-    # (small side) broadcast — but never a nested loop
+def test_snapshot_diff_single_scan_no_join(spark, specs):
+    # both as-of totals come from conditional sums in one aggregation —
+    # one scan, one shuffle, zero joins
     plan = plan_of(spark, specs, "q_snapshot_diff")
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("FileScan") <= 2  # two passes over lineitem, no more
+    # each physical scan prints one "Location:" detail line
+    assert plan.count("Location:") == 1
+    assert "Join" not in plan
 
 
 def test_pmi_broadcasts_marginals(spark, specs):
