@@ -298,3 +298,39 @@ def dedup_ingest_stream(
             reports.append((batch_id, rep))
 
     run_foreach_batch(docs, _apply, checkpoint_dir=checkpoint_dir)
+
+
+def rollup_maintenance_stream(
+    events: DataFrame,
+    store,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming materialized-view maintenance: each micro-batch folds
+    into a :class:`~politician_etl_project_spark.operators.rollup.RollupStore`
+    of additive partials — the dashboard aggregate stays fresh at
+    O(batch) cost instead of the reference's per-page-load full rescan
+    (app/app.py metric queries).  Batch ids double as the store's
+    idempotency markers, so checkpoint replay after a crash re-merges
+    nothing (exactly-once table semantics over at-least-once delivery —
+    the same discipline as incremental_upsert_stream).  Rows are mapped
+    to (group cols…, measure) before the merge; the merge itself reads
+    only the store buckets the batch touches."""
+    from pyspark.sql import functions as F
+
+    from politician_etl_project_spark.streaming.sources import run_foreach_batch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("value").cast("decimal(12,2)").alias("measure"),
+        )
+        if not store.exists():
+            store.build(rows)
+            import os
+
+            os.makedirs(store._marker(f"b{batch_id}"), exist_ok=True)
+        else:
+            store.merge(rows, batch_id=f"b{batch_id}")
+
+    run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)

@@ -383,3 +383,32 @@ def test_dedup_ingest_stream(spark, tmp_path):
         "dropped": sum(r.n_exact_dup + r.n_near_dup + r.n_batch_dup for _, r in reports),
     }
     assert total == {"in": 5, "ingested": 3, "dropped": 2}
+
+
+def test_rollup_maintenance_stream_matches_batch(spark, staged_events, tmp_path):
+    """Streaming materialized-view maintenance: after the stream drains,
+    the partial store serves exactly the batch aggregate of all events."""
+    from politician_etl_project_spark.operators.rollup import RollupStore
+    from politician_etl_project_spark.streaming.pipelines import rollup_maintenance_stream
+
+    store = RollupStore(spark, str(tmp_path / "rollup"), ["event_type", "day"])
+    stream = events_stream(spark, staged_events, max_files_per_trigger=2)
+    rollup_maintenance_stream(stream, store, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    served = {
+        (r["event_type"], r["day"]): (r["n"], r["s"])
+        for r in store.serve().collect()
+    }
+    expected = {
+        (r["event_type"], r["day"]): (r["n"], r["s"])
+        for r in _batch_events(spark)
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("value").cast("decimal(12,2)").alias("measure"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"), F.sum("measure").cast("decimal(18,2)").alias("s"))
+        .collect()
+    }
+    assert served == expected
