@@ -74,11 +74,29 @@ class RollupStore:
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
 
+    def _schema_file(self) -> str:
+        return os.path.join(self.path, "_partials_schema.json")
+
+    def _read_store(self) -> DataFrame:
+        """Schema-pinned read: an EMPTY store (built from an empty base —
+        day-one pipelines) has no parquet footer to infer from, so the
+        schema written at build time is always applied."""
+        reader = self.spark.read
+        if os.path.exists(self._schema_file()):
+            from pyspark.sql.types import StructType
+
+            with open(self._schema_file()) as fh:
+                reader = reader.schema(StructType.fromJson(__import__("json").load(fh)))
+        return reader.parquet(self.path)
+
     def build(self, df: DataFrame) -> None:
         """Full (re)build from a base dataset."""
-        self._with_bucket(self._partials(df)).write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(self.path)
+        partials = self._with_bucket(self._partials(df))
+        partials.write.partitionBy("bucket").mode("overwrite").parquet(self.path)
+        import json
+
+        with open(self._schema_file(), "w") as fh:
+            json.dump(partials.schema.jsonValue(), fh)
 
     def _marker(self, batch_id: str) -> str:
         return os.path.join(self.path, "_merged_batches", batch_id)
@@ -98,7 +116,7 @@ class RollupStore:
         store (pure — the driver-verified query path).  With a
         ``batch_id`` an already-merged batch is skipped (idempotent
         replay)."""
-        store = self.spark.read.parquet(self.path)
+        store = self._read_store()
         if batch_id is not None and self.merged_already(batch_id):
             return store.drop("bucket")
 
@@ -126,9 +144,9 @@ class RollupStore:
             if batch_id is not None:
                 os.makedirs(self._marker(batch_id), exist_ok=True)
             self.spark.catalog.refreshByPath(self.path)
-            return self.spark.read.parquet(self.path).drop("bucket")
+            return self._read_store().drop("bucket")
         return merged_hot.drop("bucket").unionByName(cold.drop("bucket"))
 
     def serve(self) -> DataFrame:
         """Final measures derived from partials at read time."""
-        return self.spark.read.parquet(self.path).drop("bucket")
+        return self._read_store().drop("bucket")

@@ -160,6 +160,8 @@ DRIVER_WINDOW = [
     "q_abtest_lift",
     "q_pmi_terms",
     "q_incremental_rollup",
+    "q_event_transitions",
+    "q_time_to_convert",
 ]
 
 _ORACLE_TABLES = (

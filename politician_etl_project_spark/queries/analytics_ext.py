@@ -824,3 +824,128 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_orders"),
         F.col("s").alias("total"),
     ).orderBy("o_orderpriority", "month")
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (Markov next-step)
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+), marg AS (
+  SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type,
+       CAST(p.n AS BIGINT) AS n,
+       CAST((1000000 * CAST(p.n AS BIGINT)) // CAST(m.n_from AS BIGINT) AS BIGINT) AS p_micro
+FROM pairs p JOIN marg m ON p.from_type = m.from_type
+ORDER BY p.from_type, p.to_type
+""",
+    ops=("EVT-transitions", "W1", "A2"),
+    doc="Markov next-event transition matrix: each user's event stream "
+    "ordered by (ts, unique id), LEAD pairs adjacent steps, and the "
+    "per-source-state row gives the empirical next-step distribution — "
+    "the model behind product flow diagrams and session simulators.  "
+    "One shuffle on user_id for the window, one on the tiny "
+    "(from, to) key; probabilities are exact integer micro-units "
+    "(1e6*n DIV n_from), so no float reaches the hash.  The tie-break "
+    "on event_id makes adjacency total — without it, same-timestamp "
+    "events would pair nondeterministically across engines.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    marg = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(marg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST((1000000 * CAST(n AS BIGINT)) DIV CAST(n_from AS BIGINT) AS BIGINT)").alias(
+                "p_micro"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert cohort statistics
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_time_to_convert",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT f.user_id, f.t_view, MIN(e.ts) AS t_buy
+  FROM firsts f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.t_view
+  GROUP BY f.user_id, f.t_view
+)
+SELECT strftime(CAST(t_view AS DATE), '%Y-%m') AS cohort_month,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(date_diff('second', t_view, t_buy)) AS BIGINT) AS min_s,
+       CAST(MAX(date_diff('second', t_view, t_buy)) AS BIGINT) AS max_s,
+       CAST(SUM(date_diff('second', t_view, t_buy))
+            // COUNT(*) AS BIGINT) AS avg_s_floor
+FROM conv GROUP BY strftime(CAST(t_view AS DATE), '%Y-%m')
+ORDER BY cohort_month
+""",
+    ops=("EVT-convert-time", "A13", "J1"),
+    doc="Time-to-convert by acquisition cohort: first view per user, "
+    "first purchase at-or-after it (the q_event_funnel ordering "
+    "constraint), the gap in whole seconds aggregated per first-touch "
+    "month.  Latency gaps are exact BIGINT second arithmetic — "
+    "min/max/floored-mean, no float division — so the hash is exact.  "
+    "Both aggregates and the join ride the user_id partitioning; the "
+    "cohort rollup shuffles |converted users| rows.",
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    gap = (F.unix_timestamp("t_buy") - F.unix_timestamp("t_view")).alias("gap_s")
+    return (
+        conv.select(F.date_format("t_view", "yyyy-MM").alias("cohort_month"), gap)
+        .groupBy("cohort_month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_converted"),
+            F.min("gap_s").cast("bigint").alias("min_s"),
+            F.max("gap_s").cast("bigint").alias("max_s"),
+            F.expr("CAST(SUM(gap_s) DIV COUNT(*) AS BIGINT)").alias("avg_s_floor"),
+        )
+        .orderBy("cohort_month")
+    )
