@@ -915,16 +915,31 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    sh = docs.select("doc_id", "source", F.explode(shingles("text", 3)).alias("sh"))
+    # per-doc shingle COUNT comes from the array size — only the
+    # boilerplate MEMBERSHIP needs the exploded rows, and that join-back
+    # is against the broadcast df>=5% set (few by Zipf), so the only
+    # |shingles|-sized shuffle left is the document-frequency count
+    # (the r2 shape shuffled all exploded shingles a second time to
+    # join df back onto them)
+    base = docs.select("doc_id", "source", shingles("text", 3).alias("sh_arr"))
+    sh = base.select("doc_id", F.explode("sh_arr").alias("sh"))
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    flagged = (
-        sh.join(dfreq, "sh")
-        .crossJoin(F.broadcast(n_docs))
-        .select("doc_id", "source", (F.col("df") * 20 >= F.col("n_docs")).alias("is_boiler"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 20 >= F.col("n_docs"))
+        .select("sh")
     )
-    per_doc = flagged.groupBy("doc_id", "source").agg(
-        F.count("*").alias("n_sh"),
-        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler"),
+    hits = sh.join(F.broadcast(boiler), "sh").groupBy("doc_id").agg(
+        F.count("*").alias("n_boiler")
+    )
+    per_doc = (
+        base.filter(F.size("sh_arr") > 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "source",
+            F.size("sh_arr").alias("n_sh"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        )
     )
     return (
         per_doc.groupBy("source")
