@@ -162,6 +162,7 @@ DRIVER_WINDOW = [
     "q_incremental_rollup",
     "q_event_transitions",
     "q_time_to_convert",
+    "q_bucketed_join",
 ]
 
 _ORACLE_TABLES = (

@@ -367,3 +367,14 @@ def test_equidepth_ntile_partitions_by_group(spark, specs):
         df.explain("extended")
     logical = buf.getvalue()
     assert "windowspecdefinition(o_orderpriority" in logical
+
+
+def test_bucketed_join_no_exchange_before_smj(spark, specs):
+    # both sides are bucketed+sorted by the join key into the same bucket
+    # count: the sort-merge join must consume the scans with no Exchange
+    # on either input (the only exchange left is the tiny post-join agg)
+    plan = plan_of(spark, specs, "q_bucketed_join")
+    tree = plan.split("(1)")[0]
+    assert "SortMergeJoin" in tree
+    join_part = tree.split("SortMergeJoin")[1] if "SortMergeJoin" in tree else ""
+    assert "Exchange" not in join_part, tree
