@@ -163,6 +163,7 @@ DRIVER_WINDOW = [
     "q_event_transitions",
     "q_time_to_convert",
     "q_bucketed_join",
+    "q_dpp_prune",
 ]
 
 _ORACLE_TABLES = (

@@ -1033,3 +1033,61 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (runtime partition elimination)
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_dpp_prune",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+FROM events
+WHERE CAST(ts AS DATE) < DATE '2024-01-08'
+GROUP BY event_type
+ORDER BY event_type
+""",
+    ops=("OPT-dpp", "J1", "P5"),
+    doc="Dynamic partition pruning: the event fact is stored partitioned "
+    "by day (written once, stored-index discipline) and joined to a "
+    "filtered date dimension — the selective predicate lives on the DIM "
+    "side, so static pruning can't help; Spark injects the dim's keys "
+    "as a runtime subquery into the fact scan's PartitionFilters "
+    "(plan-asserted 'dynamicpruning'), reading 7 of 30 day directories. "
+    " At 100 TB this is the star-schema pattern: date-partitioned fact, "
+    "calendar dim filtered to the quarter, and the scan prices only the "
+    "quarter.  The oracle collapses the unique-key dim join to the "
+    "equivalent date predicate.",
+)
+def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_dpp_{key}")
+    pf = ev.withColumn("event_date", F.to_date("ts"))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pf.write.partitionBy("event_date").mode("overwrite").parquet(path)
+    # schema pinned from the logical frame: a store built from an EMPTY
+    # events table has no footer to infer from (same hazard as
+    # RollupStore._read_store)
+    fact = spark.read.schema(pf.schema).parquet(path)
+    dim = (
+        ev.select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .filter(F.col("event_date") < F.lit("2024-01-08").cast("date"))
+    )
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("total"),
+        )
+        .orderBy("event_type")
+    )

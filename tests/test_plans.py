@@ -378,3 +378,11 @@ def test_bucketed_join_no_exchange_before_smj(spark, specs):
     assert "SortMergeJoin" in tree
     join_part = tree.split("SortMergeJoin")[1] if "SortMergeJoin" in tree else ""
     assert "Exchange" not in join_part, tree
+
+
+def test_dpp_fact_scan_has_dynamic_pruning(spark, specs):
+    # the selective filter is on the dim side; the day-partitioned fact
+    # scan must receive the dim keys as a RUNTIME partition filter
+    plan = plan_of(spark, specs, "q_dpp_prune")
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert any("dynamicpruning" in ln.lower() for ln in part_lines), plan
