@@ -164,6 +164,7 @@ DRIVER_WINDOW = [
     "q_time_to_convert",
     "q_bucketed_join",
     "q_dpp_prune",
+    "q_schema_evolution",
 ]
 
 _ORACLE_TABLES = (

@@ -1091,3 +1091,63 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution on read (mergeSchema over heterogeneous parts)
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_schema_evolution",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN COALESCE(n_chars, 0) ELSE 0 END) AS BIGINT) AS chars_new_rows,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 OR n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old_schema
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    ops=("S15", "SRC-evolve"),
+    doc="Schema evolution on read: the store holds parquet parts written "
+    "under TWO schemas — an old generation without n_chars (doc_id %% 2 "
+    "= 0) and a new generation with it — and a mergeSchema scan unions "
+    "them, surfacing the missing column as NULL on old rows (counted, "
+    "summed with a 0 default — FIXTURES rule 3 keeps the nullable "
+    "numeric out of the projection).  This is the lake reality S15's "
+    "ETL-level test covers for MERGE targets, proven here at driver "
+    "grade for plain scans: adding a column must never require "
+    "rewriting 100 TB of history.  Footer merging is per-file metadata "
+    "work, not data IO; partition-parallel.",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_evolve_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+            "overwrite"
+        ).parquet(path)
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+            "append"
+        ).parquet(path)
+    merged = spark.read.option("mergeSchema", "true").schema(
+        "doc_id bigint, lang string, n_chars bigint"
+    ).parquet(path)
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.coalesce("n_chars", F.lit(0))), F.lit(0))
+            .cast("bigint")
+            .alias("chars_new_rows"),
+            F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_old_schema"),
+        )
+        .orderBy("lang")
+    )
