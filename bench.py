@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     # vector
     "q_knn_bruteforce",
     "q_label_centroid",
+    "q_embed_quantize",
+    # iterative graph (bounded-round rank propagation)
+    "q_pagerank",
     # multimodal (Arrow-batched mapInPandas path)
     "q_media_pixel_stats",
     # warehouse analytics (round-3 additions)

@@ -84,3 +84,65 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    iterations: int = 3,
+    micro: int = 1_000_000_000,
+) -> DataFrame:
+    """Weighted PageRank over an undirected graph, in integer micro-units.
+
+    Returns ``(u, r)`` — every vertex with its rank after ``iterations``
+    damped (d=0.85) propagation rounds, where ranks are BIGINTs in units
+    of 1/``micro`` so every arithmetic step is exact integer math:
+
+    - init      r0(u)    = micro div N
+    - per edge  contrib  = (r(u) * w) div out_w(u)
+    - update    r'(v)    = (0.15*micro) div N + (85 * Σ contrib) div 100
+
+    Integer div/sum are order-independent under partial aggregation and
+    bit-identical across engines, so a SQL oracle can replay the loop
+    exactly — double-valued PageRank cannot be hash-compared because the
+    per-vertex sums re-associate differently per partitioning.  (Same
+    fixed-point trick as the centroid/µ-unit oracles in queries/vector.py.)
+
+    ``edges`` must already be symmetrized (both directions present) and
+    weight-grouped per (src,dst); every vertex then has in- and
+    out-edges, so no dangling-mass term is needed.
+
+    Scale (100 TB): each round is one shuffle join of the (small) rank
+    table with the edge list on ``u`` plus one aggregate shuffle on
+    ``v`` — the same bounded-round shape as ``connected_components``.
+    The edge+out-degree frame is computed once and reused; with a fixed
+    small iteration count the lineage stays shallow, no checkpoint
+    needed.  Reference analog: the reference has no graph op — this
+    backs influence/centrality ranking over its donor->politician and
+    cosponsor graphs (app/metrics.py top-donor rankings are the degree-1
+    special case).
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    )
+    outw = e.groupBy("u").agg(F.sum("w").alias("ow"))
+    n = outw.count()
+    if n == 0:  # empty graph: no vertices, schema-true empty result
+        return outw.select(F.col("u"), F.lit(0).cast("long").alias("r"))
+    base = (15 * micro // 100) // n
+    ew = e.join(outw, "u")
+    ranks = outw.select("u", F.lit(micro // n).cast("long").alias("r"))
+    for _ in range(iterations):
+        ranks = (
+            ew.join(ranks, "u")
+            .select("v", F.expr("(r * w) div ow").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("v").alias("u"),
+                (F.lit(base) + F.expr(f"(85 * s) div 100")).cast("long").alias("r"),
+            )
+        )
+    return ranks

@@ -165,6 +165,8 @@ DRIVER_WINDOW = [
     "q_bucketed_join",
     "q_dpp_prune",
     "q_schema_evolution",
+    "q_pagerank",
+    "q_embed_quantize",
 ]
 
 _ORACLE_TABLES = (

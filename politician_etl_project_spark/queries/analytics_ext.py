@@ -1151,3 +1151,99 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative rank propagation (PageRank) — exact integer replay
+# ---------------------------------------------------------------------------
+
+# One propagation round as a SQL fragment: rank table `{rin}` -> `{rout}`.
+# Mirrors operators/graph.pagerank_micro bit-for-bit: per-edge integer
+# contribution (r*w) // ow, BIGINT sum, damped integer update.
+_PR_ROUND = """{rout} AS (
+  SELECT s.v AS u,
+         CAST(bs.base + (85 * CAST(SUM((r.r * s.w) // o.ow) AS BIGINT)) // 100 AS BIGINT) AS r
+  FROM sym s JOIN {rin} r ON s.u = r.u JOIN outw o ON s.u = o.u, bs
+  GROUP BY s.v, bs.base
+)"""
+
+_PAGERANK_ORACLE = (
+    """WITH e AS (
+  SELECT l_suppkey + 10000000 AS a, o_custkey AS b, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), sym AS (
+  SELECT a AS u, b AS v, w FROM e UNION ALL SELECT b AS u, a AS v, w FROM e
+), outw AS (
+  SELECT u, CAST(SUM(w) AS BIGINT) AS ow FROM sym GROUP BY u
+), bs AS (
+  SELECT CAST((150000000 // COUNT(*)) AS BIGINT) AS base,
+         CAST((1000000000 // COUNT(*)) AS BIGINT) AS r0 FROM outw
+), rank0 AS (
+  SELECT u, bs.r0 AS r FROM outw, bs
+), """
+    + _PR_ROUND.format(rin="rank0", rout="rank1")
+    + ", "
+    + _PR_ROUND.format(rin="rank1", rout="rank2")
+    + ", "
+    + _PR_ROUND.format(rin="rank2", rout="rank3")
+    + """
+SELECT CASE WHEN u >= 10000000 THEN 'supplier' ELSE 'customer' END AS kind,
+       CASE WHEN u >= 10000000 THEN u - 10000000 ELSE u END AS node,
+       r AS rank_micro
+FROM rank3
+ORDER BY rank_micro DESC, kind, node
+LIMIT 20
+"""
+)
+
+
+@declared_query(
+    "q_pagerank",
+    oracle=_PAGERANK_ORACLE,
+    ops=("GRAPH-pagerank", "J1", "A2"),
+    doc="Weighted PageRank (3 damped rounds, d=0.85) over the undirected "
+    "supplier<->customer bipartite graph induced by lineitem (edge "
+    "weight = co-occurrence count), top-20 most-central nodes.  Ranks "
+    "are exact BIGINT micro-units (operators/graph.pagerank_micro): "
+    "init micro DIV N, per-edge contribution (r*w) DIV out_w, update "
+    "base + (85*sum) DIV 100 — every step order-independent integer "
+    "math, so the DuckDB oracle unrolls the identical three rounds and "
+    "the value hash is exact, which double-precision PageRank can "
+    "never be under re-associated partial sums.  Complements "
+    "connected_components as the second bounded-round iterative graph "
+    "op: per round one join shuffle on u and one aggregate shuffle on "
+    "v, no driver state.  Reference analog: degree-1 centrality "
+    "rankings (top donors, app/metrics.py:63-67) generalized to "
+    "influence propagation over the giving graph.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.graph import pagerank_micro
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("l_suppkey") + 10000000).alias("a"),
+            F.col("o_custkey").alias("b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v"), "w").unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    )
+    ranks = pagerank_micro(sym, iterations=3)
+    return (
+        ranks.select(
+            F.when(F.col("u") >= 10000000, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("kind"),
+            F.when(F.col("u") >= 10000000, F.col("u") - 10000000)
+            .otherwise(F.col("u"))
+            .alias("node"),
+            F.col("r").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "kind", "node")
+        .limit(20)
+    )

@@ -511,3 +511,86 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
     )
     return ann_lsh_batch(emb, queries, k=3, n_planes=4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# int8 symmetric quantization — embedding storage compression
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+         greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127 AS scale,
+         embedding
+  FROM embeddings WHERE vec_id < 200
+), err AS (
+  SELECT vec_id, label, scale,
+         list_max(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale))) AS max_err,
+         list_sum(list_transform(range(1, 65),
+            i -> abs(CAST(embedding[i] AS DOUBLE)
+                     - floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) * scale))) AS sum_err
+  FROM q
+)
+SELECT vec_id, label,
+       CAST(FLOOR(scale * 1000000000) AS BIGINT) AS scale_nano,
+       CAST(FLOOR(max_err * 1000000000) AS BIGINT) AS max_err_nano,
+       CAST(FLOOR(sum_err * 1000000000) AS BIGINT) AS sum_err_nano
+FROM err
+ORDER BY vec_id
+"""
+
+
+@declared_query(
+    "q_embed_quantize",
+    oracle=_QUANT_ORACLE,
+    ops=("V1", "TXT-quantize", "D2"),
+    doc="Symmetric int8 quantization audit for embedding storage: per "
+    "vector, scale = max|x|/127 (zero-guard 1e-12), codes = "
+    "floor(x/scale + 0.5) — round-half-up pinned explicitly because "
+    "Spark round() and DuckDB round() disagree on .5 in double space — "
+    "and the reconstruction error stats (max and L1 in nano-units) "
+    "that decide whether a corpus can ship int8 (4x smaller ANN "
+    "index, the standard serving trade).  Everything is per-row "
+    "element-wise double math in index order (max is order-free, the "
+    "L1 fold replays left-to-right in both engines — the dot-product "
+    "precedent at module top), then floored to exact BIGINT "
+    "nano-units, so the hash is bit-exact.  Narrow map over the "
+    "corpus: no shuffle at all at any scale.  Reference analog: "
+    "hydrate_vectors.py ships float32 to Pinecone; this is the op "
+    "that would cut that index cost 4x.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    x = "CAST(e AS DOUBLE)"
+    scale = (
+        "greatest(aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, e) -> greatest(acc, abs(CAST(e AS DOUBLE)))), 1e-12d) / 127"
+    )
+    dequant_err = f"abs({x} - floor({x} / scale + 0.5d) * scale)"
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(scale).alias("scale"),
+        "embedding",
+    )
+    err = q.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+            f"(acc, e) -> greatest(acc, {dequant_err}))"
+        ).alias("max_err"),
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+            f"(acc, e) -> acc + {dequant_err})"
+        ).alias("sum_err"),
+    )
+    return err.select(
+        "vec_id",
+        "label",
+        F.floor(F.col("scale") * 1000000000).cast("bigint").alias("scale_nano"),
+        F.floor(F.col("max_err") * 1000000000).cast("bigint").alias("max_err_nano"),
+        F.floor(F.col("sum_err") * 1000000000).cast("bigint").alias("sum_err_nano"),
+    ).orderBy("vec_id")
