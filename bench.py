@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     # stored-index ANN probe (partition-pruned) + batched serving
     "q_ann_lsh",
     "q_ann_batch",
+    "q_ann_pq",
     # temporal joins
     "q_asof_join",
     "q_range_join",

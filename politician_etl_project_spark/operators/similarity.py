@@ -520,3 +520,104 @@ def ann_lsh_batch(
         .drop("_rn")
         .orderBy(q_id_col, F.desc("score"), F.asc(id_col))
     )
+
+
+# --- Product quantization (PQ) ---------------------------------------------
+
+
+def _subspace(vec_col: str, j: int, dsub: int, out: str) -> "F.Column":
+    """j-th sub-vector as array<double> (slice is 1-based)."""
+    return F.expr(
+        f"transform(slice({vec_col}, {j * dsub + 1}, {dsub}), x -> CAST(x AS DOUBLE))"
+    ).alias(out)
+
+
+def pq_train_codes(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Product-quantization training: split each vector into ``m``
+    subspaces of dim/m dims and run the deterministic mini k-means of
+    :func:`ivf_train_assign` independently per subspace (``ksub``
+    centroids each).  Returns ``(codes, codebooks)`` — codes carries one
+    ``code_j`` column per subspace (the vector compresses from dim
+    floats to m small ints: 64x here), codebooks is the per-subspace
+    centroid frame list.
+
+    Scale shape: per subspace the Lloyd loop is broadcast-crossjoin +
+    argmin + ksub-group mean (see ivf_train_assign); the code table is
+    built by m id-joins that AQE plans as broadcasts once the per-
+    subspace assignment frames are small, and at 100 TB you train the
+    codebooks on a sample and assign the full corpus in one narrow
+    pass.  Reference analog: none — this is the storage-compressed ANN
+    path Pinecone runs internally for the index the reference queries
+    (app/INDEX.md 1536-dim corpus)."""
+    dsub = dim // m
+    codes = emb.select(id_col)
+    books: list[DataFrame] = []
+    for j in range(m):
+        sub = emb.select(id_col, _subspace(vec_col, j, dsub, "sub"))
+        assigned, cents = ivf_train_assign(
+            sub, n_clusters=ksub, n_iters=n_iters, vec_col="sub", id_col=id_col, dim=dsub
+        )
+        codes = codes.join(
+            assigned.select(id_col, F.col("cluster").alias(f"code_{j}")), id_col
+        )
+        books.append(cents)
+    return codes, books
+
+
+def ann_pq_adc(
+    emb: DataFrame,
+    query_vec: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per subspace a
+    ksub-row lookup table of squared distances query-sub -> centroid
+    broadcasts onto the code table, and the approximate distance is the
+    explicit left-to-right sum d2_0 + ... + d2_{m-1} — a fixed-order
+    float expression both engines evaluate identically, never a
+    re-associable aggregate.  The scan never touches the original
+    vectors: at serving time only the m-byte codes are read (the whole
+    point of PQ at 100 TB — the float corpus stays cold).
+    """
+    dsub = dim // m
+    codes, books = pq_train_codes(
+        emb, m=m, ksub=ksub, n_iters=n_iters, dim=dim, vec_col=vec_col, id_col=id_col
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qs"),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = codes
+    for j, cents in enumerate(books):
+        qs = query_vec.select(_subspace(q_col, j, dsub, "qs"))
+        lut = cents.crossJoin(F.broadcast(qs)).select(
+            F.col("cluster").alias(f"code_{j}"), d2.alias(f"d2_{j}")
+        )
+        scored = scored.join(F.broadcast(lut), f"code_{j}")
+    adc = F.col("d2_0")
+    for j in range(1, m):
+        adc = adc + F.col(f"d2_{j}")
+    return (
+        scored.select(id_col, F.round(adc, 4).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+    )

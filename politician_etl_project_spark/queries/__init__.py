@@ -167,6 +167,7 @@ DRIVER_WINDOW = [
     "q_schema_evolution",
     "q_pagerank",
     "q_embed_quantize",
+    "q_ann_pq",
 ]
 
 _ORACLE_TABLES = (

