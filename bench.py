@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q_ann_lsh",
     "q_ann_batch",
     "q_ann_pq",
+    "q_hybrid_rrf",
     # temporal joins
     "q_asof_join",
     "q_range_join",

@@ -168,6 +168,7 @@ DRIVER_WINDOW = [
     "q_pagerank",
     "q_embed_quantize",
     "q_ann_pq",
+    "q_hybrid_rrf",
 ]
 
 _ORACLE_TABLES = (

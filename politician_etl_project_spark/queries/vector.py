@@ -690,3 +690,104 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return ann_pq_adc(emb, qv, m=4, ksub=4, n_iters=2, dim=64, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: keyword + vector lists fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+_HYBRID_ORACLE = f"""
+WITH kw AS (
+  SELECT doc_id, rnk AS kw_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rnk
+    FROM (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t = 'merge')) AS tf
+      FROM documents
+    ) WHERE tf > 0
+  ) WHERE rnk <= 20
+), vec AS (
+  SELECT vec_id AS doc_id, rnk AS vec_rank FROM (
+    SELECT b.vec_id,
+           ROW_NUMBER() OVER (ORDER BY {_DUCK_DOT_AB} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='b')}) DESC, b.vec_id) AS rnk
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id = 0
+  ) WHERE rnk <= 20
+)
+SELECT doc_id,
+       CAST(COALESCE(1000000 // (60 + kw_rank), 0)
+          + COALESCE(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_micro,
+       CAST(COALESCE(kw_rank, -1) AS BIGINT) AS kw_rank,
+       CAST(COALESCE(vec_rank, -1) AS BIGINT) AS vec_rank
+FROM kw FULL OUTER JOIN vec USING (doc_id)
+ORDER BY rrf_micro DESC, doc_id
+LIMIT 10
+"""
+
+
+@declared_query(
+    "q_hybrid_rrf",
+    oracle=_HYBRID_ORACLE,
+    ops=("V2", "P7", "O3", "TXT-hybrid"),
+    doc="Hybrid retrieval with reciprocal-rank fusion: a keyword list "
+    "(exact whole-token term frequency for 'merge', top-20) and a "
+    "semantic list (cosine vs the vec_id=0 query, top-20) fuse by "
+    "rrf = sum(1e6 DIV (60+rank)) — integer micro-units, so the fused "
+    "score is exact and order-independent, unlike float RRF.  This is "
+    "the reference's dual retrieval path made one engine query: "
+    "app_old.py:469-491 fans out a LIKE donor search AND a Pinecone "
+    "semantic query, then merges in Python.  Scale shape: each list is "
+    "a TakeOrderedAndProject over a narrow map (top-20 never leaves "
+    "the executors unsorted), the fusion joins two 20-row frames — "
+    "broadcast trivially; absent ranks surface as the -1 sentinel "
+    "(FIXTURES nullable-numeric rule).",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from politician_etl_project_spark.operators.similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    tf = F.expr("size(filter(split(trim(text), '\\\\s+'), t -> t = 'merge'))")
+    kw_top = (
+        docs.select("doc_id", tf.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(20)
+    )
+    kw = kw_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tf"), F.asc("doc_id")))
+        .alias("kw_rank"),
+    )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    vec_top = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cosine("embedding", "q").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    vec = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("vec_rank"),
+    )
+
+    fused = kw.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000 div (60 + kw_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + vec_rank)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_micro"),
+        F.coalesce("kw_rank", F.lit(-1)).cast("bigint").alias("kw_rank"),
+        F.coalesce("vec_rank", F.lit(-1)).cast("bigint").alias("vec_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(10)
