@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q_moments_mergeable",
     "q_snapshot_diff",
     "q_inverted_index",
+    "q_correlation",
 ]
 
 

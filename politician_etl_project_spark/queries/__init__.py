@@ -169,6 +169,7 @@ DRIVER_WINDOW = [
     "q_embed_quantize",
     "q_ann_pq",
     "q_hybrid_rrf",
+    "q_correlation",
 ]
 
 _ORACLE_TABLES = (

@@ -1247,3 +1247,69 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "kind", "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-friendly statistics: correlation + OLS from exact merged sums
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS ols_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS ols_intercept
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@declared_query(
+    "q_correlation",
+    oracle=_CORR_ORACLE,
+    ops=("STAT-corr", "A2", "A8"),
+    doc="Per-group Pearson correlation and OLS fit (quantity vs price) "
+    "from the five mergeable sufficient sums (n, Sx, Sy, Sxx, Syy, Sxy) "
+    "accumulated as EXACT decimals — order-independent under partial "
+    "aggregation, mergeable across partitions/days like the moments "
+    "sketch (q_moments_mergeable) — with the float math confined to one "
+    "identical final expression per engine.  A float-accumulating "
+    "corr()/covar() can never hash-match across partitionings; this "
+    "formulation is also the incremental form (merge yesterday's sums "
+    "with today's delta, never rescan).  One shuffle on the tiny group "
+    "key.  Reference analog: the dashboard's scatter trendlines "
+    "(app/app.py plotly tabs) computed engine-side.",
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = "CAST(l_quantity AS DECIMAL(18,2))"
+    dy = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.expr(f"CAST(SUM({dx}) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM({dy}) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM({dx} * {dx}) AS DOUBLE)").alias("sxx"),
+        F.expr(f"CAST(SUM({dy} * {dy}) AS DOUBLE)").alias("syy"),
+        F.expr(f"CAST(SUM({dx} * {dy}) AS DOUBLE)").alias("sxy"),
+    )
+    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)"
+        ).alias("corr_qty_price"),
+        F.expr(f"ROUND({slope}, 6)").alias("ols_slope"),
+        F.expr(f"ROUND((sy - ({slope}) * sx) / n, 6)").alias("ols_intercept"),
+    ).orderBy("l_returnflag")
