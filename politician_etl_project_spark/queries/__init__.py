@@ -170,6 +170,8 @@ DRIVER_WINDOW = [
     "q_ann_pq",
     "q_hybrid_rrf",
     "q_correlation",
+    "q_window_range_frame",
+    "q_provenance_audit",
 ]
 
 _ORACLE_TABLES = (

@@ -177,3 +177,56 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.ntile(4).over(w).alias("quartile"),
     ).orderBy("c_custkey")
+
+
+@declared_query(
+    "q_window_range_frame",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS daynum,
+         SUM(CAST(value AS DECIMAL(18,2))) AS total
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, day,
+       CAST(SUM(total) OVER (PARTITION BY event_type ORDER BY daynum
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DECIMAL(18,2)) AS trailing_7d
+FROM daily
+ORDER BY event_type, day
+""",
+    ops=("W1", "A4"),
+    doc="Time-RANGE window frame: per event type, the trailing-7-DAY "
+    "value total over the daily rollup — a VALUE-based frame "
+    "(rangeBetween on the epoch-day ordinal), not a row-count frame, "
+    "so gaps in the calendar shrink the window exactly as wall-clock "
+    "time would.  The rows-frame family (q_window_moving_avg) cannot "
+    "express this.  Decimal sums keep both engines exact.  Scale: the "
+    "daily pre-aggregate contracts the fact FIRST (days x types rows), "
+    "then the window sorts only the tiny rollup within each type "
+    "partition — never the raw events.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+                "daynum"
+            ),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("daynum")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.sum("total").over(w).cast("decimal(18,2)").alias("trailing_7d"),
+    ).orderBy("event_type", "day")
