@@ -386,3 +386,44 @@ def test_dpp_fact_scan_has_dynamic_pruning(spark, specs):
     plan = plan_of(spark, specs, "q_dpp_prune")
     part_lines = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
     assert any("dynamicpruning" in ln.lower() for ln in part_lines), plan
+
+
+def test_pagerank_no_cartesian_bounded_exchanges(spark, specs):
+    """PageRank rounds must be key-joins + aggregates: no cartesian
+    product and no more than the bounded per-round exchange count
+    (edges co-keyed by u, contributions aggregated on v)."""
+    plan = plan_of(spark, specs, "q_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ann_pq_luts_broadcast(spark, specs):
+    """ADC serving must broadcast the tiny per-subspace lookup tables —
+    a shuffle join against a 4-row LUT would be a plan regression."""
+    plan = plan_of(spark, specs, "q_ann_pq")
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_hybrid_rrf_lists_take_ordered(spark, specs):
+    """Both retrieval lists are top-20: the plan must collect them via
+    TakeOrderedAndProject, never a global sort of the corpus."""
+    plan = plan_of(spark, specs, "q_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
+
+
+def test_embed_quantize_no_shuffle(spark, specs):
+    """int8 quantization audit is a pure narrow map: no Exchange may
+    appear before the final output ordering."""
+    plan = plan_of(spark, specs, "q_embed_quantize")
+    # the only allowed exchange is the final orderBy's range partitioning
+    body = plan.split("Sort", 1)[0]
+    assert "Exchange" not in body, body
+
+
+def test_range_frame_windows_over_rollup(spark, specs):
+    """The RANGE-frame window must run over the daily pre-aggregate
+    (HashAggregate below the Window), not the raw event stream."""
+    plan = plan_of(spark, specs, "q_window_range_frame")
+    assert "Window" in plan and "HashAggregate" in plan
+    w_pos = plan.find("Window")
+    assert "HashAggregate" in plan[w_pos:] or plan.find("HashAggregate") > -1
