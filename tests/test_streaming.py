@@ -412,3 +412,45 @@ def test_rollup_maintenance_stream_matches_batch(spark, staged_events, tmp_path)
         .collect()
     }
     assert served == expected
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restart semantics: a stream stopped after an initial backlog and
+    RESTARTED against the same checkpoint must process only the files
+    that arrived while it was down — no reprocessing, no duplicate
+    MERGE effects, final table identical to one uninterrupted batch.
+    This is the engine credential the reference's run-log loop
+    (scripts/run_all_updates.py) approximates with manual watermarks."""
+    src = str(tmp_path / "src")
+    events = _batch_events(spark)
+    events.filter(F.col("event_id") < 500).coalesce(1).write.mode("overwrite").parquet(src)
+
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"), keys=["event_id"])
+    seen_batches: list[int] = []
+
+    def make_runner():
+        from politician_etl_project_spark.streaming.sources import run_foreach_batch
+
+        def _apply(batch_df, batch_id):
+            seen_batches.append(batch_df.count())
+            table.upsert(batch_df, update_wins=False)
+
+        return lambda: run_foreach_batch(
+            events_stream(spark, src), _apply, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+
+    run = make_runner()
+    run()  # first run: only the initial backlog
+    assert sum(seen_batches) == 500
+    assert table.read().count() == 500
+
+    # stream is down; late files land
+    events.filter(F.col("event_id") >= 500).coalesce(1).write.mode("append").parquet(src)
+
+    run()  # restart from the SAME checkpoint
+    total = events.select("event_id").distinct().count()
+    # second run read ONLY the new arrivals (checkpoint skipped old files)
+    assert sum(seen_batches) == total
+    got = table.read()
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
