@@ -172,6 +172,8 @@ DRIVER_WINDOW = [
     "q_correlation",
     "q_window_range_frame",
     "q_provenance_audit",
+    "q_data_profile",
+    "q_dq_constraints",
 ]
 
 _ORACLE_TABLES = (
@@ -259,6 +261,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline,
         sources_decl,
         analytics_ext,
+        quality,
     )
 
     if _CANON_CACHE is None:
