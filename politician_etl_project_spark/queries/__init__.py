@@ -174,6 +174,7 @@ DRIVER_WINDOW = [
     "q_provenance_audit",
     "q_data_profile",
     "q_dq_constraints",
+    "q_event_paths",
 ]
 
 _ORACLE_TABLES = (

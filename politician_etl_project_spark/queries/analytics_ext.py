@@ -1313,3 +1313,60 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({slope}, 6)").alias("ols_slope"),
         F.expr(f"ROUND((sy - ({slope}) * sx) / n, 6)").alias("ols_intercept"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Journey mining: most common opening event paths
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_event_paths",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
+  FROM events
+), paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY step) AS path
+  FROM ordered WHERE step <= 3
+  GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 20
+""",
+    ops=("EVT-paths", "W1", "A3"),
+    doc="Journey mining: each user's first three events (total-ordered "
+    "by ts with the unique event_id tie-break — without it the path "
+    "string is nondeterministic across engines) concatenate into an "
+    "opening path, and the top-20 paths rank by user count.  The "
+    "n-step generalization of the transition matrix "
+    "(q_event_transitions): transitions give the Markov model, paths "
+    "give the actual head of the funnel.  One shuffle on user_id for "
+    "the window + one on the path key; the per-user step filter caps "
+    "state at 3 rows per user regardless of history length.",
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("step")
+    ).filter(F.col("step") <= 3)
+    paths = (
+        ordered.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">", F.array_sort(F.collect_list(F.struct("step", "event_type"))).getField("event_type")
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
