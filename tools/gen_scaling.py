@@ -1,0 +1,68 @@
+"""Scale-factor sweep: run a representative query subset at sf0.001 /
+sf0.01 / sf0.1 (100x data spread) and print per-query seconds + the
+0.1/0.01 growth ratio.  A ratio well under 10 on a 10x data step means
+latency is still fixed-overhead-dominated (scheduling, planning) — i.e.
+the plans have headroom; a ratio near or above 10 marks the queries
+whose cost is already data-bound and which would dominate at 100 TB.
+
+Run: python tools/gen_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+QUERIES = [
+    "q01_pricing_summary",   # scan-heavy aggregate
+    "q05_region_volume",     # star join
+    "q18_large_orders",      # semi-join + grouped top-k
+    "q_monthly_timeline",    # time-bucketed agg
+    "q_window_rank",         # window
+    "q_session_windows",     # event-time sessionization
+    "q_dedup_exact",         # fingerprint groupBy
+    "q_near_dup_pairs_capped",  # LSH band shuffle
+    "q_knn_bruteforce",      # vector scan
+    "q_pagerank",            # iterative graph
+    "q_curation_funnel",     # composed pipeline
+    "q_percentiles",         # rank arithmetic
+]
+
+
+def main() -> None:
+    from politician_etl_project_spark.session import get_spark
+    from politician_etl_project_spark.queries import load_all
+
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    times: dict[str, dict[str, float]] = {}
+    for sf in SFS:
+        key = Path(sf).name
+        for name in QUERIES:
+            specs[name].fn(spark, sf).collect()  # warm codegen per shape
+        spark.catalog.clearCache()
+        for name in QUERIES:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf).collect()
+                sec = time.perf_counter() - t0
+                best = sec if best is None else min(best, sec)
+                spark.catalog.clearCache()
+            times.setdefault(name, {})[key] = round(best, 3)
+    out = {"queries": times}
+    for name, t in times.items():
+        if t.get("sf0.01"):
+            t["ratio_0.1/0.01"] = round(t["sf0.1"] / t["sf0.01"], 2)
+    print(json.dumps(out, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
