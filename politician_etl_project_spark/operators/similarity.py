@@ -348,27 +348,54 @@ def ivf_train_assign(
 
 
 def _assign(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """Nearest-centroid assignment (squared L2) via broadcast cross join +
-    min-struct argmin.  (x-y)*(x-y), not pow(x-y, 2): self-multiplication
-    is bit-identical across engines while libm pow may differ in the last
-    ulp — required for the DuckDB oracle replay of q_ann_ivf."""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    """Nearest-centroid assignment (squared L2) as a NARROW MAP: the k
+    centroid vectors (k is a small constant — the coarse-quantizer /
+    codebook size) are collected and inlined as a literal
+    array<struct<centroid,cluster>>, and the argmin is
+    ``array_min(transform(...))`` — struct comparison is lexicographic
+    (d2, cluster), the exact ORDER BY d2, cluster tie-break the DuckDB
+    oracle replays.
+
+    Scale contract: the earlier crossJoin+groupBy form re-shuffled the
+    FULL corpus (vector column included) on (id, vec) every Lloyd
+    iteration — corpus-sized exchanges that dominate at 100 TB.  This
+    form shuffles nothing: per-row fold over k inlined centroids, the
+    same pattern MLlib k-means uses (broadcast centers, map-side
+    assignment).  (x-y)*(x-y), not pow(x-y, 2): self-multiplication is
+    bit-identical across engines while libm pow may differ in the last
+    ulp — required for the DuckDB oracle replay of q_ann_ivf/q_ann_pq.
+    """
+    rows = centroids.orderBy("cluster").collect()  # k rows, k = O(16..256)
+    if not rows:
+        return (
+            emb.select(id_col, vec_col)
+            .withColumn("cluster", F.lit(0).cast("int"))
+            .filter(F.lit(False))
+        )
+    cents = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(v)) for v in r["centroid"]]).alias("centroid"),
+                F.lit(int(r["cluster"])).cast("int").alias("cluster"),
+            )
+            for r in rows
+        ]
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        id_col, vec_col, F.struct(d2.alias("d2"), F.col("cluster").alias("cluster")).alias("sc")
-    )
-    return (
-        scored.groupBy(id_col, vec_col)
-        .agg(F.min("sc").alias("best"))
-        .select(id_col, vec_col, F.col("best.cluster").alias("cluster"))
-    )
+
+    def per_centroid(c):
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c.getField("centroid"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.struct(d2.alias("d2"), c.getField("cluster").alias("cluster"))
+
+    best = F.array_min(F.transform(cents, per_centroid)).getField("cluster")
+    return emb.select(id_col, vec_col, best.alias("cluster"))
 
 
 def build_ivf_index(

@@ -491,3 +491,24 @@ def test_ann_pq_codes_and_self_hit(spark, sf_dir):
     # ADC distances are non-decreasing in rank order
     adcs = [r["adc"] for r in top]
     assert adcs == sorted(adcs)
+
+
+def test_kmeans_assign_wide_dim(spark):
+    """Centroid assignment at dim=1536 / k=16 (the reference's real
+    vector width) must plan and evaluate: the inlined centroid family is
+    O(k*dim) literal nodes — fine at coarse-quantizer sizes; the
+    docstring documents the sample-train guidance for larger k*dim."""
+    from politician_etl_project_spark.operators.similarity import ivf_train_assign
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(1536)),
+            lambda d: F.sin(d.cast("double") * (F.col("id") + 1).cast("double")),
+        ).alias("embedding"),
+    )
+    assigned, centroids = ivf_train_assign(df, n_clusters=16, n_iters=1, dim=1536)
+    assert centroids.count() == 16
+    got = assigned.collect()
+    assert len(got) == 40
+    assert all(1 <= r["cluster"] <= 16 for r in got)
