@@ -730,7 +730,15 @@ def q_pmi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     ).distinct()
-    joint = tok.groupBy("token", "source").agg(F.count("*").alias("n_ts"))
+    # joint feeds FOUR consumers (both marginals, the scalar total, and
+    # the output join); without lineage truncation the tokenize+distinct
+    # subtree replicates four times in one plan (22 exchanges measured).
+    # joint is vocab x sources — tiny relative to the postings.
+    joint = (
+        tok.groupBy("token", "source")
+        .agg(F.count("*").alias("n_ts"))
+        .localCheckpoint(eager=False)
+    )
     tmarg = joint.groupBy("token").agg(F.sum("n_ts").alias("n_t"))
     smarg = joint.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
     total = joint.agg(F.sum("n_ts").alias("n"))
@@ -868,10 +876,13 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     )
+    # pairs feeds both the marginal and the output join — checkpoint the
+    # (types x types)-row frame so the events window subtree plans once
     pairs = (
         seq.filter(F.col("to_type").isNotNull())
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     marg = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
     return (

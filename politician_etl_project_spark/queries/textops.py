@@ -1110,13 +1110,29 @@ def q_dedup_multi_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    any_policy = drops_exact.union(drops_minhash).union(drops_simhash).distinct()
-
-    counts = (
-        drops_exact.agg(F.count("*").alias("n_drops")).select(F.lit("exact").alias("method"), "n_drops")
-        .unionByName(drops_minhash.agg(F.count("*").alias("n_drops")).select(F.lit("minhash_lsh").alias("method"), "n_drops"))
-        .unionByName(drops_simhash.agg(F.count("*").alias("n_drops")).select(F.lit("simhash").alias("method"), "n_drops"))
-        .unionByName(any_policy.agg(F.count("*").alias("n_drops")).select(F.lit("any_policy").alias("method"), "n_drops"))
+    # Tag each policy's drop set and aggregate ONCE: rollup('method')
+    # yields the per-method rows plus the grand-total row, and
+    # countDistinct gives per-method drop counts (ids are unique within
+    # a policy) AND the distinct-union count on the total row — so each
+    # policy subtree appears exactly once in the plan instead of twice
+    # (own count + union), halving the exchange count.
+    tagged = (
+        drops_exact.select("doc_id", F.lit("exact").alias("method"))
+        .unionByName(drops_minhash.select("doc_id", F.lit("minhash_lsh").alias("method")))
+        .unionByName(drops_simhash.select("doc_id", F.lit("simhash").alias("method")))
+    )
+    rolled = (
+        tagged.rollup("method")
+        .agg(F.countDistinct("doc_id").alias("n_drops"))
+        .select(F.coalesce("method", F.lit("any_policy")).alias("method"), "n_drops")
+    )
+    # a policy with zero drops has no tagged rows — the report must still
+    # carry its 0 row, so join the method spine back (4-row broadcast)
+    spine = spark.createDataFrame(
+        [("any_policy",), ("exact",), ("minhash_lsh",), ("simhash",)], "method string"
+    )
+    counts = spine.join(rolled, "method", "left").select(
+        "method", F.coalesce("n_drops", F.lit(0)).cast("bigint").alias("n_drops")
     )
     return counts.orderBy("method")
 
