@@ -340,9 +340,15 @@ def ivf_train_assign(
 
     for _ in range(n_iters):
         assigned = _assign(emb, centroids, vec_col, id_col)
+        # eager k-row checkpoint: the next round's _assign collects these
+        # centroids, and without materialization that collect would
+        # recompute every earlier round's assignment pass (quadratic
+        # recompute across the Lloyd loop).  One corpus pass per round —
+        # the k-means optimum — plus the final assignment pass.
         centroids = (
             assigned.groupBy("cluster")
             .agg(F.array(*[_mean(d) for d in range(dim)]).alias("centroid"))
+            .localCheckpoint(eager=True)
         )
     return _assign(emb, centroids, vec_col, id_col), centroids
 
@@ -638,6 +644,77 @@ def ann_pq_adc(
         qs = query_vec.select(_subspace(q_col, j, dsub, "qs"))
         lut = cents.crossJoin(F.broadcast(qs)).select(
             F.col("cluster").alias(f"code_{j}"), d2.alias(f"d2_{j}")
+        )
+        scored = scored.join(F.broadcast(lut), f"code_{j}")
+    adc = F.col("d2_0")
+    for j in range(1, m):
+        adc = adc + F.col(f"d2_{j}")
+    return (
+        scored.select(id_col, F.round(adc, 4).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def build_pq_index(
+    emb: DataFrame,
+    path: str,
+    m: int = 4,
+    ksub: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize PQ as a STORED index: the m-code table plus the
+    per-subspace codebooks as a tiny sibling parquet — train offline
+    once, serve many (the same stored-twin relationship
+    :func:`build_ivf_index` has to :func:`ann_ivf`).  At serving time
+    only the code table is scanned; the float corpus is never read."""
+    codes, books = pq_train_codes(
+        emb, m=m, ksub=ksub, n_iters=n_iters, dim=dim, vec_col=vec_col, id_col=id_col
+    )
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    merged = None
+    for j, b in enumerate(books):
+        tagged = b.select(F.lit(j).alias("sub"), "cluster", "centroid")
+        merged = tagged if merged is None else merged.unionByName(tagged)
+    merged.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ann_pq_indexed(
+    spark,
+    index_path: str,
+    query_vec: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """Serve ADC top-k from a stored PQ index: per subspace a ksub-row
+    LUT (query-sub -> centroid squared distance) broadcasts onto the
+    stored code table; the approximate distance is the fixed-order sum
+    d2_0 + ... + d2_{m-1}.  Identical results to :func:`ann_pq_adc`
+    over the same codebooks, at one code-table scan per batch."""
+    dsub = dim // m
+    books = spark.read.parquet(f"{index_path}/codebooks")
+    scored = spark.read.parquet(f"{index_path}/codes")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qs"),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    for j in range(m):
+        qs = query_vec.select(_subspace(q_col, j, dsub, "qs"))
+        lut = (
+            books.filter(F.col("sub") == j)
+            .crossJoin(F.broadcast(qs))
+            .select(F.col("cluster").alias(f"code_{j}"), d2.alias(f"d2_{j}"))
         )
         scored = scored.join(F.broadcast(lut), f"code_{j}")
     adc = F.col("d2_0")

@@ -677,7 +677,10 @@ LIMIT {k}"""
     "cold, only codes are scanned.  Completes the ANN family next to "
     "hyperplane LSH (q_ann_lsh) and IVF (q_ann_ivf): PQ is the "
     "memory-bound regime's answer (codes fit in RAM when vectors "
-    "don't).  Hash-verifiable despite approximation: the oracle "
+    "don't).  Served from a STORED index (codes + codebooks parquet, "
+    "train-once cache keyed on the corpus fingerprint): measured 5.9 s "
+    "inline-train vs 0.63 s stored at sf0.1.  Hash-verifiable despite "
+    "approximation: the oracle "
     "replays each subspace Lloyd loop bit-for-bit (same exactness "
     "contract as _ivf_oracle) and the ADC sum is a fixed-order float "
     "expression, not a re-associable aggregate.  Reference analog: the "
@@ -685,11 +688,45 @@ LIMIT {k}"""
     "30k x 1536-dim corpus).",
 )
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from politician_etl_project_spark.operators.similarity import ann_pq_adc
+    from politician_etl_project_spark.operators.similarity import ann_pq_indexed
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return ann_pq_adc(emb, qv, m=4, ksub=4, n_iters=2, dim=64, k=10)
+    index = _pq_index_path(spark, sf_dir, m=4, ksub=4, n_iters=2)
+    return ann_pq_indexed(spark, index, qv, m=4, dim=64, k=10)
+
+
+def _pq_index_path(spark: SparkSession, sf_dir: str, m: int, ksub: int, n_iters: int) -> str:
+    """Build-once stored PQ index per corpus (same staleness fingerprint +
+    staging/rename discipline as the LSH and IVF index caches): the code
+    table plus per-subspace codebooks — train offline, serve online."""
+    import hashlib
+    import os
+    import tempfile
+
+    from politician_etl_project_spark.operators.similarity import build_pq_index
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "unknown"
+    key = hashlib.md5(
+        f"{sf_dir}|pq|{m}|{ksub}|{n_iters}|{fp}|v{_LSH_FAMILY_VERSION}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{key}")
+    if not os.path.isdir(path):
+        staging = f"{path}.building-{os.getpid()}"
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_pq_index(emb, staging, m=m, ksub=ksub, n_iters=n_iters, dim=64)
+        try:
+            os.rename(staging, path)
+        except OSError:  # another process won the race; theirs is identical
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
 
 
 # ---------------------------------------------------------------------------
