@@ -88,14 +88,12 @@ DRIVER_WINDOW = [
     "q_pivot_status_matrix",
     "q_unpivot_measures",
     "q_hll_mergeable",
-    # Slot 50: the one sentinel — q_ann_lsh exercises the round's
-    # riskiest change (hyperplane literal family + stored-LSH partition
-    # pruning).  Other touched shapes (funnel/clusters) are covered by
-    # never-checked window entries (q_funnel_clusters, q_dedup_survivors)
-    # and the new q_dedup_multi_policy/q_dedup_incremental.
+    # 51+: first overflow if the driver ever checks more than 50 —
+    # q_ann_lsh leads because it exercises this round's riskiest changes
+    # (hyperplane literal family + stored-index partition pruning); it
+    # was driver-green in r2 and stays locally hash-verified, so the 50
+    # in-window slots all go to never-driver-checked names instead.
     "q_ann_lsh",
-    # 51+: previously driver-green shapes — first in line if the driver
-    # ever checks more than 50 entries.
     "q_curation_funnel",
     "q_ann_ivf",
     "q_dup_clusters",
