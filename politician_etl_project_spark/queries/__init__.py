@@ -173,6 +173,7 @@ DRIVER_WINDOW = [
     "q_data_profile",
     "q_dq_constraints",
     "q_event_paths",
+    "q_negative_sampling",
 ]
 
 _ORACLE_TABLES = (

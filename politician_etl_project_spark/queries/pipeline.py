@@ -687,3 +687,67 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for contrastive training pairs
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_negative_sampling",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+cand AS (
+  SELECT d.doc_id, j.neg_rank,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(j.neg_rank AS VARCHAR)), 1, 8) AS BIGINT)
+           % n.cnt AS neg_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+  CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS neg_rank) j
+  CROSS JOIN n
+)
+SELECT c.doc_id, c.neg_rank, c.neg_id, doc.source AS neg_source
+FROM cand c JOIN documents doc ON c.neg_id = doc.doc_id
+WHERE c.neg_id <> c.doc_id
+ORDER BY c.doc_id, c.neg_rank
+""",
+    ops=("PIPE-negatives", "J7", "F11"),
+    doc="Deterministic negative sampling for contrastive training: each "
+    "anchor doc draws 3 pseudo-random negatives via the md5-derived "
+    "hash of (doc_id, rank) mod corpus size — content-stable (re-runs "
+    "and re-partitions never change a pair, unlike rand()-based "
+    "sampling which cannot be hash-verified or reproduced), "
+    "self-collisions dropped, negatives joined back for metadata.  "
+    "The corpus size enters the plan as a broadcast 1-row aggregate — "
+    "no driver collect.  At 100 TB: the negative join shuffles on "
+    "neg_id exactly like any fact-dim join; skewed anchors don't skew "
+    "negatives because the hash spreads uniformly.  This is the "
+    "in-batch-negatives alternative every embedding-model data "
+    "pipeline ships.",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("cnt"))
+    anchors = docs.filter(F.col("doc_id") < 100).select("doc_id")
+    ranks = spark.range(3).select(F.col("id").cast("int").alias("neg_rank"))
+    cand = (
+        anchors.crossJoin(F.broadcast(ranks))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "neg_rank",
+            (
+                F.expr(
+                    "cast(conv(substring(md5(concat(cast(doc_id as string), '|', "
+                    "cast(neg_rank as string))), 1, 8), 16, 10) as bigint)"
+                )
+                % F.col("cnt")
+            ).alias("neg_id"),
+        )
+    )
+    return (
+        cand.filter(F.col("neg_id") != F.col("doc_id"))
+        .join(docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")), "neg_id")
+        .select("doc_id", "neg_rank", "neg_id", "neg_source")
+        .orderBy("doc_id", "neg_rank")
+    )
