@@ -174,6 +174,7 @@ DRIVER_WINDOW = [
     "q_dq_constraints",
     "q_event_paths",
     "q_negative_sampling",
+    "q_lm_quality_score",
 ]
 
 _ORACLE_TABLES = (

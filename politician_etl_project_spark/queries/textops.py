@@ -1258,3 +1258,78 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     vals = ", ".join(f"('{s}', CAST({n} AS BIGINT))" for s, n in rows)
     return spark.sql(f"SELECT stage, n FROM VALUES {vals} AS t(stage, n) ORDER BY stage")
+
+
+@declared_query(
+    "q_lm_quality_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+), tot AS (
+  SELECT SUM(cnt) AS t FROM vocab
+), scored AS (
+  SELECT tok.doc_id,
+         CAST(FLOOR(1000000 * ln(CAST(v.cnt AS DOUBLE) / CAST(tt.t AS DOUBLE))) AS BIGINT) AS lp
+  FROM tok JOIN vocab v USING (token), tot tt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp) AS BIGINT) AS sum_logp_micro,
+       CAST(FLOOR(CAST(SUM(lp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_logp_micro
+FROM scored
+GROUP BY doc_id
+ORDER BY avg_logp_micro DESC, doc_id
+LIMIT 50
+""",
+    ops=("TXT-lm-quality", "A2", "J7"),
+    doc="Unigram language-model quality score — the KenLM-style "
+    "perplexity filter of pretraining pipelines, exact: the corpus "
+    "unigram model (token count / total) trains in one aggregate, each "
+    "token's log-prob is fixed-pointed to micro-units "
+    "(floor(1e6*ln(p)), the tfidf idiom) so per-doc sums are "
+    "order-independent BIGINTs, and the top-50 most-typical docs rank "
+    "by floor(sum/n) — floor of one double division, identical on "
+    "both engines (integer DIV would disagree on negative log-probs: "
+    "Spark truncates toward zero, DuckDB floors).  Scale: vocab is a "
+    "small frame joined back by broadcast; two aggregates + one map — "
+    "at 100 TB the model trains on a sample and the scoring pass is "
+    "narrow.",
+)
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
+    tot = vocab.agg(F.sum("cnt").alias("t"))
+    scored = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1_000_000)
+                * F.log(F.col("cnt").cast("double") / F.col("t").cast("double"))
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lp").cast("bigint").alias("sum_logp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_logp_micro",
+            F.floor(F.col("sum_logp_micro").cast("double") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("avg_logp_micro"),
+        )
+        .orderBy(F.desc("avg_logp_micro"), "doc_id")
+        .limit(50)
+    )
