@@ -103,6 +103,15 @@ BENCH_QUERIES = [
     "q_snapshot_diff",
     "q_inverted_index",
     "q_correlation",
+    "q_pmi_terms",
+    "q_dedup_multi_policy",
+    # round-3 late additions
+    "q_lm_quality_score",
+    "q_negative_sampling",
+    "q_event_paths",
+    "q_data_profile",
+    "q_dq_constraints",
+    "q_window_range_frame",
 ]
 
 

@@ -388,3 +388,44 @@ def test_connected_components_chain_and_star(spark):
     assert {(i, 7) for i in range(200, 220)} <= got
     assert (999, 998) in got and (998, 998) in got
     assert len(got) == 41 + 21 + 2
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12), st.integers(1, 5)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_mass_conservation_and_positivity(spark, edges):
+    """Integer PageRank invariants on arbitrary undirected graphs: every
+    rank positive; total mass never exceeds the initial micro budget and
+    loses at most a bounded number of units per round to integer floors
+    (each DIV discards < 1 unit per edge/vertex)."""
+    from politician_etl_project_spark.operators.graph import pagerank_micro
+
+    rows = [(u, v, w) for u, v, w in edges if u != v]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "u long, v long, w long")
+    sym = df.union(df.selectExpr("v as u", "u as v", "w"))
+    sym = sym.groupBy("u", "v").agg(F.sum("w").alias("w"))
+    ranks = pagerank_micro(sym, iterations=2).collect()
+    n = len({r["u"] for r in ranks})
+    assert all(r["r"] > 0 for r in ranks)
+    total = sum(r["r"] for r in ranks)
+    micro = 1_000_000_000
+    # ceiling: initial mass; floor: generous slack for per-edge/vertex DIV loss
+    assert total <= micro + n
+    assert total >= micro - (2 * (len(rows) * 2 + n) * 2 + n) - micro // 10
+
+
+def test_quantize_error_bound(spark, sf_dir):
+    """int8 symmetric quantization: per-element reconstruction error is
+    at most scale/2 (round-half-up), so max_err_nano <= scale_nano/2 + 1."""
+    from politician_etl_project_spark.queries import load_all
+
+    df = load_all()["q_embed_quantize"].fn(spark, sf_dir)
+    for r in df.collect():
+        assert r["max_err_nano"] <= r["scale_nano"] // 2 + 1, r
