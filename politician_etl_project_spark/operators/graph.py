@@ -130,7 +130,7 @@ def pagerank_micro(
     # lineage discipline (same as connected_components): without the
     # checkpoints the full edge-derivation subtree (often a fact join +
     # aggregate) is REPLICATED once per iteration in the final plan —
-    # measured 48 exchanges / 0 reused for the 3-round bipartite query.
+    # measured 24 shuffle exchanges / 0 reused for the 3-round bipartite query.
     # e materializes via the count below; ew materializes eagerly once
     # and every round then joins against stored blocks.
     outw = e.groupBy("u").agg(F.sum("w").alias("ow"))
@@ -148,7 +148,7 @@ def pagerank_micro(
             .agg(F.sum("c").alias("s"))
             .select(
                 F.col("v").alias("u"),
-                (F.lit(base) + F.expr(f"(85 * s) div 100")).cast("long").alias("r"),
+                (F.lit(base) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
             )
         )
     return ranks

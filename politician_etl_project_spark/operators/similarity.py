@@ -605,6 +605,53 @@ def pq_train_codes(
     return codes, books
 
 
+def _adc_topk(
+    codes: DataFrame,
+    books_by_sub,
+    query_vec: DataFrame,
+    m: int,
+    dim: int,
+    k: int,
+    id_col: str,
+    q_col: str,
+) -> DataFrame:
+    """Shared ADC serving core for the inline (:func:`ann_pq_adc`) and
+    stored-index (:func:`ann_pq_indexed`) paths: per subspace a ksub-row
+    LUT of squared distances query-sub -> centroid broadcasts onto the
+    code table, and the approximate distance is the explicit
+    left-to-right sum d2_0 + ... + d2_{m-1} — a fixed-order float
+    expression both engines evaluate identically, never a re-associable
+    aggregate (the DuckDB oracle replays exactly this).
+    ``books_by_sub(j)`` returns subspace j's (cluster, centroid) frame."""
+    dsub = dim // m
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qs"),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = codes
+    for j in range(m):
+        qs = query_vec.select(_subspace(q_col, j, dsub, "qs"))
+        lut = (
+            books_by_sub(j)
+            .crossJoin(F.broadcast(qs))
+            .select(F.col("cluster").alias(f"code_{j}"), d2.alias(f"d2_{j}"))
+        )
+        scored = scored.join(F.broadcast(lut), f"code_{j}")
+    adc = F.col("d2_0")
+    for j in range(1, m):
+        adc = adc + F.col(f"d2_{j}")
+    return (
+        scored.select(id_col, F.round(adc, 4).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_pq_adc(
     emb: DataFrame,
     query_vec: DataFrame,
@@ -617,43 +664,14 @@ def ann_pq_adc(
     id_col: str = "vec_id",
     q_col: str = "q",
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes: per subspace a
-    ksub-row lookup table of squared distances query-sub -> centroid
-    broadcasts onto the code table, and the approximate distance is the
-    explicit left-to-right sum d2_0 + ... + d2_{m-1} — a fixed-order
-    float expression both engines evaluate identically, never a
-    re-associable aggregate.  The scan never touches the original
-    vectors: at serving time only the m-byte codes are read (the whole
-    point of PQ at 100 TB — the float corpus stays cold).
-    """
-    dsub = dim // m
+    """Inline-train ADC top-k over PQ codes (see :func:`_adc_topk` for
+    the serving contract).  The scan never touches the original vectors:
+    at serving time only the m-byte codes are read (the whole point of
+    PQ at 100 TB — the float corpus stays cold)."""
     codes, books = pq_train_codes(
         emb, m=m, ksub=ksub, n_iters=n_iters, dim=dim, vec_col=vec_col, id_col=id_col
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("qs"),
-            F.col("centroid"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    scored = codes
-    for j, cents in enumerate(books):
-        qs = query_vec.select(_subspace(q_col, j, dsub, "qs"))
-        lut = cents.crossJoin(F.broadcast(qs)).select(
-            F.col("cluster").alias(f"code_{j}"), d2.alias(f"d2_{j}")
-        )
-        scored = scored.join(F.broadcast(lut), f"code_{j}")
-    adc = F.col("d2_0")
-    for j in range(1, m):
-        adc = adc + F.col(f"d2_{j}")
-    return (
-        scored.select(id_col, F.round(adc, 4).alias("adc"))
-        .orderBy(F.asc("adc"), F.asc(id_col))
-        .limit(k)
-    )
+    return _adc_topk(codes, lambda j: books[j], query_vec, m, dim, k, id_col, q_col)
 
 
 def build_pq_index(
@@ -692,36 +710,11 @@ def ann_pq_indexed(
     id_col: str = "vec_id",
     q_col: str = "q",
 ) -> DataFrame:
-    """Serve ADC top-k from a stored PQ index: per subspace a ksub-row
-    LUT (query-sub -> centroid squared distance) broadcasts onto the
-    stored code table; the approximate distance is the fixed-order sum
-    d2_0 + ... + d2_{m-1}.  Identical results to :func:`ann_pq_adc`
-    over the same codebooks, at one code-table scan per batch."""
-    dsub = dim // m
+    """Serve ADC top-k from a stored PQ index (see :func:`_adc_topk`).
+    Identical results to :func:`ann_pq_adc` over the same codebooks, at
+    one code-table scan per batch."""
     books = spark.read.parquet(f"{index_path}/codebooks")
-    scored = spark.read.parquet(f"{index_path}/codes")
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("qs"),
-            F.col("centroid"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    for j in range(m):
-        qs = query_vec.select(_subspace(q_col, j, dsub, "qs"))
-        lut = (
-            books.filter(F.col("sub") == j)
-            .crossJoin(F.broadcast(qs))
-            .select(F.col("cluster").alias(f"code_{j}"), d2.alias(f"d2_{j}"))
-        )
-        scored = scored.join(F.broadcast(lut), f"code_{j}")
-    adc = F.col("d2_0")
-    for j in range(1, m):
-        adc = adc + F.col(f"d2_{j}")
-    return (
-        scored.select(id_col, F.round(adc, 4).alias("adc"))
-        .orderBy(F.asc("adc"), F.asc(id_col))
-        .limit(k)
+    codes = spark.read.parquet(f"{index_path}/codes")
+    return _adc_topk(
+        codes, lambda j: books.filter(F.col("sub") == j), query_vec, m, dim, k, id_col, q_col
     )

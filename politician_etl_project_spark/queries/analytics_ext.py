@@ -1180,7 +1180,7 @@ _PR_ROUND = """{rout} AS (
 
 _PAGERANK_ORACLE = (
     """WITH e AS (
-  SELECT l_suppkey + 10000000 AS a, o_custkey AS b, CAST(COUNT(*) AS BIGINT) AS w
+  SELECT -(l_suppkey + 1) AS a, o_custkey AS b, CAST(COUNT(*) AS BIGINT) AS w
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
 ), sym AS (
@@ -1199,8 +1199,8 @@ _PAGERANK_ORACLE = (
     + ", "
     + _PR_ROUND.format(rin="rank2", rout="rank3")
     + """
-SELECT CASE WHEN u >= 10000000 THEN 'supplier' ELSE 'customer' END AS kind,
-       CASE WHEN u >= 10000000 THEN u - 10000000 ELSE u END AS node,
+SELECT CASE WHEN u < 0 THEN 'supplier' ELSE 'customer' END AS kind,
+       CASE WHEN u < 0 THEN -u - 1 ELSE u END AS node,
        r AS rank_micro
 FROM rank3
 ORDER BY rank_micro DESC, kind, node
@@ -1215,7 +1215,10 @@ LIMIT 20
     ops=("GRAPH-pagerank", "J1", "A2"),
     doc="Weighted PageRank (3 damped rounds, d=0.85) over the undirected "
     "supplier<->customer bipartite graph induced by lineitem (edge "
-    "weight = co-occurrence count), top-20 most-central nodes.  Ranks "
+    "weight = co-occurrence count; suppliers carry NEGATIVE vertex ids "
+    "-(k+1), disjoint from any non-negative customer key at ANY scale — "
+    "a fixed offset would collide once custkey exceeds it), top-20 "
+    "most-central nodes.  Ranks "
     "are exact BIGINT micro-units (operators/graph.pagerank_micro): "
     "init micro DIV N, per-edge contribution (r*w) DIV out_w, update "
     "base + (85*sum) DIV 100 — every step order-independent integer "
@@ -1236,7 +1239,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
-            (F.col("l_suppkey") + 10000000).alias("a"),
+            (-(F.col("l_suppkey") + 1)).alias("a"),
             F.col("o_custkey").alias("b"),
         )
         .agg(F.count("*").cast("bigint").alias("w"))
@@ -1247,10 +1250,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_micro(sym, iterations=3)
     return (
         ranks.select(
-            F.when(F.col("u") >= 10000000, F.lit("supplier"))
+            F.when(F.col("u") < 0, F.lit("supplier"))
             .otherwise(F.lit("customer"))
             .alias("kind"),
-            F.when(F.col("u") >= 10000000, F.col("u") - 10000000)
+            F.when(F.col("u") < 0, -F.col("u") - 1)
             .otherwise(F.col("u"))
             .alias("node"),
             F.col("r").alias("rank_micro"),

@@ -185,19 +185,17 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_FAMILY_VERSION = 1
 
 
-def _lsh_index_path(spark: SparkSession, sf_dir: str, n_planes: int, dim: int) -> str:
-    """Build-once stored LSH index for a given corpus: parquet
-    partitioned by the hyperplane bucket (see build_lsh_index).  Built
-    atomically (staging + rename) so concurrent queries never read a
-    half-written index.  The cache key fingerprints the source file
-    (size + mtime) and the plane-family version, so a regenerated corpus
-    or a changed hash family rebuilds instead of silently serving stale
-    buckets."""
+def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str, builder) -> str:
+    """Shared build-once stored-index cache (LSH / IVF / PQ): the cache
+    key fingerprints the source file (size + mtime), the index params,
+    and the hash-family version, so a regenerated corpus or a changed
+    family rebuilds instead of silently serving stale data; the build
+    stages into a sibling dir and renames atomically so concurrent
+    queries never read a half-written index.  ``builder(emb, staging)``
+    performs the actual build."""
     import hashlib
     import os
     import tempfile
-
-    from politician_etl_project_spark.operators.similarity import build_lsh_index
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
@@ -206,13 +204,12 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str, n_planes: int, dim: int) -
     except OSError:
         fp = "unknown"
     key = hashlib.md5(
-        f"{sf_dir}|{n_planes}|{dim}|{fp}|v{_LSH_FAMILY_VERSION}".encode()
+        f"{sf_dir}|{params}|{fp}|v{_LSH_FAMILY_VERSION}".encode()
     ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lsh_{key}")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
     if not os.path.isdir(path):
         staging = f"{path}.building-{os.getpid()}"
-        emb = load_table(spark, sf_dir, "embeddings")
-        build_lsh_index(emb, staging, n_planes=n_planes, dim=dim)
+        builder(load_table(spark, sf_dir, "embeddings"), staging)
         try:
             os.rename(staging, path)
         except OSError:  # another process won the race; theirs is identical
@@ -220,6 +217,17 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str, n_planes: int, dim: int) -
 
             shutil.rmtree(staging, ignore_errors=True)
     return path
+
+
+def _lsh_index_path(spark: SparkSession, sf_dir: str, n_planes: int, dim: int) -> str:
+    """Build-once stored LSH index: parquet partitioned by the
+    hyperplane bucket (see build_lsh_index)."""
+    from politician_etl_project_spark.operators.similarity import build_lsh_index
+
+    return _stored_index_path(
+        spark, sf_dir, "lsh", f"{n_planes}|{dim}",
+        lambda emb, staging: build_lsh_index(emb, staging, n_planes=n_planes, dim=dim),
+    )
 
 
 def _duck_bucket_expr(tbl: str, n_planes: int = 4, dim: int = 64) -> str:
@@ -384,36 +392,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_path(spark: SparkSession, sf_dir: str, n_clusters: int, n_iters: int) -> str:
-    """Build-once stored IVF index per corpus (same pattern and staleness
-    fingerprint as _lsh_index_path): trained lists partitioned by
-    cluster + centroids parquet, built atomically via staging+rename."""
-    import hashlib
-    import os
-    import tempfile
-
+    """Build-once stored IVF index: trained inverted lists partitioned by
+    cluster + centroids parquet (see build_ivf_index)."""
     from politician_etl_project_spark.operators.similarity import build_ivf_index
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        fp = "unknown"
-    key = hashlib.md5(
-        f"{sf_dir}|{n_clusters}|{n_iters}|{fp}|v{_LSH_FAMILY_VERSION}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
-    if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}"
-        emb = load_table(spark, sf_dir, "embeddings")
-        build_ivf_index(emb, staging, n_clusters=n_clusters, n_iters=n_iters)
-        try:
-            os.rename(staging, path)
-        except OSError:  # another process won the race; theirs is identical
-            import shutil
-
-            shutil.rmtree(staging, ignore_errors=True)
-    return path
+    return _stored_index_path(
+        spark, sf_dir, "ivf", f"ivf|{n_clusters}|{n_iters}",
+        lambda emb, staging: build_ivf_index(
+            emb, staging, n_clusters=n_clusters, n_iters=n_iters
+        ),
+    )
 
 
 _EMBED_CLUSTERS_ORACLE = f"""
@@ -650,7 +638,7 @@ def _pq_oracle(m: int = 4, ksub: int = 4, n_iters: int = 2, dim: int = 64, k: in
 )""")
         qd = dd.replace("e.sub", "q.qsub")
         ctes.append(f"""lut{j} AS (
-  SELECT c.cluster AS code_{j}, {qd.replace(f'q.qsub{j}[t]', f'q.qsub{j}[t]')} AS d2_{j}
+  SELECT c.cluster AS code_{j}, {qd} AS d2_{j}
   FROM {cent} c, (SELECT sub{j} AS qsub{j} FROM subs WHERE vec_id = 0) q
 )""")
     joins = " ".join(
@@ -697,36 +685,14 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_index_path(spark: SparkSession, sf_dir: str, m: int, ksub: int, n_iters: int) -> str:
-    """Build-once stored PQ index per corpus (same staleness fingerprint +
-    staging/rename discipline as the LSH and IVF index caches): the code
-    table plus per-subspace codebooks — train offline, serve online."""
-    import hashlib
-    import os
-    import tempfile
-
+    """Build-once stored PQ index: the code table plus per-subspace
+    codebooks (see build_pq_index) — train offline, serve online."""
     from politician_etl_project_spark.operators.similarity import build_pq_index
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        fp = "unknown"
-    key = hashlib.md5(
-        f"{sf_dir}|pq|{m}|{ksub}|{n_iters}|{fp}|v{_LSH_FAMILY_VERSION}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{key}")
-    if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}"
-        emb = load_table(spark, sf_dir, "embeddings")
-        build_pq_index(emb, staging, m=m, ksub=ksub, n_iters=n_iters, dim=64)
-        try:
-            os.rename(staging, path)
-        except OSError:  # another process won the race; theirs is identical
-            import shutil
-
-            shutil.rmtree(staging, ignore_errors=True)
-    return path
+    return _stored_index_path(
+        spark, sf_dir, "pq", f"pq|{m}|{ksub}|{n_iters}",
+        lambda emb, staging: build_pq_index(emb, staging, m=m, ksub=ksub, n_iters=n_iters, dim=64),
+    )
 
 
 # ---------------------------------------------------------------------------
