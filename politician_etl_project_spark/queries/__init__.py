@@ -175,6 +175,7 @@ DRIVER_WINDOW = [
     "q_event_paths",
     "q_negative_sampling",
     "q_lm_quality_score",
+    "q_ann_recall_eval",
 ]
 
 _ORACLE_TABLES = (

@@ -794,3 +794,70 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("vec_rank", F.lit(-1)).cast("bigint").alias("vec_rank"),
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# ANN quality harness: recall@10 vs the exact baseline, as one query
+# ---------------------------------------------------------------------------
+
+_BRUTE_IDS = f"""SELECT b.vec_id FROM embeddings a, embeddings b
+  WHERE a.vec_id = 0
+  ORDER BY {_DUCK_DOT_AB} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='b')}) DESC, b.vec_id
+  LIMIT 10"""
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+WITH brute AS ({_BRUTE_IDS}),
+lsh AS (SELECT vec_id FROM ({_ANN_LSH_ORACLE})),
+ivf AS (SELECT vec_id FROM ({_ivf_oracle()}))
+SELECT method, CAST(10 AS BIGINT) AS k, n_hits, CAST(n_hits * 10 AS BIGINT) AS recall_pct
+FROM (
+  SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits FROM lsh JOIN brute USING (vec_id)
+  UNION ALL
+  SELECT 'ivf', CAST(COUNT(*) AS BIGINT) FROM ivf JOIN brute USING (vec_id)
+)
+ORDER BY method
+"""
+
+
+@declared_query(
+    "q_ann_recall_eval",
+    oracle=_ann_recall_oracle(),
+    ops=("V2", "TXT-ann", "DQ-recall"),
+    doc="ANN quality harness as ONE query: recall@10 of the stored LSH "
+    "and IVF probes against the exact brute-force baseline for the "
+    "vec_id=0 query — the evaluation loop every ANN deployment runs "
+    "before trading recall for scan fraction, expressed as three "
+    "top-k plans + two tiny joins instead of an offline script.  "
+    "Driver-verifiable end-to-end because every branch (brute ranking, "
+    "hyperplane buckets, the IVF Lloyd loop) is replayed bit-for-bit "
+    "by the composed oracle.  Scale: each branch is the corresponding "
+    "partition-pruned probe; the recall join touches 10-row frames.",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.similarity import (
+        ann_ivf_indexed,
+        ann_lsh_indexed,
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    brute = knn_bruteforce(emb, qv, k=10).select("vec_id")
+    lsh = ann_lsh_indexed(
+        spark, _lsh_index_path(spark, sf_dir, n_planes=4, dim=64), qv, k=10, n_planes=4, dim=64
+    ).select("vec_id")
+    ivf = ann_ivf_indexed(
+        spark, _ivf_index_path(spark, sf_dir, n_clusters=8, n_iters=2), qv, k=10, n_probe=4
+    ).select("vec_id")
+
+    def row(method: str, hits: DataFrame) -> DataFrame:
+        return hits.join(brute, "vec_id").agg(
+            F.lit(method).alias("method"),
+            F.lit(10).cast("bigint").alias("k"),
+            F.count("*").cast("bigint").alias("n_hits"),
+            (F.count("*") * 10).cast("bigint").alias("recall_pct"),
+        ).select("method", "k", "n_hits", "recall_pct")
+
+    return row("ivf", ivf).unionByName(row("lsh", lsh)).orderBy("method")
