@@ -176,6 +176,8 @@ DRIVER_WINDOW = [
     "q_negative_sampling",
     "q_lm_quality_score",
     "q_ann_recall_eval",
+    "q_quantile_normalize",
+    "q_feature_hashing",
 ]
 
 _ORACLE_TABLES = (

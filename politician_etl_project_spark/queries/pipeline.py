@@ -751,3 +751,92 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "neg_rank", "neg_id", "neg_source")
         .orderBy("doc_id", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature preprocessing: quantile normalization + the hashing trick
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_quantile_normalize",
+    oracle="""
+SELECT event_type, event_id,
+       CAST((1000000 * rk) // (n + 1) AS BIGINT) AS qnorm_micro
+FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE event_id < 2000
+)
+ORDER BY event_type, event_id
+""",
+    ops=("PIPE-qnorm", "W1"),
+    doc="Per-group quantile normalization: each value maps to its rank "
+    "position rk/(n+1) in integer micro-units — the distribution-free "
+    "feature transform (and the label-smoothing-safe alternative to "
+    "z-scores when outliers poison the variance, cf q_outlier_zscore). "
+    "The (value, event_id) tie-break makes ranks total, so equal "
+    "values get deterministic distinct quantiles — required for the "
+    "exact hash and honest about what rank-based transforms do.  One "
+    "shuffle on the group key; at 100 TB groups partition the window "
+    "and no global sort exists.",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("CAST((1000000 * rk) DIV (n + 1) AS BIGINT)").alias("qnorm_micro"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+@declared_query(
+    "q_feature_hashing",
+    oracle="""
+SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64 AS bucket
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents WHERE doc_id < 50
+  )
+)
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+""",
+    ops=("PIPE-feature-hash", "TXT-tokenize", "A2"),
+    doc="The hashing trick: tokens map to a fixed 64-bucket feature "
+    "space via the md5-derived hash (content-stable — the same token "
+    "hits the same bucket on every run, machine, and engine, which "
+    "rand- or JVM-hash-based implementations cannot promise), giving "
+    "each document a bounded sparse count vector with no vocabulary "
+    "pass at all.  This is the preprocessing step for linear models / "
+    "sketch features over unbounded vocabularies.  Narrow tokenize + "
+    "one aggregate on (doc, bucket); dimensionality is a constant, so "
+    "the output is bounded regardless of corpus vocabulary.",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    bucket = F.expr(
+        "cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint) % 64"
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )
