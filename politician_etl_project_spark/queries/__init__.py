@@ -178,6 +178,7 @@ DRIVER_WINDOW = [
     "q_ann_recall_eval",
     "q_quantile_normalize",
     "q_feature_hashing",
+    "q_schema_drift",
 ]
 
 _ORACLE_TABLES = (

@@ -432,3 +432,73 @@ def q_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_file")
     )
+
+
+_DRIFT_DIR = os.path.join(tempfile.gettempdir(), "spark_graft_drift_v1")
+
+
+def _ensure_drift_store(spark: SparkSession) -> str:
+    """Two deterministic parquet generations of the same logical table —
+    gen2 adds a column — written once under a fixed path (staging +
+    rename, same discipline as the stored indexes) so the DuckDB oracle
+    can DESCRIBE the identical files."""
+    if not os.path.isdir(_DRIFT_DIR):
+        staging = f"{_DRIFT_DIR}.building-{os.getpid()}"
+        spark.sql(
+            "SELECT CAST(1 AS BIGINT) AS doc_id, 'en' AS lang"
+        ).write.mode("overwrite").parquet(os.path.join(staging, "gen1"))
+        spark.sql(
+            "SELECT CAST(2 AS BIGINT) AS doc_id, 'de' AS lang, CAST(42 AS BIGINT) AS n_chars"
+        ).write.mode("overwrite").parquet(os.path.join(staging, "gen2"))
+        try:
+            os.rename(staging, _DRIFT_DIR)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return _DRIFT_DIR
+
+
+@declared_query(
+    "q_schema_drift",
+    oracle=f"""
+WITH o AS (
+  SELECT column_name AS col FROM (DESCRIBE SELECT * FROM read_parquet('{_DRIFT_DIR}/gen1/*.parquet'))
+), n AS (
+  SELECT column_name AS col FROM (DESCRIBE SELECT * FROM read_parquet('{_DRIFT_DIR}/gen2/*.parquet'))
+)
+SELECT COALESCE(o.col, n.col) AS column_name,
+       (o.col IS NOT NULL) AS in_old,
+       (n.col IS NOT NULL) AS in_new,
+       CASE WHEN o.col IS NULL THEN 'added'
+            WHEN n.col IS NULL THEN 'removed'
+            ELSE 'kept' END AS status
+FROM o FULL OUTER JOIN n ON o.col = n.col
+ORDER BY column_name
+""",
+    ops=("DQ-schema-drift", "S15"),
+    doc="Schema-drift report between two stored generations of a table: "
+    "reader schemas come from the parquet FOOTERS (pure metadata — no "
+    "data IO at any table size), and the full-outer diff labels every "
+    "column kept/added/removed.  This is the reference's "
+    "check_schema.py INFORMATION_SCHEMA dump (app/check_schema.py:10-37) "
+    "as an engine query, and the audit that runs before mergeSchema "
+    "reads (q_schema_evolution) are trusted in production.  The report "
+    "frame is built as a VALUES literal (createDataFrame's py4j "
+    "conversion costs ~0.8 s/call for tiny frames — SCALE.md lesson).",
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ensure_drift_store(spark)
+    old_cols = spark.read.parquet(os.path.join(store, "gen1")).schema.names
+    new_cols = spark.read.parquet(os.path.join(store, "gen2")).schema.names
+    all_cols = sorted(set(old_cols) | set(new_cols))
+    rows = []
+    for c in all_cols:
+        in_old, in_new = c in old_cols, c in new_cols
+        status = "kept" if (in_old and in_new) else ("added" if in_new else "removed")
+        rows.append(f"('{c}', {str(in_old).lower()}, {str(in_new).lower()}, '{status}')")
+    return spark.sql(
+        "SELECT column_name, in_old, in_new, status FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(column_name, in_old, in_new, status) ORDER BY column_name"
+    )
