@@ -179,6 +179,7 @@ DRIVER_WINDOW = [
     "q_quantile_normalize",
     "q_feature_hashing",
     "q_schema_drift",
+    "q_simhash_banded",
 ]
 
 _ORACLE_TABLES = (
