@@ -180,6 +180,7 @@ DRIVER_WINDOW = [
     "q_feature_hashing",
     "q_schema_drift",
     "q_simhash_banded",
+    "q_countmin_sketch",
 ]
 
 _ORACLE_TABLES = (

@@ -1390,3 +1390,85 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+_CMS_SPARK_BUCKET = (
+    "cast(conv(substring(md5(concat(cast({d} as string), '|', token)), 1, 8), 16, 10) as bigint) % 64"
+)
+_CMS_DUCK_BUCKET = (
+    "CAST('0x' || substr(md5(CAST({d} AS VARCHAR) || '|' || token), 1, 8) AS BIGINT) % 64"
+)
+
+
+@declared_query(
+    "q_countmin_sketch",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), cms AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT dd.d,
+           CASE dd.d WHEN 0 THEN {_CMS_DUCK_BUCKET.format(d=0)}
+                     WHEN 1 THEN {_CMS_DUCK_BUCKET.format(d=1)}
+                     ELSE {_CMS_DUCK_BUCKET.format(d=2)} END AS bucket
+    FROM tok CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS d) dd
+  ) GROUP BY d, bucket
+), exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY token
+  ORDER BY exact_cnt DESC, token LIMIT 10
+)
+SELECT e.token, e.exact_cnt,
+       CAST(least(c0.c, c1.c, c2.c) AS BIGINT) AS cms_est
+FROM exact e
+JOIN cms c0 ON c0.d = 0 AND c0.bucket = {_CMS_DUCK_BUCKET.format(d=0)}
+JOIN cms c1 ON c1.d = 1 AND c1.bucket = {_CMS_DUCK_BUCKET.format(d=1)}
+JOIN cms c2 ON c2.d = 2 AND c2.bucket = {_CMS_DUCK_BUCKET.format(d=2)}
+ORDER BY e.exact_cnt DESC, e.token
+""",
+    ops=("TXT-countmin", "A2", "DQ-sketch"),
+    doc="Count-min sketch over the corpus token stream: depth 3 x width "
+    "64 integer counters keyed by md5-derived hashes — a mergeable "
+    "heavy-hitter estimator (per-shard sketches ADD, the same "
+    "incremental contract as the HLL/moments sketches) whose estimate "
+    "min(row counters) >= exact count always.  The report joins the "
+    "estimate against the exact top-10 so the overcount bias is "
+    "visible.  Every counter is an exact BIGINT, so unlike sampled "
+    "heavy-hitter estimators the whole sketch is hash-verifiable.  "
+    "Scale: the sketch is depth x width = 192 cells regardless of "
+    "corpus size — the aggregate shuffles 192 rows.",
+)
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    cms_rows = None
+    for depth in (0, 1, 2):
+        rows = tok.select(
+            F.lit(depth).alias("d"),
+            F.expr(_CMS_SPARK_BUCKET.format(d=depth)).alias("bucket"),
+        )
+        cms_rows = rows if cms_rows is None else cms_rows.unionByName(rows)
+    cms = (
+        cms_rows.groupBy("d", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(10)
+    )
+    out = exact
+    for depth in (0, 1, 2):
+        lut = cms.filter(F.col("d") == depth).select(
+            F.col("bucket").alias(f"bk{depth}"), F.col("c").alias(f"c{depth}")
+        )
+        out = out.withColumn(
+            f"bk{depth}", F.expr(_CMS_SPARK_BUCKET.format(d=depth))
+        ).join(F.broadcast(lut), f"bk{depth}")
+    return out.select(
+        "token",
+        "exact_cnt",
+        F.least("c0", "c1", "c2").cast("bigint").alias("cms_est"),
+    ).orderBy(F.desc("exact_cnt"), "token")
