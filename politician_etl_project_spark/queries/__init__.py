@@ -181,6 +181,7 @@ DRIVER_WINDOW = [
     "q_schema_drift",
     "q_simhash_banded",
     "q_countmin_sketch",
+    "q_weighted_sample_topk",
 ]
 
 _ORACLE_TABLES = (

@@ -840,3 +840,49 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .orderBy("doc_id", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_weighted_sample_topk",
+    oracle="""
+SELECT doc_id, n_chars AS weight
+FROM (
+  SELECT doc_id, n_chars,
+         ln(CAST(('0x' || substr(md5('es-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1 AS DOUBLE)
+            / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+ORDER BY es_key DESC, doc_id
+LIMIT 25
+""",
+    ops=("PIPE-weighted-sample", "O3"),
+    doc="Weighted sampling WITHOUT replacement via Efraimidis-Spirakis "
+    "A-ES: each row draws key = ln(u)/w with u a deterministic "
+    "md5-derived uniform in (0,1], and the top-k keys form an exact "
+    "weighted sample — unlike the Bernoulli-style per-row thinning of "
+    "q_weighted_downsample, the output size is EXACTLY k and inclusion "
+    "probability is proportional to weight, which is the contract "
+    "corpus-mixture recipes assume when they subsample a source to a "
+    "fixed token budget.  The hash-uniform makes the sample "
+    "content-stable and hash-verifiable (both engines compute ln on "
+    "the identical double).  Scale: narrow map + TakeOrderedAndProject "
+    "— no shuffle beyond top-k.",
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        "(cast(conv(substring(md5(concat('es-v1|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) + 1)"
+        " / 4294967296.0d"
+    )
+    es_key = F.expr(f"ln({u}) / CAST(n_chars AS DOUBLE)")
+    return (
+        docs.select("doc_id", F.col("n_chars").alias("weight"), es_key.alias("es_key"))
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(25)
+        .select("doc_id", "weight")
+    )
