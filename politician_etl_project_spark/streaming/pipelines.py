@@ -334,3 +334,54 @@ def rollup_maintenance_stream(
             store.merge(rows, batch_id=f"b{batch_id}")
 
     run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)
+
+
+def _event_cms(events: DataFrame, depth: int = 3, width: int = 64) -> DataFrame:
+    """3 x 64 count-min sketch of the event_type stream: exact BIGINT
+    counters keyed by md5-derived row hashes (same family as
+    queries/textops.q_countmin_sketch)."""
+    rows = None
+    for d in range(depth):
+        r = events.select(
+            F.lit(d).alias("d"),
+            F.expr(
+                f"cast(conv(substring(md5(concat('{d}', '|', event_type)), 1, 8), 16, 10) as bigint) % {width}"
+            ).alias("bucket"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.groupBy("d", "bucket").agg(F.count("*").cast("bigint").alias("c"))
+
+
+def sketch_maintenance_stream(
+    events: DataFrame,
+    store_path: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Incrementally maintain a count-min sketch over a stream: each
+    micro-batch's 3x64 sketch ADDS into the stored one — sketches form a
+    commutative monoid, so maintenance is a 192-row keyed sum per batch
+    and NEVER a rescan of history.  The streaming twin of
+    q_countmin_sketch and the same mergeable contract as
+    rollup_maintenance_stream; at any moment the store answers
+    heavy-hitter estimates over everything ingested so far."""
+    from politician_etl_project_spark.streaming.sources import run_foreach_batch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = _event_cms(batch_df)
+        try:
+            current = spark.read.parquet(store_path)
+            merged = (
+                current.unionByName(delta)
+                .groupBy("d", "bucket")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+        except Exception:  # first batch: no store yet
+            merged = delta
+        # the sketch is O(depth*width) rows — rewrite is trivially cheap
+        tmp = f"{store_path}.staging"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.coalesce(1).write.mode("overwrite").parquet(store_path)
+
+    run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)

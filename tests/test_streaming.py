@@ -454,3 +454,25 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     got = table.read()
     assert got.count() == total
     assert got.select("event_id").distinct().count() == total
+
+
+def test_sketch_maintenance_stream_matches_batch(spark, staged_events, tmp_path):
+    """The incrementally maintained count-min sketch must equal the
+    batch sketch of the full corpus — the mergeable-monoid contract."""
+    from politician_etl_project_spark.streaming.pipelines import (
+        _event_cms,
+        sketch_maintenance_stream,
+    )
+
+    store = str(tmp_path / "cms_store")
+    stream = events_stream(spark, staged_events, max_files_per_trigger=1)
+    sketch_maintenance_stream(stream, store, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    got = {
+        (r["d"], r["bucket"]): r["c"] for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        (r["d"], r["bucket"]): r["c"] for r in _event_cms(_batch_events(spark)).collect()
+    }
+    assert got == want
+    assert sum(v for (d, _), v in got.items() if d == 0) == _batch_events(spark).count()
