@@ -133,8 +133,8 @@ def pagerank_micro(
     # measured 24 shuffle exchanges / 0 reused for the 3-round bipartite query.
     # e materializes via the count below; ew materializes eagerly once
     # and every round then joins against stored blocks.
-    outw = e.groupBy("u").agg(F.sum("w").alias("ow"))
-    n = outw.count()
+    outw = e.groupBy("u").agg(F.sum("w").alias("ow")).localCheckpoint(eager=True)
+    n = outw.count()  # reads checkpointed blocks — no recompute
     if n == 0:  # empty graph: no vertices, schema-true empty result
         return outw.select(F.col("u"), F.lit(0).cast("long").alias("r"))
     base = (15 * micro // 100) // n
