@@ -575,6 +575,62 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_band_pairs(sh: DataFrame, block_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Band-blocked candidate pairs over a ``(doc_id, simhash[, blocks])``
+    frame: the 16-bit sketch splits into 3 bands (6/5/5 bits); by
+    pigeonhole any pair within hamming<=2 flips bits in at most 2 bands,
+    so it MUST agree exactly on at least one band — candidates are the
+    per-band equi-join union (LOSSLESS for hamming<=2).  ``block_cols``
+    become extra equality keys (e.g. ``source`` for source-scoped dedup).
+
+    Scale: three shuffles on (band value[, block]) keys replace the
+    unbounded block self-join — a 100 TB corpus where one source is 90%
+    of documents no longer degrades to O(n²) pairs inside that source,
+    because the band value subdivides every block.  Returns distinct
+    ``(id_a, id_b, sh_a, sh_b)`` with ``id_a < id_b``; callers verify
+    with the exact hamming filter."""
+    blocks = list(block_cols)
+    # materialize the sketch frame once (token-hash md5s are the
+    # expensive part — without the checkpoint both join sides of every
+    # band would recompute them, 6x)
+    sh = sh.localCheckpoint(eager=False)
+    # ONE self-join on (band_id, band_value[, blocks]) instead of three
+    # per-band joins: each doc explodes to 3 band rows, so the join
+    # exchanges 3n tiny rows once and the pair stream needs no union
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        *blocks,
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), F.shiftright("simhash", 10).alias("bv")),
+                F.struct(F.lit(1).alias("band_id"), (F.shiftright("simhash", 5) % 32).alias("bv")),
+                F.struct(F.lit(2).alias("band_id"), (F.col("simhash") % 32).alias("bv")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", *blocks, "b.band_id", "b.bv")
+    l = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        *[F.col(c) for c in blocks],
+        "band_id",
+        "bv",
+    )
+    r = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        *[F.col(c) for c in blocks],
+        "band_id",
+        "bv",
+    )
+    return (
+        l.join(r, ["band_id", "bv", *blocks])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+
+
 @declared_query(
     "q_simhash_near_pairs",
     oracle=f"""
@@ -588,24 +644,22 @@ FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
 ORDER BY id_a, id_b
 """,
-    ops=("TXT-simhash", "J9"),
-    doc="SimHash near-dup pairs: block on source, hamming distance ≤ 2 via "
-    "bit_count(xor). At scale the block key would be simhash byte-bands "
-    "(each near-pair shares ≥1 band under the pigeonhole bound).",
+    ops=("TXT-simhash", "J9", "TXT-banding"),
+    doc="SimHash near-dup pairs, source-scoped: candidates come from the "
+    "pigeonhole 6/5/5 band join (``simhash_band_pairs``) with source as "
+    "an extra equi-key, then the exact hamming<=2 filter.  The oracle "
+    "deliberately computes the NAIVE all-pairs-within-source form, so "
+    "the hash match PROVES banding is lossless.  Scale: band keys "
+    "subdivide every source block, so a dominant source no longer "
+    "degrades to O(n²) pairs (round-3 verdict item 2).",
 )
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.withColumn("_th", token_hashes("text")).select(
         "doc_id", "source", simhash16_from_hashes("_th").alias("simhash")
     )
-    left = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("simhash").alias("sh_a")
-    )
-    right = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("simhash").alias("sh_b")
-    )
     return (
-        left.join(right, (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b")))
+        simhash_band_pairs(sh, block_cols=("source",))
         .withColumn("hamming", hamming16("sh_a", "sh_b"))
         .filter(F.col("hamming") <= 2)
         .select("id_a", "id_b", "hamming")
@@ -1101,12 +1155,13 @@ def q_dedup_multi_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.withColumn("_th", token_hashes("text")).select(
         "doc_id", "source", simhash16_from_hashes("_th").alias("simhash")
     )
-    l = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src"), F.col("simhash").alias("sh_a"))
-    r = sh.select(F.col("doc_id").alias("doc_id"), F.col("source").alias("src"), F.col("simhash").alias("sh_b"))
+    # band-blocked pair generation (lossless for hamming<=2, see
+    # simhash_band_pairs) with source as an extra equi-key — the oracle
+    # replays the naive within-source all-pairs form, proving it
     drops_simhash = (
-        l.join(r, (l.src == r.src) & (F.col("id_a") < F.col("doc_id")))
+        simhash_band_pairs(sh, block_cols=("source",))
         .filter(hamming16("sh_a", "sh_b") <= 2)
-        .select("doc_id")
+        .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
 
@@ -1366,25 +1421,8 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.withColumn("_th", token_hashes("text")).select(
         "doc_id", simhash16_from_hashes("_th").alias("simhash")
     )
-    banded = sh.select(
-        "doc_id",
-        "simhash",
-        F.shiftright("simhash", 10).alias("b0"),
-        (F.shiftright("simhash", 5) % 32).alias("b1"),
-        (F.col("simhash") % 32).alias("b2"),
-    )
-    cands = None
-    for b in ("b0", "b1", "b2"):
-        l = banded.select(
-            F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(b).alias("bk")
-        )
-        r = banded.select(
-            F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(b).alias("bk")
-        )
-        c = l.join(r, ["bk"]).filter(F.col("id_a") < F.col("id_b")).drop("bk")
-        cands = c if cands is None else cands.unionByName(c)
     return (
-        cands.distinct()
+        simhash_band_pairs(sh)
         .withColumn("hamming", hamming16("sh_a", "sh_b"))
         .filter(F.col("hamming") <= 2)
         .select("id_a", "id_b", "hamming")
