@@ -645,9 +645,16 @@ def _adc_topk(
     adc = F.col("d2_0")
     for j in range(1, m):
         adc = adc + F.col(f"d2_{j}")
+    # fixed-point 1e-4 units via the established FLOOR(x*1e4 + 0.5)
+    # idiom (distances are >= 0): ROUND() would hit the engines'
+    # HALF_UP-vs-HALF_EVEN .5 disagreement in double space, a latent
+    # hash/cutoff mismatch at a rounding boundary (round-3 advice)
     return (
-        scored.select(id_col, F.round(adc, 4).alias("adc"))
-        .orderBy(F.asc("adc"), F.asc(id_col))
+        scored.select(
+            id_col,
+            F.floor(adc * 10000 + F.lit(0.5)).cast("bigint").alias("adc_e4"),
+        )
+        .orderBy(F.asc("adc_e4"), F.asc(id_col))
         .limit(k)
     )
 

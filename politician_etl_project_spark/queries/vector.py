@@ -180,9 +180,11 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# bump when hyperplane_bits' plane family changes — cached indexes built
-# with the old family must not be probed with the new one
-_LSH_FAMILY_VERSION = 1
+# Per-kind algorithm versions: bump "lsh" when hyperplane_bits' plane
+# family changes, "ivf"/"pq" when their training logic changes — cached
+# indexes built by old code must not be probed by new code, and bumping
+# one family must not needlessly invalidate the others (round-3 advice).
+_INDEX_ALGO_VERSION = {"lsh": 1, "ivf": 1, "pq": 1}
 
 
 def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str, builder) -> str:
@@ -204,7 +206,7 @@ def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str,
     except OSError:
         fp = "unknown"
     key = hashlib.md5(
-        f"{sf_dir}|{params}|{fp}|v{_LSH_FAMILY_VERSION}".encode()
+        f"{sf_dir}|{params}|{fp}|{kind}-v{_INDEX_ALGO_VERSION[kind]}".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
     if not os.path.isdir(path):
@@ -646,9 +648,9 @@ def _pq_oracle(m: int = 4, ksub: int = 4, n_iters: int = 2, dim: int = 64, k: in
     )
     lut_joins = " ".join(f"JOIN lut{j} USING (code_{j})" for j in range(m))
     adc = " + ".join(f"d2_{j}" for j in range(m))
-    body = f"""SELECT vec_id, ROUND({adc}, 4) AS adc
+    body = f"""SELECT vec_id, CAST(FLOOR(({adc}) * 10000 + 0.5) AS BIGINT) AS adc_e4
 FROM {joins} {lut_joins}
-ORDER BY adc, vec_id
+ORDER BY adc_e4, vec_id
 LIMIT {k}"""
     return "WITH " + ",\n".join(ctes) + "\n" + body
 

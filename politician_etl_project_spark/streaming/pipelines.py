@@ -352,6 +352,28 @@ def _event_cms(events: DataFrame, depth: int = 3, width: int = 64) -> DataFrame:
     return rows.groupBy("d", "bucket").agg(F.count("*").cast("bigint").alias("c"))
 
 
+def _sketch_current_version(store_path: str) -> str | None:
+    """Name of the committed sketch version, or None if never committed."""
+    import os
+
+    ptr = os.path.join(store_path, "_CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return fh.read().strip()
+
+
+def read_sketch_store(spark, store_path: str) -> DataFrame:
+    """Read the committed count-min sketch (the version `_CURRENT` points
+    at).  Raises if the store was never committed."""
+    import os
+
+    version = _sketch_current_version(store_path)
+    if version is None:
+        raise FileNotFoundError(f"no committed sketch at {store_path}")
+    return spark.read.parquet(os.path.join(store_path, "versions", version))
+
+
 def sketch_maintenance_stream(
     events: DataFrame,
     store_path: str,
@@ -361,27 +383,57 @@ def sketch_maintenance_stream(
     micro-batch's 3x64 sketch ADDS into the stored one — sketches form a
     commutative monoid, so maintenance is a 192-row keyed sum per batch
     and NEVER a rescan of history.  The streaming twin of
-    q_countmin_sketch and the same mergeable contract as
-    rollup_maintenance_stream; at any moment the store answers
-    heavy-hitter estimates over everything ingested so far."""
+    q_countmin_sketch; at any moment :func:`read_sketch_store` answers
+    heavy-hitter estimates over everything ingested so far.
+
+    Replay-idempotent over foreachBatch's at-least-once delivery via a
+    versioned store with an atomic pointer (stronger than the marker-dir
+    scheme in rollup_maintenance_stream, closing the round-3 advice):
+    batch N's merged sketch is written to ``versions/b{N}`` and only then
+    does an atomic rename flip ``_CURRENT`` to it.  A crash BEFORE the
+    flip leaves ``_CURRENT`` on the previous version, so the replayed
+    batch merges against the OLD sketch (no double count); a crash AFTER
+    the flip makes the replay hit the ``_CURRENT == b{N}`` guard and
+    skip.  Only a missing pointer means "first batch" — a genuine store
+    read error now propagates instead of silently resetting history."""
+    import os
+
     from politician_etl_project_spark.streaming.sources import run_foreach_batch
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        version = f"b{batch_id}"
+        current_version = _sketch_current_version(store_path)
+        if current_version == version:  # crash-after-commit replay
+            return
         delta = _event_cms(batch_df)
-        try:
-            current = spark.read.parquet(store_path)
+        if current_version is None:
+            merged = delta
+        else:
+            current = spark.read.parquet(
+                os.path.join(store_path, "versions", current_version)
+            )
             merged = (
                 current.unionByName(delta)
                 .groupBy("d", "bucket")
                 .agg(F.sum("c").cast("bigint").alias("c"))
             )
-        except Exception:  # first batch: no store yet
-            merged = delta
-        # the sketch is O(depth*width) rows — rewrite is trivially cheap
-        tmp = f"{store_path}.staging"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.coalesce(1).write.mode("overwrite").parquet(store_path)
+        # the sketch is O(depth*width) rows — rewrite is trivially cheap;
+        # overwrite mode also absorbs a crash-mid-write replay of the
+        # same version dir
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_path, "versions", version)
+        )
+        tmp = os.path.join(store_path, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.rename(tmp, os.path.join(store_path, "_CURRENT"))  # atomic commit
+        if current_version is not None:  # GC the superseded version
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(store_path, "versions", current_version),
+                ignore_errors=True,
+            )
 
     run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)

@@ -487,9 +487,9 @@ def test_ann_pq_codes_and_self_hit(spark, sf_dir):
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     top = ann_pq_adc(emb, qv, m=4, ksub=4, n_iters=2, dim=64, k=10).collect()
     assert len(top) == 10
-    assert top[0]["adc"] >= 0.0
+    assert top[0]["adc_e4"] >= 0
     # ADC distances are non-decreasing in rank order
-    adcs = [r["adc"] for r in top]
+    adcs = [r["adc_e4"] for r in top]
     assert adcs == sorted(adcs)
 
 
@@ -512,3 +512,57 @@ def test_kmeans_assign_wide_dim(spark):
     got = assigned.collect()
     assert len(got) == 40
     assert all(1 <= r["cluster"] <= 16 for r in got)
+
+
+def test_stored_index_end_to_end_dim1536(spark, tmp_path):
+    """Round-3 verdict item 5: the reference's REAL vector width
+    (1536-dim, scripts/hydrate_vectors.py:98-106) must work end-to-end
+    through BOTH stored-index paths — build + probe — with the partition
+    prune still firing, not just through the hyperplane expression unit
+    test.  16 planes exercises the widest plane family."""
+    import contextlib
+    import io
+
+    from politician_etl_project_spark.operators.similarity import (
+        ann_ivf_indexed,
+        ann_lsh_indexed,
+        build_ivf_index,
+        build_lsh_index,
+    )
+
+    n, dim, planes = 120, 1536, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: F.sin(d.cast("double") * (F.col("id") + 1).cast("double")),
+        ).alias("embedding"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # --- stored LSH at 1536x16 ---
+    lsh_path = str(tmp_path / "lsh1536")
+    build_lsh_index(emb, lsh_path, n_planes=planes, dim=dim)
+    got = ann_lsh_indexed(spark, lsh_path, qv, k=5, n_planes=planes, dim=dim)
+    plan = plan_of(got)
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    rows = got.collect()
+    # the query vector itself is indexed -> must be its own top hit
+    assert rows and rows[0]["vec_id"] == 0
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    # --- stored IVF at 1536 ---
+    ivf_path = str(tmp_path / "ivf1536")
+    build_ivf_index(emb, ivf_path, n_clusters=4, n_iters=1, dim=dim)
+    got_ivf = ann_ivf_indexed(spark, ivf_path, qv, k=5, n_probe=2)
+    plan = plan_of(got_ivf)
+    assert "PartitionFilters" in plan and "cluster" in plan, plan
+    rows = got_ivf.collect()
+    assert rows and rows[0]["vec_id"] == 0
