@@ -26,17 +26,69 @@ import os
 
 from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, declared_query
 
-# First slots = driver verification window (the driver checks entries
-# [:50] per round).  Round-3 composition: the 35 queries that have never
-# had a driver CORRECTNESS row (r1 and r2 windows were disjoint 50s), the
-# 15 queries new in round 3, then 1 sentinel from already-green families
-# — biased toward code modified this round so regressions surface.
-# Everything not listed keeps declaration order after these (all were
-# driver-green in r1).
 DRIVER_WINDOW = [
-    # Slots 1-35: every query never driver-checked in r1/r2 (VERDICT r02
-    # item 1) — source oracles, windows family, text/dedup variants,
-    # rollup/cube/percentiles/sketches, endpoint pagination shapes.
+    # --- ROUND-4 WINDOW (driver checks [:50]) ---
+    # Slots 1-37: every query that had never had a driver CORRECTNESS
+    # row after rounds 1-3 (r3 verdict item 1) — the analytics_ext /
+    # quality / pagerank / PQ / banded-simhash / countmin families.
+    # Slot 38: q_merge_batch_replay, NEW this round (T5 foreachBatch
+    # MERGE twin — r3 verdict item 6).
+    # Slots 39-50: sentinels from code touched in round 4 (banded
+    # SimHash rewrite, ADC fixed-point, stored-index cache keys,
+    # pagerank rewrite) plus previously-green family representatives.
+    # tests/test_window.py asserts this composition mechanically.
+    "q_gap_fill",
+    "q_calendar_spine",
+    "q_snapshot_diff",
+    "q_moments_mergeable",
+    "q_equidepth_histogram",
+    "q_outlier_zscore",
+    "q_inverted_index",
+    "q_skew_diagnostic",
+    "q_weighted_downsample",
+    "q_orc_roundtrip",
+    "q_abtest_lift",
+    "q_pmi_terms",
+    "q_incremental_rollup",
+    "q_event_transitions",
+    "q_time_to_convert",
+    "q_bucketed_join",
+    "q_dpp_prune",
+    "q_schema_evolution",
+    "q_pagerank",
+    "q_embed_quantize",
+    "q_ann_pq",
+    "q_hybrid_rrf",
+    "q_correlation",
+    "q_window_range_frame",
+    "q_provenance_audit",
+    "q_data_profile",
+    "q_dq_constraints",
+    "q_event_paths",
+    "q_negative_sampling",
+    "q_lm_quality_score",
+    "q_ann_recall_eval",
+    "q_quantile_normalize",
+    "q_feature_hashing",
+    "q_schema_drift",
+    "q_simhash_banded",
+    "q_countmin_sketch",
+    "q_weighted_sample_topk",
+    "q_merge_batch_replay",
+    "q_simhash_near_pairs",
+    "q_dedup_multi_policy",
+    "q_simhash",
+    "q_near_dup_pairs",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_knn_bruteforce",
+    "q_ann_batch",
+    "q_dedup_incremental",
+    "q_curation_funnel",
+    "q01_pricing_summary",
+    "q_sketch_merge_replay",  # NEW r4: count-min monoid merge, T5 twin
+    # --- end of the 50-slot driver window; overflow order below ---
+    "q_approx_sketches",
     "q_src_fec_csv",
     "q_src_votes_json",
     "q_src_bills_xml",
@@ -50,8 +102,6 @@ DRIVER_WINDOW = [
     "q_session_windows",
     "q_text_quality",
     "q_lang_id",
-    "q_near_dup_pairs",
-    "q_simhash",
     "q_rolling_fingerprint",
     "q_bpe_token_count",
     "q_tfidf_top_terms",
@@ -68,40 +118,24 @@ DRIVER_WINDOW = [
     "q_rollup_hierarchy",
     "q_cube_matrix",
     "q_percentiles",
-    "q_approx_sketches",
     "q_list_endpoint_page",
     "q_entity_navigation",
     "q_child_roster_page",
-    # Slots 36-50: queries NEW in round 3 (no prior driver row possible).
     "q_boilerplate_shingles",
     "q_pii_scrub",
     "q_scd2_history",
-    "q_ann_batch",
     "q_grouping_sets",
     "q_context_windows",
     "q_bpe_merge_candidates",
     "q_format_report",
-    "q_dedup_multi_policy",  # re-exercises exact/minhash/simhash drops
-    "q_dedup_incremental",  # stored-index ingest probe, dry-run
     "q_event_funnel",
     "q_retention_cohorts",
     "q_pivot_status_matrix",
     "q_unpivot_measures",
     "q_hll_mergeable",
-    # 51+: first overflow if the driver ever checks more than 50 —
-    # q_ann_lsh leads because it exercises this round's riskiest changes
-    # (hyperplane literal family + stored-index partition pruning); it
-    # was driver-green in r2 and stays locally hash-verified, so the 50
-    # in-window slots all go to never-driver-checked names instead.
-    "q_ann_lsh",
-    "q_curation_funnel",
-    "q_ann_ivf",
     "q_dup_clusters",
-    "q01_pricing_summary",
-    "q_knn_bruteforce",
     "q_near_dup_pairs_capped",
     "q_dedup_exact",
-    "q_simhash_near_pairs",
     "q_asof_join",
     "q_salted_agg",
     "q_event_dedup",
@@ -143,45 +177,6 @@ DRIVER_WINDOW = [
     "q_sequence_packing",
     "q_corpus_mixture",
     "q_range_join",
-    # NEW this session (analytics_ext.py) — first candidates for the
-    # round-4 window rotation alongside anything the r3 driver flags.
-    "q_gap_fill",
-    "q_calendar_spine",
-    "q_snapshot_diff",
-    "q_moments_mergeable",
-    "q_equidepth_histogram",
-    "q_outlier_zscore",
-    "q_inverted_index",
-    "q_skew_diagnostic",
-    "q_weighted_downsample",
-    "q_orc_roundtrip",
-    "q_abtest_lift",
-    "q_pmi_terms",
-    "q_incremental_rollup",
-    "q_event_transitions",
-    "q_time_to_convert",
-    "q_bucketed_join",
-    "q_dpp_prune",
-    "q_schema_evolution",
-    "q_pagerank",
-    "q_embed_quantize",
-    "q_ann_pq",
-    "q_hybrid_rrf",
-    "q_correlation",
-    "q_window_range_frame",
-    "q_provenance_audit",
-    "q_data_profile",
-    "q_dq_constraints",
-    "q_event_paths",
-    "q_negative_sampling",
-    "q_lm_quality_score",
-    "q_ann_recall_eval",
-    "q_quantile_normalize",
-    "q_feature_hashing",
-    "q_schema_drift",
-    "q_simhash_banded",
-    "q_countmin_sketch",
-    "q_weighted_sample_topk",
 ]
 
 _ORACLE_TABLES = (

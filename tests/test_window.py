@@ -1,0 +1,64 @@
+"""Guards on the driver verification window (queries/__init__.DRIVER_WINDOW).
+
+The driver hash-verifies registry entries [:50] per round, so the window
+head is load-bearing evidence: a duplicate slot silently wastes a check,
+and a query that never rotates into the head is never driver-verified.
+These tests fail the moment either happens (round-3 verdict item 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from politician_etl_project_spark.queries import DRIVER_WINDOW, load_all
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _driver_checked_names() -> set[str]:
+    """Union of all query names that ever had a driver CORRECTNESS row."""
+    names: set[str] = set()
+    for fn in sorted(os.listdir(REPO_ROOT)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            with open(os.path.join(REPO_ROOT, fn)) as fh:
+                names |= set(json.load(fh))
+    return names
+
+
+def test_window_head_is_unique():
+    head = DRIVER_WINDOW[:WINDOW]
+    assert len(head) == len(set(head)), "duplicate slot wastes a driver check"
+
+
+def test_window_names_all_registered():
+    specs = load_all()
+    missing = [n for n in DRIVER_WINDOW if n not in specs]
+    assert not missing, f"DRIVER_WINDOW names not in registry: {missing}"
+
+
+def test_registry_leads_with_window_head():
+    """load_all must serve the window head as the first 50 entries —
+    that ordering IS what the driver consumes."""
+    specs = load_all()
+    assert list(specs)[:WINDOW] == DRIVER_WINDOW[:WINDOW]
+
+
+def test_every_never_checked_query_is_in_window_head():
+    """Every registered query lacking a driver CORRECTNESS row across
+    all recorded rounds must occupy a current-window slot (or there are
+    more such queries than slots — then the set must be EXACTLY the
+    head, rotating the backlog through).  Adding a query without
+    scheduling it fails here."""
+    specs = load_all()
+    never = [n for n in specs if n not in _driver_checked_names()]
+    head = set(DRIVER_WINDOW[:WINDOW])
+    if len(never) <= WINDOW:
+        out = [n for n in never if n not in head]
+        assert not out, f"never-driver-checked queries outside window head: {out}"
+    else:
+        assert all(n in never for n in head), (
+            "window head wastes slots on already-checked queries while a "
+            f"{len(never)}-query backlog exists"
+        )
