@@ -247,9 +247,19 @@ def main() -> None:
             for n in times
             if prev["queries"].get(n)
         }
+        # only |Δ| > 10% survives onto the line — the full map at 70
+        # queries outgrows the driver's 2000-byte tail capture and gets
+        # front-clipped (round-3 verdict item 4); n_compared records how
+        # many were checked so "few entries" reads as stability, not
+        # missing coverage
+        moved = {n: r for n, r in delta.items() if abs(r - 1.0) > 0.10}
         print(
             json.dumps(
-                {"delta_vs_prev": delta, "prev_round": prev["_round"]},
+                {
+                    "delta_vs_prev_gt10pct": moved,
+                    "n_compared": len(delta),
+                    "prev_round": prev["_round"],
+                },
                 separators=(",", ":"),
             )
         )
@@ -303,10 +313,41 @@ def _load_prev_bench() -> dict | None:
                     if isinstance(inner.get("queries"), dict):
                         data = inner
                         break
+            if not isinstance(data.get("queries"), dict):
+                # front-clipped artifact (r02 shape): the summary line lost
+                # its head, so no line parses — recover the per-query pairs
+                # from the raw fragment instead of dropping the round
+                recovered = _recover_clipped(data["tail"])
+                if recovered:
+                    data = recovered
         if isinstance(data.get("queries"), dict):
             data["_round"] = n
             return data
     return None
+
+
+def _recover_clipped(tail: str) -> dict | None:
+    """Best-effort per-query times from a front-clipped stdout capture:
+    scan each line for '"<q...>": <sec>' pairs, skipping the delta line
+    (its values are ratios, not seconds — distinguishable by its
+    delta_vs_prev / prev_round markers), and keep the richest line."""
+    import re
+
+    best: dict[str, float] = {}
+    for line in tail.splitlines():
+        # r02 embedded the delta map INSIDE the summary object — cut the
+        # line at the first delta marker so ratio values never pollute
+        # the recovered seconds
+        for marker in ("delta_vs_prev", "prev_round"):
+            i = line.find(marker)
+            if i >= 0:
+                line = line[:i]
+        pairs = re.findall(
+            r'"((?:q|etl)[A-Za-z0-9_]*)"\s*:\s*([0-9]+(?:\.[0-9]+)?)', line
+        )
+        if len(pairs) > len(best):
+            best = {k: float(v) for k, v in pairs}
+    return {"queries": best, "recovered_from_clipped_tail": True} if best else None
 
 
 if __name__ == "__main__":
