@@ -31,9 +31,10 @@ DRIVER_WINDOW = [
     # Slots 1-37: every query that had never had a driver CORRECTNESS
     # row after rounds 1-3 (r3 verdict item 1) — the analytics_ext /
     # quality / pagerank / PQ / banded-simhash / countmin families.
-    # Slot 38: q_merge_batch_replay, NEW this round (T5 foreachBatch
-    # MERGE twin — r3 verdict item 6).
-    # Slots 39-50: sentinels from code touched in round 4 (banded
+    # Three slots: queries NEW this round — q_merge_batch_replay +
+    # q_sketch_merge_replay (T5 foreachBatch twins, r3 verdict item 6)
+    # and q_bpe_train_merges (iterative BPE training).
+    # Remaining slots: sentinels from code touched in round 4 (banded
     # SimHash rewrite, ADC fixed-point, stored-index cache keys,
     # pagerank rewrite) plus previously-green family representatives.
     # tests/test_window.py asserts this composition mechanically.
@@ -85,9 +86,10 @@ DRIVER_WINDOW = [
     "q_ann_batch",
     "q_dedup_incremental",
     "q_curation_funnel",
-    "q01_pricing_summary",
+    "q_bpe_train_merges",  # NEW r4: iterative BPE training loop
     "q_sketch_merge_replay",  # NEW r4: count-min monoid merge, T5 twin
     # --- end of the 50-slot driver window; overflow order below ---
+    "q01_pricing_summary",
     "q_approx_sketches",
     "q_src_fec_csv",
     "q_src_votes_json",

@@ -1510,3 +1510,118 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         F.least("c0", "c1", "c2").cast("bigint").alias("cms_est"),
     ).orderBy(F.desc("exact_cnt"), "token")
+
+
+# --- iterative BPE merge TRAINING (3 exact rounds) --------------------------
+
+# One BPE round as DuckDB CTE fragments: pairs over the current word
+# table {w}, the argmax pair {t}, and the merged word table {w_next}.
+_BPE_ROUND_SQL = """p{r} AS (
+  SELECT sy[i] || ' ' || sy[i + 1] AS pair, SUM(wc) AS cnt
+  FROM (SELECT str_split(trim(s, '<>'), '><') AS sy, wc FROM {w})
+     , unnest(range(1, len(sy))) AS t(i)
+  WHERE len(sy) >= 2
+  GROUP BY 1
+), t{r} AS (
+  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+), w{n} AS (
+  SELECT replace(s,
+                 '<' || split_part(t{r}.pair, ' ', 1) || '><' || split_part(t{r}.pair, ' ', 2) || '>',
+                 '<' || replace(t{r}.pair, ' ', '') || '>') AS s,
+         wc
+  FROM {w}, t{r}
+)"""
+
+_BPE_TRAIN_ORACLE = (
+    """WITH w0 AS (
+  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY 1
+), """
+    + ", ".join(
+        _BPE_ROUND_SQL.format(r=r, n=r + 1, w=f"w{r}") for r in range(3)
+    )
+    + """
+SELECT merge_round, sym_a, sym_b, merged, n_occurrences FROM (
+  SELECT 0 AS merge_round, split_part(pair, ' ', 1) AS sym_a,
+         split_part(pair, ' ', 2) AS sym_b, replace(pair, ' ', '') AS merged,
+         CAST(cnt AS BIGINT) AS n_occurrences FROM t0
+  UNION ALL
+  SELECT 1, split_part(pair, ' ', 1), split_part(pair, ' ', 2),
+         replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM t1
+  UNION ALL
+  SELECT 2, split_part(pair, ' ', 1), split_part(pair, ' ', 2),
+         replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM t2
+)
+ORDER BY merge_round
+"""
+)
+
+
+@declared_query(
+    "q_bpe_train_merges",
+    oracle=_BPE_TRAIN_ORACLE,
+    ops=("TXT-bpe-train", "A2", "GRAPH-iterative"),
+    doc="Iterative BPE tokenizer TRAINING, three exact merge rounds — the "
+    "full loop q_bpe_merge_candidates only scores once: each round "
+    "counts every adjacent symbol pair across the (weighted) word "
+    "table, merges the argmax pair corpus-wide, and repeats on the "
+    "merged representation.  Words are '<sym><sym>...' wrapped strings, "
+    "so the merge is a plain string replace (leftmost non-overlapping — "
+    "identical Java/DuckDB semantics) and pair extraction is "
+    "split + transform in codegen; no Python touches row data.  The "
+    "DuckDB oracle unrolls the identical three rounds in chained CTEs, "
+    "so the merge table (round, pair, count) is hash-exact — ties "
+    "break count-desc-then-pair-asc on both engines.  Scale: each "
+    "round is one explode + one pair-key shuffle over DISTINCT words "
+    "(Zipf-bounded, millions of rows at any corpus size — not corpus "
+    "rows), the merged table is a narrow map, and only the single "
+    "argmax row ever reaches the driver; this is exactly how "
+    "distributed tokenizer-training jobs (e.g. Spark-based BPE "
+    "pipelines) are structured.",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("wc"))
+        .select(F.regexp_replace("w", "(.)", "<$1>").alias("s"), "wc")
+        .localCheckpoint(eager=False)  # word table reused across rounds
+    )
+
+    def _top_pair(cur: DataFrame):
+        c = cur.select(
+            F.split(F.expr("trim(BOTH '<>' FROM s)"), "><").alias("sy"), "wc"
+        ).filter(F.size("sy") >= 2)
+        pairs = (
+            c.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sy) - 1), "
+                        "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"
+                    )
+                ).alias("pair"),
+                "wc",
+            )
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        )
+        return pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()[0]
+
+    rows = []
+    cur = words
+    for rnd in range(3):
+        top = _top_pair(cur)  # O(1) driver transfer: the argmax row only
+        a, b = top["pair"].split(" ")
+        rows.append((rnd, a, b, a + b, top["cnt"]))
+        cur = cur.select(
+            F.expr(f"replace(s, '<{a}><{b}>', '<{a + b}>')").alias("s"), "wc"
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        rows, "merge_round int, sym_a string, sym_b string, merged string, n_occurrences bigint"
+    ).orderBy("merge_round")
