@@ -253,6 +253,11 @@ def main() -> None:
         # many were checked so "few entries" reads as stability, not
         # missing coverage
         moved = {n: r for n, r in delta.items() if abs(r - 1.0) > 0.10}
+        if len(moved) > 40:  # cap so even a pathological round fits the tail
+            moved = {
+                n: moved[n]
+                for n in sorted(moved, key=lambda q: abs(moved[q] - 1.0), reverse=True)[:40]
+            }
         print(
             json.dumps(
                 {
