@@ -31,9 +31,11 @@ DRIVER_WINDOW = [
     # Slots 1-37: every query that had never had a driver CORRECTNESS
     # row after rounds 1-3 (r3 verdict item 1) — the analytics_ext /
     # quality / pagerank / PQ / banded-simhash / countmin families.
-    # Three slots: queries NEW this round — q_merge_batch_replay +
-    # q_sketch_merge_replay (T5 foreachBatch twins, r3 verdict item 6)
-    # and q_bpe_train_merges (iterative BPE training).
+    # Five slots: queries NEW this round — q_merge_batch_replay +
+    # q_sketch_merge_replay (T5 foreachBatch twins, r3 verdict item 6),
+    # q_bpe_train_merges + q_bpe_vocab_stats (iterative BPE training and
+    # its application), and q_ann_index_extend (incremental LSH
+    # maintenance proven equal to the full rebuild).
     # Remaining slots: sentinels from code touched in round 4 (banded
     # SimHash rewrite, ADC fixed-point, stored-index cache keys,
     # pagerank rewrite) plus previously-green family representatives.
@@ -82,13 +84,15 @@ DRIVER_WINDOW = [
     "q_near_dup_pairs",
     "q_ann_lsh",
     "q_ann_ivf",
-    "q_knn_bruteforce",
-    "q_ann_batch",
+    "q_ann_index_extend",  # NEW r4: incremental LSH maintenance
+    "q_bpe_vocab_stats",  # NEW r4: BPE train->apply closure
     "q_dedup_incremental",
     "q_curation_funnel",
     "q_bpe_train_merges",  # NEW r4: iterative BPE training loop
     "q_sketch_merge_replay",  # NEW r4: count-min monoid merge, T5 twin
     # --- end of the 50-slot driver window; overflow order below ---
+    "q_knn_bruteforce",
+    "q_ann_batch",
     "q01_pricing_summary",
     "q_approx_sketches",
     "q_src_fec_csv",

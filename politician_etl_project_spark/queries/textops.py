@@ -1582,6 +1582,17 @@ ORDER BY merge_round
     "pipelines) are structured.",
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, _final = _bpe_train(spark, sf_dir, rounds=3)
+    return spark.createDataFrame(
+        rows, "merge_round int, sym_a string, sym_b string, merged string, n_occurrences bigint"
+    ).orderBy("merge_round")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 3):
+    """Shared BPE training loop (see q_bpe_train_merges for the contract):
+    returns ``(merge_rows, final_word_table)`` where merge_rows is the
+    list of (round, sym_a, sym_b, merged, count) and final_word_table is
+    the '<sym>'-wrapped word table after applying every merge."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -1615,13 +1626,54 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = []
     cur = words
-    for rnd in range(3):
+    for rnd in range(rounds):
         top = _top_pair(cur)  # O(1) driver transfer: the argmax row only
         a, b = top["pair"].split(" ")
         rows.append((rnd, a, b, a + b, top["cnt"]))
         cur = cur.select(
             F.expr(f"replace(s, '<{a}><{b}>', '<{a + b}>')").alias("s"), "wc"
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        rows, "merge_round int, sym_a string, sym_b string, merged string, n_occurrences bigint"
-    ).orderBy("merge_round")
+    return rows, cur
+
+
+@declared_query(
+    "q_bpe_vocab_stats",
+    oracle=(
+        """WITH w0 AS (
+  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY 1
+), """
+        + ", ".join(_BPE_ROUND_SQL.format(r=r, n=r + 1, w=f"w{r}") for r in range(3))
+        + """
+SELECT sym, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest(str_split(trim(s, '<>'), '><')) AS sym, wc FROM w3)
+GROUP BY sym
+ORDER BY n_occurrences DESC, sym
+LIMIT 15
+"""
+    ),
+    ops=("TXT-bpe-train", "TXT-tokens", "A2"),
+    doc="BPE vocabulary application — the top-15 symbols (by weighted "
+    "occurrence) of the corpus AFTER the three learned merges are "
+    "applied, closing the train->apply loop that q_bpe_train_merges "
+    "opens: training picks the merges, this query tokenizes the corpus "
+    "with them and reports the resulting symbol distribution (the "
+    "statistic a tokenizer-training job monitors for vocabulary "
+    "convergence).  The oracle re-derives the SAME three merges in "
+    "chained CTEs and unnests the merged word table, so the symbol "
+    "table is hash-exact.  Scale: symbol explosion is one shuffle over "
+    "distinct words; merges apply as narrow string maps.",
+)
+def q_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _rows, final = _bpe_train(spark, sf_dir, rounds=3)
+    syms = final.select(
+        F.explode(F.split(F.expr("trim(BOTH '<>' FROM s)"), "><")).alias("sym"), "wc"
+    )
+    return (
+        syms.groupBy("sym")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("sym"))
+        .limit(15)
+    )

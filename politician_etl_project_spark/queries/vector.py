@@ -184,7 +184,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family changes, "ivf"/"pq" when their training logic changes — cached
 # indexes built by old code must not be probed by new code, and bumping
 # one family must not needlessly invalidate the others (round-3 advice).
-_INDEX_ALGO_VERSION = {"lsh": 1, "ivf": 1, "pq": 1}
+_INDEX_ALGO_VERSION = {"lsh": 1, "lshx": 1, "ivf": 1, "pq": 1}
 
 
 def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str, builder) -> str:
@@ -863,3 +863,54 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("method", "k", "n_hits", "recall_pct")
 
     return row("ivf", ivf).unionByName(row("lsh", lsh)).orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance, driver-grade (S16 + extend_lsh_index)
+# ---------------------------------------------------------------------------
+
+
+def _extended_lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once stored LSH index constructed INCREMENTALLY: the base
+    index holds vec_id % 7 != 0, then the held-out slice arrives as a
+    new-vector batch through operators/similarity.extend_lsh_index (the
+    partition-scoped MERGE that rewrites only the buckets the batch
+    lands in).  Cached under the 'lshx' kind."""
+    from politician_etl_project_spark.operators.similarity import (
+        build_lsh_index,
+        extend_lsh_index,
+    )
+
+    def _builder(emb: DataFrame, staging: str) -> None:
+        build_lsh_index(emb.filter(F.col("vec_id") % 7 != 0), staging, n_planes=4, dim=64)
+        extend_lsh_index(
+            spark, staging, emb.filter(F.col("vec_id") % 7 == 0), n_planes=4, dim=64
+        )
+
+    return _stored_index_path(spark, sf_dir, "lshx", "4|64|mod7", _builder)
+
+
+@declared_query(
+    "q_ann_index_extend",
+    oracle=_ANN_LSH_ORACLE,
+    ops=("V2", "S16", "S12", "TXT-ann"),
+    doc="Incremental ANN index maintenance at driver grade: the stored "
+    "LSH index is built WITHOUT every 7th vector, the held-out batch is "
+    "then appended via extend_lsh_index (partition-scoped MERGE — only "
+    "the buckets the batch lands in are rewritten, new-id contract "
+    "enforced), and the probe runs against the extended index.  The "
+    "oracle is IDENTICAL to q_ann_lsh's full-corpus replay, so the hash "
+    "match PROVES the incremental path converges to the full rebuild — "
+    "the invariant that makes continuous ingestion into a 100 TB ANN "
+    "store safe (a billion-vector index absorbs a batch by touching "
+    "<= batch-size bucket directories, never the index).  Previously "
+    "pytest-only (tests/test_operators.py extend cases); this makes the "
+    "maintenance path part of the driver correctness surface.",
+)
+def q_ann_index_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.similarity import ann_lsh_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    index = _extended_lsh_index_path(spark, sf_dir)
+    return ann_lsh_indexed(spark, index, qv, k=10, n_planes=4, dim=64)

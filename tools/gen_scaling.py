@@ -49,7 +49,7 @@ def main() -> None:
         spark.catalog.clearCache()
         for name in QUERIES:
             best = None
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 specs[name].fn(spark, sf).collect()
                 sec = time.perf_counter() - t0
