@@ -430,3 +430,24 @@ def test_range_frame_windows_over_rollup(spark, specs):
     w_pos = tree.find("Window")
     assert w_pos > -1, tree
     assert tree.find("HashAggregate", w_pos) > -1, tree
+
+
+def test_ann_index_extend_prunes_partitions(spark, specs):
+    """The probe against the INCREMENTALLY-extended LSH index must keep
+    the same partition-prune property as the freshly-built one — the
+    partition-scoped MERGE in extend_lsh_index must not flatten the
+    bucket directory layout."""
+    plan = plan_of(spark, specs, "q_ann_index_extend")
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert part_lines, f"no PartitionFilters in plan:\n{plan}"
+    assert any("bucket" in ln for ln in part_lines), part_lines
+
+
+def test_simhash_near_pairs_joins_on_band_key(spark, specs):
+    """Round-4 rewrite guarantee: pair generation is an equi-join on the
+    (band_id, band value, source) key — never a cartesian or an
+    unbounded source-only block join."""
+    plan = plan_of(spark, specs, "q_simhash_near_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the band value column participates in the join key
+    assert "bv" in plan and "band_id" in plan, plan[:3000]
