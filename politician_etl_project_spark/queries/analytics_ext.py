@@ -24,6 +24,28 @@ from pyspark.sql import functions as F
 from politician_etl_project_spark.catalog import load_table
 from politician_etl_project_spark.queries.registry import declared_query
 
+
+def _tmp_key(sf_dir: str, *rel_files: str) -> str:
+    """Stable cross-process cache key: md5 of the absolute sf_dir plus
+    each named source file's (size, mtime) fingerprint.  Python's
+    builtin hash() is salted per process (PYTHONHASHSEED), so the
+    previous hash()-based keys were process-local — caches never hit
+    across runs and /tmp accumulated one copy per process; md5 keys
+    match the discipline of the stored ANN/ingest index caches."""
+    import hashlib
+    import os
+
+    parts = [os.path.abspath(sf_dir)]
+    for rf in rel_files:
+        p = os.path.join(sf_dir, rf)
+        try:
+            st = os.stat(p)
+            parts.append(f"{rf}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{rf}:unknown")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 # Engine-identical 32-bit content hash (same idiom as pipeline.py:29-31):
 # md5 is bit-identical everywhere; both engines parse the first 8 hex chars
 # to the same BIGINT.
@@ -620,7 +642,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
-    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    key = _tmp_key(sf_dir, "documents.parquet")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{key}")
     d.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -776,7 +798,7 @@ def _rollup_store_path(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    key = _tmp_key(sf_dir, "orders.parquet")
     return os.path.join(tempfile.gettempdir(), f"spark_graft_rollup_{key}")
 
 
@@ -1024,7 +1046,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    key = _tmp_key(sf_dir, "orders.parquet", "customer.parquet")
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{key}")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
@@ -1079,7 +1101,7 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    key = _tmp_key(sf_dir, "events.parquet")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_dpp_{key}")
     pf = ev.withColumn("event_date", F.to_date("ts"))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -1137,7 +1159,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = load_table(spark, sf_dir, "documents")
-    key = f"{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+    key = _tmp_key(sf_dir, "documents.parquet")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_evolve_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(

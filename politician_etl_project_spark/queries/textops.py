@@ -1622,12 +1622,15 @@ def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 3):
             .groupBy("pair")
             .agg(F.sum("wc").cast("bigint").alias("cnt"))
         )
-        return pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()[0]
+        return pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
 
     rows = []
     cur = words
     for rnd in range(rounds):
-        top = _top_pair(cur)  # O(1) driver transfer: the argmax row only
+        hit = _top_pair(cur)  # O(1) driver transfer: the argmax row only
+        if not hit:  # empty corpus / fully merged: no pair left to merge
+            break
+        top = hit[0]
         a, b = top["pair"].split(" ")
         rows.append((rnd, a, b, a + b, top["cnt"]))
         cur = cur.select(

@@ -566,3 +566,40 @@ def test_stored_index_end_to_end_dim1536(spark, tmp_path):
     assert "PartitionFilters" in plan and "cluster" in plan, plan
     rows = got_ivf.collect()
     assert rows and rows[0]["vec_id"] == 0
+
+
+def test_simhash_band_pairs_lossless_adversarial(spark):
+    """Pigeonhole losslessness of simhash_band_pairs on an ADVERSARIAL
+    distribution the corpus fixture can't produce: 300 sketches
+    clustered within hamming<=2 of a few anchors (everything in ONE
+    block), where the old source-block join would have been O(n^2) and
+    a lossy banding would visibly drop pairs.  Band-join candidates
+    filtered by hamming<=2 must equal the brute-force all-pairs set
+    exactly."""
+    from politician_etl_project_spark.queries.textops import simhash_band_pairs
+
+    import itertools
+
+    anchors = [0x0000, 0x5A5A, 0xFFFF, 0x0F0F]
+    sketches = []
+    i = 0
+    for a in anchors:
+        sketches.append((i, a)); i += 1
+        for b1 in range(16):          # hamming 1
+            sketches.append((i, a ^ (1 << b1))); i += 1
+        for b1, b2 in itertools.islice(itertools.combinations(range(16), 2), 60):
+            sketches.append((i, a ^ (1 << b1) ^ (1 << b2))); i += 1  # hamming 2
+
+    sh = spark.createDataFrame(sketches, "doc_id long, simhash int")
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_band_pairs(sh).collect()
+        if bin(r.sh_a ^ r.sh_b).count("1") <= 2
+    }
+    want = {
+        (a_id, b_id)
+        for (a_id, a_s), (b_id, b_s) in itertools.combinations(sketches, 2)
+        if bin(a_s ^ b_s).count("1") <= 2
+    }
+    assert got == want
+    assert len(want) > 1000  # the fixture is genuinely dense
