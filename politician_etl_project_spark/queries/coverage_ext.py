@@ -464,16 +464,24 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
     price = F.col("o_totalprice").cast("double")
+    # TWO aggregates joined on the 5-row segment key, not one: mixing
+    # COUNT DISTINCT (Expand-based) with the typed-imperative percentile
+    # aggregates in a single agg forces a multi-pass SortAggregate over
+    # the expanded rows — measured 5.2 s at sf0.1 vs 1.2 s split (the
+    # 5-row join-back is free).  Same trick as q_data_profile's
+    # docstring prescribes for wide profiling at scale.
+    counts = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_ac"),
+    )
+    pcts = joined.groupBy("c_mktsegment").agg(
+        F.percentile_approx(price, 0.5, 10000).alias("_am"),
+        F.expr("percentile(cast(o_totalprice as double), 0.45)").alias("_p45"),
+        F.expr("percentile(cast(o_totalprice as double), 0.55)").alias("_p55"),
+    )
     return (
-        joined.groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_ac"),
-            F.percentile_approx(price, 0.5, 10000).alias("_am"),
-            F.expr("percentile(cast(o_totalprice as double), 0.45)").alias("_p45"),
-            F.expr("percentile(cast(o_totalprice as double), 0.55)").alias("_p55"),
-        )
+        counts.join(pcts, "c_mktsegment")
         .select(
             "c_mktsegment",
             "n_orders",

@@ -294,14 +294,33 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     pseud = F.md5(F.concat(F.lit("pseud-v1|"), F.col("user_id").cast("string")))
     shape = F.regexp_replace("props", r"[0-9]+", "#")
+    # one aggregate per COUNT DISTINCT, joined on the tiny event_type
+    # key: three distincts in a single agg would Expand x4 and fall out
+    # of partial aggregation (measured 1.05 s -> 0.51 s at sf0.1; same
+    # split discipline as q_data_profile / q_approx_sketches)
+    base = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.min(pseud).alias("sample_pseudonym")
+    )
+    d_users = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    d_pseud = events.groupBy("event_type").agg(
+        F.countDistinct(pseud).alias("n_pseudonyms")
+    )
+    d_shape = events.groupBy("event_type").agg(
+        F.countDistinct(shape).alias("n_prop_shapes")
+    )
     return (
-        events.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.countDistinct(pseud).alias("n_pseudonyms"),
-            F.countDistinct(shape).alias("n_prop_shapes"),
-            F.min(pseud).alias("sample_pseudonym"),
+        base.join(d_users, "event_type")
+        .join(d_pseud, "event_type")
+        .join(d_shape, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            "n_pseudonyms",
+            "n_prop_shapes",
+            "sample_pseudonym",
         )
         .orderBy("event_type")
     )

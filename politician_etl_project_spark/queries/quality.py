@@ -60,21 +60,27 @@ ORDER BY col_name
 )
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    # one scan: every column's stats in a single aggregate row...
-    agg = orders.agg(
+    # one scan for every decomposable stat; each COUNT DISTINCT gets its
+    # OWN aggregate and the 1-row frames cross-join back.  Mixing three
+    # distinct aggregates into the multi-aggregate forces an Expand (x4
+    # rows) + multi-pass aggregation — measured 1.22 s at sf0.1 vs
+    # 0.44 s split.  Same split discipline as q_approx_sketches.
+    plain = orders.agg(
         F.count("*").alias("n_rows"),
         F.count("o_custkey").alias("nn_custkey"),
-        F.countDistinct("o_custkey").alias("nd_custkey"),
         F.min("o_custkey").cast("string").alias("mn_custkey"),
         F.max("o_custkey").cast("string").alias("mx_custkey"),
         F.count("o_orderpriority").alias("nn_prio"),
-        F.countDistinct("o_orderpriority").alias("nd_prio"),
         F.min("o_orderpriority").alias("mn_prio"),
         F.max("o_orderpriority").alias("mx_prio"),
         F.count("o_totalprice").alias("nn_price"),
-        F.countDistinct("o_totalprice").alias("nd_price"),
         F.min(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("mn_price"),
         F.max(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("mx_price"),
+    )
+    agg = (
+        plain.crossJoin(orders.agg(F.countDistinct("o_custkey").alias("nd_custkey")))
+        .crossJoin(orders.agg(F.countDistinct("o_orderpriority").alias("nd_prio")))
+        .crossJoin(orders.agg(F.countDistinct("o_totalprice").alias("nd_price")))
     )
     # ...then unpivot to the per-column report
     prof = agg.select(

@@ -155,7 +155,14 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine() per pair would redo both norms for every one of the
     # O(bucket²) candidates (measured 3x slower at sf0.1)
     b = all_e.withColumn("bucket", bucket).withColumn("norm", l2_norm("embedding"))
-    left = b.select(
+    # BROADCAST the right side and spread the left: a shuffle join on a
+    # 4-value bucket key lands every candidate pair on <=4 reduce tasks
+    # (measured 6.7 s at sf0.1 — 1/8 of the cores scoring); broadcasting
+    # keeps pair enumeration + scoring at scan parallelism (0.86 s).  At
+    # 100 TB the bucketed side no longer fits a broadcast — there the
+    # answer is more sign bits (more, smaller buckets) + salting the
+    # bucket key, not a 4-key exchange.
+    left = b.repartition(32).select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
@@ -168,7 +175,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     return (
-        left.join(right, ["bucket"])
+        left.join(F.broadcast(right), ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
