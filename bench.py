@@ -340,6 +340,11 @@ def _recover_clipped(tail: str) -> dict | None:
 
     best: dict[str, float] = {}
     for line in tail.splitlines():
+        # the CURRENT delta line carries ratios BEFORE its markers, so a
+        # front-clipped one can't be salvaged by cutting — skip it
+        # entirely (it always contains these keys)
+        if "delta_vs_prev_gt10pct" in line or "n_compared" in line:
+            continue
         # r02 embedded the delta map INSIDE the summary object — cut the
         # line at the first delta marker so ratio values never pollute
         # the recovered seconds

@@ -34,6 +34,30 @@ TABLES = (
 ALWAYS_BROADCAST = ("region", "nation")
 
 
+def tmp_cache_key(sf_dir: str, *rel_files: str) -> str:
+    """Stable cross-process cache key for /tmp build-once artifacts: md5
+    of the ABSOLUTE sf_dir plus each named source file's (size, mtime)
+    fingerprint — so a regenerated corpus rebuilds, identical corpora
+    referenced by different relative paths share one cache, and the key
+    never depends on Python's per-process-salted hash().  Shared by the
+    analytics_ext tmp stores and the merge-replay table; the stored ANN
+    index caches (queries/vector._stored_index_path) follow the same
+    discipline with extra per-kind version terms."""
+    import hashlib
+    import os
+
+    sf_dir = os.path.abspath(sf_dir)
+    parts = [sf_dir]
+    for rf in rel_files:
+        path = os.path.join(sf_dir, rf)
+        try:
+            st = os.stat(path)
+            parts.append(f"{rf}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{rf}:unknown")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)

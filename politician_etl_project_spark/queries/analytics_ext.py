@@ -26,24 +26,12 @@ from politician_etl_project_spark.queries.registry import declared_query
 
 
 def _tmp_key(sf_dir: str, *rel_files: str) -> str:
-    """Stable cross-process cache key: md5 of the absolute sf_dir plus
-    each named source file's (size, mtime) fingerprint.  Python's
-    builtin hash() is salted per process (PYTHONHASHSEED), so the
-    previous hash()-based keys were process-local — caches never hit
-    across runs and /tmp accumulated one copy per process; md5 keys
-    match the discipline of the stored ANN/ingest index caches."""
-    import hashlib
-    import os
+    """See catalog.tmp_cache_key (moved there so queries/events.py's
+    merge-replay table shares one fingerprint idiom)."""
+    from politician_etl_project_spark.catalog import tmp_cache_key
 
-    parts = [os.path.abspath(sf_dir)]
-    for rf in rel_files:
-        p = os.path.join(sf_dir, rf)
-        try:
-            st = os.stat(p)
-            parts.append(f"{rf}:{st.st_size}:{st.st_mtime_ns}")
-        except OSError:
-            parts.append(f"{rf}:unknown")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return tmp_cache_key(sf_dir, *rel_files)
+
 
 
 # Engine-identical 32-bit content hash (same idiom as pipeline.py:29-31):

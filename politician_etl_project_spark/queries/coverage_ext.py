@@ -470,18 +470,21 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expanded rows — measured 5.2 s at sf0.1 vs 1.2 s split (the
     # 5-row join-back is free).  Same trick as q_data_profile's
     # docstring prescribes for wide profiling at scale.
+    # NULL-coalesced join key so a NULL segment group (kept by GROUP BY
+    # on both engines) survives the split's inner join
+    gk = F.coalesce(F.col("c_mktsegment"), F.lit("\x00null\x00")).alias("_gk")
     counts = joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("_ac"),
-    )
+    ).select("*", gk)
     pcts = joined.groupBy("c_mktsegment").agg(
         F.percentile_approx(price, 0.5, 10000).alias("_am"),
         F.expr("percentile(cast(o_totalprice as double), 0.45)").alias("_p45"),
         F.expr("percentile(cast(o_totalprice as double), 0.55)").alias("_p55"),
-    )
+    ).select(gk, "_am", "_p45", "_p55")
     return (
-        counts.join(pcts, "c_mktsegment")
+        counts.join(pcts, "_gk")
         .select(
             "c_mktsegment",
             "n_orders",

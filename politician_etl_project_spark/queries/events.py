@@ -297,23 +297,28 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one aggregate per COUNT DISTINCT, joined on the tiny event_type
     # key: three distincts in a single agg would Expand x4 and fall out
     # of partial aggregation (measured 1.05 s -> 0.51 s at sf0.1; same
-    # split discipline as q_data_profile / q_approx_sketches)
+    # split discipline as q_data_profile / q_approx_sketches).  The join
+    # key is a NULL-coalesced twin (_gk) so a NULL event_type group —
+    # which the single-aggregate form and the SQL GROUP BY both keep —
+    # survives the split's inner joins too (NULL != NULL under plain
+    # equality; review finding r4).
+    gk = F.coalesce(F.col("event_type"), F.lit("\x00null\x00")).alias("_gk")
     base = events.groupBy("event_type").agg(
         F.count("*").alias("n_events"), F.min(pseud).alias("sample_pseudonym")
-    )
+    ).select("*", gk)
     d_users = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
-    )
+    ).select(gk, "n_users")
     d_pseud = events.groupBy("event_type").agg(
         F.countDistinct(pseud).alias("n_pseudonyms")
-    )
+    ).select(gk, "n_pseudonyms")
     d_shape = events.groupBy("event_type").agg(
         F.countDistinct(shape).alias("n_prop_shapes")
-    )
+    ).select(gk, "n_prop_shapes")
     return (
-        base.join(d_users, "event_type")
-        .join(d_pseud, "event_type")
-        .join(d_shape, "event_type")
+        base.join(d_users, "_gk")
+        .join(d_pseud, "_gk")
+        .join(d_shape, "_gk")
         .select(
             "event_type",
             "n_events",
@@ -506,20 +511,14 @@ def _merge_replay_path(spark: SparkSession, sf_dir: str) -> str:
     ParquetUpsertTable.upsert used by
     streaming.pipelines.incremental_upsert_stream's foreachBatch — this
     is the driver-checkable twin of that pytest-only path."""
-    import hashlib
     import os
     import shutil
     import tempfile
 
+    from politician_etl_project_spark.catalog import tmp_cache_key
     from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
 
-    src = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        fp = "unknown"
-    key = hashlib.md5(f"{sf_dir}|merge-replay-v1|{fp}".encode()).hexdigest()[:12]
+    key = tmp_cache_key(sf_dir, "events.parquet")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_merge_{key}")
     if not os.path.isdir(path):
         staging = f"{path}.building-{os.getpid()}"

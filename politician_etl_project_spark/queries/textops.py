@@ -1516,6 +1516,11 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # One BPE round as DuckDB CTE fragments: pairs over the current word
 # table {w}, the argmax pair {t}, and the merged word table {w_next}.
+# w{n} uses LEFT JOIN ON TRUE (not a comma cross join) so an EXHAUSTED
+# round — t{r} empty because no word has two symbols left — passes the
+# word table through unchanged, matching _bpe_train's early break
+# instead of collapsing everything downstream to zero rows (review
+# finding r4).
 _BPE_ROUND_SQL = """p{r} AS (
   SELECT sy[i] || ' ' || sy[i + 1] AS pair, SUM(wc) AS cnt
   FROM (SELECT str_split(trim(s, '<>'), '><') AS sy, wc FROM {w})
@@ -1525,11 +1530,12 @@ _BPE_ROUND_SQL = """p{r} AS (
 ), t{r} AS (
   SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
 ), w{n} AS (
-  SELECT replace(s,
+  SELECT CASE WHEN t{r}.pair IS NULL THEN s
+              ELSE replace(s,
                  '<' || split_part(t{r}.pair, ' ', 1) || '><' || split_part(t{r}.pair, ' ', 2) || '>',
-                 '<' || replace(t{r}.pair, ' ', '') || '>') AS s,
+                 '<' || replace(t{r}.pair, ' ', '') || '>') END AS s,
          wc
-  FROM {w}, t{r}
+  FROM {w} LEFT JOIN t{r} ON TRUE
 )"""
 
 _BPE_TRAIN_ORACLE = (

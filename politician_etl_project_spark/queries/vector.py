@@ -174,8 +174,17 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("norm_b"),
         "bucket",
     )
-    return (
+    # guard the explicit broadcast (bypasses autoBroadcastJoinThreshold):
+    # past ~2M vectors x 64 doubles the build side nears driver/broadcast
+    # limits, so fall back to the shuffle join rather than fail outright
+    n_vecs = emb.count()  # parquet metadata count — no data scan
+    joined = (
         left.join(F.broadcast(right), ["bucket"])
+        if n_vecs <= 2_000_000
+        else left.join(right, ["bucket"])
+    )
+    return (
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -212,8 +221,14 @@ def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str,
         fp = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         fp = "unknown"
+    ver = str(_INDEX_ALGO_VERSION[kind])
+    if kind == "lshx":
+        # extended indexes are built with the SAME hyperplane family as
+        # plain LSH, so bumping "lsh" must invalidate them too — the key
+        # composes both versions (review finding r4)
+        ver = f"{_INDEX_ALGO_VERSION['lsh']}.{ver}"
     key = hashlib.md5(
-        f"{sf_dir}|{params}|{fp}|{kind}-v{_INDEX_ALGO_VERSION[kind]}".encode()
+        f"{sf_dir}|{params}|{fp}|{kind}-v{ver}".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
     if not os.path.isdir(path):

@@ -428,12 +428,16 @@ def sketch_maintenance_stream(
         with open(tmp, "w") as fh:
             fh.write(version)
         os.rename(tmp, os.path.join(store_path, "_CURRENT"))  # atomic commit
-        if current_version is not None:  # GC the superseded version
-            import shutil
+        # GC: keep the current AND the immediately superseded version (a
+        # reader that resolved _CURRENT just before the flip may still be
+        # running against it), sweep everything older — which also
+        # collects any orphan a crash-between-flip-and-GC left behind
+        import shutil
 
-            shutil.rmtree(
-                os.path.join(store_path, "versions", current_version),
-                ignore_errors=True,
-            )
+        keep = {version, current_version}
+        vdir = os.path.join(store_path, "versions")
+        for old in os.listdir(vdir):
+            if old not in keep:
+                shutil.rmtree(os.path.join(vdir, old), ignore_errors=True)
 
     run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)
