@@ -34,12 +34,14 @@ TABLES = (
 ALWAYS_BROADCAST = ("region", "nation")
 
 
-def tmp_cache_key(sf_dir: str, *rel_files: str) -> str:
+def tmp_cache_key(sf_dir: str, *rel_files: str, version: str = "") -> str:
     """Stable cross-process cache key for /tmp build-once artifacts: md5
     of the ABSOLUTE sf_dir plus each named source file's (size, mtime)
     fingerprint — so a regenerated corpus rebuilds, identical corpora
     referenced by different relative paths share one cache, and the key
-    never depends on Python's per-process-salted hash().  Shared by the
+    never depends on Python's per-process-salted hash().  Pass a
+    ``version`` token when the BUILD LOGIC (not just the data) can
+    change — bumping it invalidates caches built by old code.  Shared by the
     analytics_ext tmp stores and the merge-replay table; the stored ANN
     index caches (queries/vector._stored_index_path) follow the same
     discipline with extra per-kind version terms."""
@@ -47,7 +49,7 @@ def tmp_cache_key(sf_dir: str, *rel_files: str) -> str:
     import os
 
     sf_dir = os.path.abspath(sf_dir)
-    parts = [sf_dir]
+    parts = [sf_dir, version] if version else [sf_dir]
     for rf in rel_files:
         path = os.path.join(sf_dir, rf)
         try:

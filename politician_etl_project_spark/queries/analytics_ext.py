@@ -25,12 +25,9 @@ from politician_etl_project_spark.catalog import load_table
 from politician_etl_project_spark.queries.registry import declared_query
 
 
-def _tmp_key(sf_dir: str, *rel_files: str) -> str:
-    """See catalog.tmp_cache_key (moved there so queries/events.py's
-    merge-replay table shares one fingerprint idiom)."""
-    from politician_etl_project_spark.catalog import tmp_cache_key
-
-    return tmp_cache_key(sf_dir, *rel_files)
+# Shared fingerprint cache key (moved to catalog so queries/events.py's
+# merge-replay table uses the same idiom).
+from politician_etl_project_spark.catalog import tmp_cache_key as _tmp_key
 
 
 

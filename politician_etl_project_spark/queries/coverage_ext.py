@@ -495,7 +495,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_ok"),
             F.col("_am").between(F.col("_p45"), F.col("_p55")).alias("median_ok"),
         )
-        .orderBy("c_mktsegment")
+        .orderBy(F.asc_nulls_last("c_mktsegment"))  # DuckDB default is NULLS LAST
     )
 
 

@@ -327,7 +327,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_prop_shapes",
             "sample_pseudonym",
         )
-        .orderBy("event_type")
+        .orderBy(F.asc_nulls_last("event_type"))  # DuckDB default is NULLS LAST
     )
 
 
@@ -518,7 +518,7 @@ def _merge_replay_path(spark: SparkSession, sf_dir: str) -> str:
     from politician_etl_project_spark.catalog import tmp_cache_key
     from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
 
-    key = tmp_cache_key(sf_dir, "events.parquet")
+    key = tmp_cache_key(sf_dir, "events.parquet", version="merge-replay-v1")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_merge_{key}")
     if not os.path.isdir(path):
         staging = f"{path}.building-{os.getpid()}"

@@ -176,8 +176,19 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # guard the explicit broadcast (bypasses autoBroadcastJoinThreshold):
     # past ~2M vectors x 64 doubles the build side nears driver/broadcast
-    # limits, so fall back to the shuffle join rather than fail outright
-    n_vecs = emb.count()  # parquet metadata count — no data scan
+    # limits, so fall back to the shuffle join rather than fail outright.
+    # The row count comes from the parquet FOOTER on the driver — zero
+    # Spark jobs — with a distributed count only as a fallback.
+    import os
+
+    import pyarrow.parquet as _pq
+
+    try:
+        n_vecs = _pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+    except Exception:
+        n_vecs = emb.count()
     joined = (
         left.join(F.broadcast(right), ["bucket"])
         if n_vecs <= 2_000_000
