@@ -31,11 +31,12 @@ DRIVER_WINDOW = [
     # Slots 1-37: every query that had never had a driver CORRECTNESS
     # row after rounds 1-3 (r3 verdict item 1) — the analytics_ext /
     # quality / pagerank / PQ / banded-simhash / countmin families.
-    # Five slots: queries NEW this round — q_merge_batch_replay +
+    # Six slots: queries NEW this round — q_merge_batch_replay +
     # q_sketch_merge_replay (T5 foreachBatch twins, r3 verdict item 6),
     # q_bpe_train_merges + q_bpe_vocab_stats (iterative BPE training and
     # its application), and q_ann_index_extend (incremental LSH
-    # maintenance proven equal to the full rebuild).
+    # maintenance proven equal to the full rebuild), and
+    # q_zorder_layout (Morton clustering key).
     # Remaining slots: sentinels from code touched in round 4 (banded
     # SimHash rewrite, ADC fixed-point, stored-index cache keys,
     # pagerank rewrite) plus previously-green family representatives.
@@ -81,7 +82,7 @@ DRIVER_WINDOW = [
     "q_simhash_near_pairs",
     "q_dedup_multi_policy",
     "q_simhash",
-    "q_near_dup_pairs",
+    "q_zorder_layout",  # NEW r4: Morton layout key
     "q_ann_lsh",
     "q_ann_ivf",
     "q_ann_index_extend",  # NEW r4: incremental LSH maintenance
@@ -91,6 +92,7 @@ DRIVER_WINDOW = [
     "q_bpe_train_merges",  # NEW r4: iterative BPE training loop
     "q_sketch_merge_replay",  # NEW r4: count-min monoid merge, T5 twin
     # --- end of the 50-slot driver window; overflow order below ---
+    "q_near_dup_pairs",
     "q_knn_bruteforce",
     "q_ann_batch",
     "q01_pricing_summary",

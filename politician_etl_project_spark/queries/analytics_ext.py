@@ -18,11 +18,13 @@ total ORDER BY over unique keys.
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from politician_etl_project_spark.catalog import load_table
-from politician_etl_project_spark.queries.registry import declared_query
+from politician_etl_project_spark.queries.registry import REGISTRY, declared_query
 
 
 # Shared fingerprint cache key (moved to catalog so queries/events.py's
@@ -1391,3 +1393,60 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout — multi-column pruning for the 100 TB lake
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_zorder_layout",
+    oracle=None,  # replaced below — needs zorder_sql at import time
+    ops=("LAYOUT-zorder", "O3"),
+    doc="Z-order (Morton) clustering key over orders: customer key and "
+    "order date interleave bit-by-bit into one BIGINT, and the 50 "
+    "lowest curve positions come back with their coordinates — the "
+    "clustering key behind OPTIMIZE ZORDER-style layout maintenance "
+    "(operators/layout.py; the pruning effect itself is measured from "
+    "real parquet footers in tests/test_operators.py).  The oracle "
+    "replays the identical mask/shift/OR arithmetic in DuckDB, so the "
+    "curve value is hash-exact.  Scale: a flat integer expression in "
+    "codegen + TakeOrderedAndProject; the layout WRITE is one "
+    "range-partition shuffle per maintenance run, never on the ingest "
+    "path.",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.layout import zorder_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            day.alias("day_no"),
+            zorder_value(F.col("o_custkey"), day, bits=20).alias("zval"),
+        )
+        .orderBy("zval", "o_orderkey")
+        .limit(50)
+    )
+
+
+def _zorder_oracle() -> str:
+    from politician_etl_project_spark.operators.layout import zorder_sql
+
+    day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    return f"""
+SELECT o_orderkey, o_custkey,
+       CAST({day} AS INTEGER) AS day_no,
+       CAST({zorder_sql("o_custkey", day, bits=20)} AS BIGINT) AS zval
+FROM orders
+ORDER BY zval, o_orderkey
+LIMIT 50
+"""
+
+
+REGISTRY["q_zorder_layout"] = dataclasses.replace(
+    REGISTRY["q_zorder_layout"], oracle=_zorder_oracle()
+)
