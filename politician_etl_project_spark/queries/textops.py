@@ -235,7 +235,12 @@ ORDER BY id_a, id_b
     "bucket self-join for candidates → exact unigram-Jaccard verify ≥0.8 "
     "(north-star dedup; same block-then-verify shape as the reference's "
     "fuzzy FEC join, scripts/ingest_fec_links.py:95-148). Shuffle is on "
-    "band keys only — O(docs·bands) rows, never O(docs²).",
+    "band keys only — O(docs·bands) rows, never O(docs²).  Cost note: "
+    "the synthetic corpus is pathologically dense — at sf0.1, 5k docs "
+    "yield 7.5M candidates of which 2.8M pairs VERIFY at Jaccard>=0.8, "
+    "so runtime (~12 s compute) is the answer's volume, not plan waste; "
+    "production corpora use the capped twin (q_near_dup_pairs_capped) "
+    "or go straight to clusters (q_dup_clusters), both sub-second here.",
 )
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from politician_etl_project_spark.operators.dedup import lsh_candidate_pairs
