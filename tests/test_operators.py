@@ -664,3 +664,21 @@ def test_zorder_layout_prunes_trailing_dimension(spark, sf_dir, tmp_path):
 
     # layout must not lose rows
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_zorder_value_bijective_and_bounded(spark):
+    """Morton interleave sanity: distinct (a, b) pairs map to distinct z
+    values (the interleave is a bijection on [0,2^bits)^2) and every z
+    stays under 2^(2*bits)."""
+    from politician_etl_project_spark.operators.layout import zorder_value
+
+    bits = 10
+    df = spark.range(2000).select(
+        (F.col("id") * 37 % (1 << bits)).alias("a"),
+        (F.col("id") * 101 % (1 << bits)).alias("b"),
+    )
+    z = df.select("a", "b", zorder_value("a", "b", bits=bits).alias("z"))
+    n_pairs = z.select("a", "b").distinct().count()
+    assert z.select("z").distinct().count() == n_pairs
+    mx = z.agg(F.max("z")).collect()[0][0]
+    assert 0 <= mx < (1 << (2 * bits))

@@ -21,6 +21,9 @@ INVARIANT_QUERIES = [
     "q_label_centroid",     # micro-unit centroid sums
     "q_moments_mergeable",  # decimal moment partials
     "q_embed_quantize",     # per-row nano-units
+    "q_zorder_layout",      # pure integer bit interleave
+    "q_bpe_train_merges",   # argmax merges, weighted integer counts
+    "q_sketch_merge_replay",  # count-min monoid (integer counters)
 ]
 
 
