@@ -58,6 +58,8 @@ def zorder_value(a: str | Column, b: str | Column, bits: int = 20) -> Column:
 def zorder_sql(a: str, b: str, bits: int = 20) -> str:
     """DuckDB replica of :func:`zorder_value` — identical mask/shift/OR
     arithmetic, so both engines produce the same BIGINT for any row."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
     mask = (1 << bits) - 1
     am = f"(CAST({a} AS BIGINT) & {mask})"
     bm = f"(CAST({b} AS BIGINT) & {mask})"
@@ -92,16 +94,22 @@ def write_zordered(
     One tiny min/max aggregate + one range shuffle + local sorts; at
     100 TB this is the standard OPTIMIZE-style maintenance job run per
     partition, off the ingest hot path."""
+    if "_z" in df.columns:
+        raise ValueError("write_zordered reserves the column name '_z'")
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(a), F.max(a), F.min(b), F.max(b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:  # empty input: schema-true empty write
+        df.write.mode("overwrite").parquet(path)
+        return
     top = (1 << bits) - 1
 
     def _q(col: str, lo, hi) -> Column:
         span = max(int(hi) - int(lo), 1)
-        return F.floor(
-            (F.col(col).cast("bigint") - F.lit(int(lo))) * top / span
-        ).cast("bigint")
+        # integer floor-div, not float /: exact at any magnitude
+        return F.expr(
+            f"((cast({col} as bigint) - {int(lo)}) * {top}) div {span}"
+        )
 
     z = zorder_value(_q(a, lo_a, hi_a), _q(b, lo_b, hi_b), bits=bits)
     (

@@ -18,13 +18,12 @@ total ORDER BY over unique keys.
 
 from __future__ import annotations
 
-import dataclasses
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from politician_etl_project_spark.catalog import load_table
-from politician_etl_project_spark.queries.registry import REGISTRY, declared_query
+from politician_etl_project_spark.queries.registry import declared_query
 
 
 # Shared fingerprint cache key (moved to catalog so queries/events.py's
@@ -1400,53 +1399,73 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@declared_query(
-    "q_zorder_layout",
-    oracle=None,  # replaced below — needs zorder_sql at import time
-    ops=("LAYOUT-zorder", "O3"),
-    doc="Z-order (Morton) clustering key over orders: customer key and "
-    "order date interleave bit-by-bit into one BIGINT, and the 50 "
-    "lowest curve positions come back with their coordinates — the "
-    "clustering key behind OPTIMIZE ZORDER-style layout maintenance "
-    "(operators/layout.py; the pruning effect itself is measured from "
-    "real parquet footers in tests/test_operators.py).  The oracle "
-    "replays the identical mask/shift/OR arithmetic in DuckDB, so the "
-    "curve value is hash-exact.  Scale: a flat integer expression in "
-    "codegen + TakeOrderedAndProject; the layout WRITE is one "
-    "range-partition shuffle per maintenance run, never on the ingest "
-    "path.",
-)
-def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from politician_etl_project_spark.operators.layout import zorder_value
-
-    orders = load_table(spark, sf_dir, "orders")
-    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
-    return (
-        orders.select(
-            "o_orderkey",
-            "o_custkey",
-            day.alias("day_no"),
-            zorder_value(F.col("o_custkey"), day, bits=20).alias("zval"),
-        )
-        .orderBy("zval", "o_orderkey")
-        .limit(50)
-    )
-
-
-def _zorder_oracle() -> str:
+def _zorder_oracle(bits: int = 12) -> str:
     from politician_etl_project_spark.operators.layout import zorder_sql
 
+    top = (1 << bits) - 1
     day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    qc = f"(((o_custkey - mm.lo_c) * {top}) // greatest(mm.hi_c - mm.lo_c, 1))"
+    qd = f"((({day} - mm.lo_d) * {top}) // greatest(mm.hi_d - mm.lo_d, 1))"
     return f"""
+WITH mm AS (
+  SELECT MIN(o_custkey) AS lo_c, MAX(o_custkey) AS hi_c,
+         MIN({day}) AS lo_d, MAX({day}) AS hi_d
+  FROM orders
+)
 SELECT o_orderkey, o_custkey,
        CAST({day} AS INTEGER) AS day_no,
-       CAST({zorder_sql("o_custkey", day, bits=20)} AS BIGINT) AS zval
-FROM orders
+       CAST({zorder_sql(qc, qd, bits=bits)} AS BIGINT) AS zval
+FROM orders, mm
 ORDER BY zval, o_orderkey
 LIMIT 50
 """
 
 
-REGISTRY["q_zorder_layout"] = dataclasses.replace(
-    REGISTRY["q_zorder_layout"], oracle=_zorder_oracle()
+@declared_query(
+    "q_zorder_layout",
+    oracle=_zorder_oracle(),
+    ops=("LAYOUT-zorder", "O3"),
+    doc="Z-order (Morton) clustering key over orders: customer key and "
+    "order date are min/max-QUANTIZED to a common 12-bit width (the "
+    "same normalization write_zordered applies — raw interleave would "
+    "alias ids past 2^bits and let the wider dimension dominate), then "
+    "interleaved bit-by-bit into one BIGINT; the 50 lowest curve "
+    "positions come back with their coordinates.  This is the "
+    "clustering key behind OPTIMIZE ZORDER-style layout maintenance "
+    "(operators/layout.py; the pruning effect is measured from real "
+    "parquet footers in tests/test_operators.py).  The oracle replays "
+    "the identical quantize + mask/shift/OR integer arithmetic in "
+    "DuckDB, so the curve value is hash-exact.  Scale: one broadcast "
+    "1-row min/max frame + a flat integer expression in codegen + "
+    "TakeOrderedAndProject; the layout WRITE is one range-partition "
+    "shuffle per maintenance run, never on the ingest path.",
 )
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.layout import zorder_value
+
+    bits, top = 12, (1 << 12) - 1
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    mm = orders.agg(
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+        F.min(day).alias("lo_d"),
+        F.max(day).alias("hi_d"),
+    )
+    qc = F.expr(f"((o_custkey - lo_c) * {top}) div greatest(hi_c - lo_c, 1)")
+    return (
+        orders.select("o_orderkey", "o_custkey", day.alias("day_no"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "day_no",
+            zorder_value(
+                qc,
+                F.expr(f"((day_no - lo_d) * {top}) div greatest(hi_d - lo_d, 1)"),
+                bits=bits,
+            ).alias("zval"),
+        )
+        .orderBy("zval", "o_orderkey")
+        .limit(50)
+    )
