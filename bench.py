@@ -112,6 +112,16 @@ BENCH_QUERIES = [
     "q_data_profile",
     "q_dq_constraints",
     "q_window_range_frame",
+    # round-4 additions: streaming twins, BPE training loop, layout,
+    # incremental index maintenance, embed near-dup (broadcast rewrite)
+    "q_merge_batch_replay",
+    "q_sketch_merge_replay",
+    "q_bpe_train_merges",
+    "q_bpe_vocab_stats",
+    "q_zorder_layout",
+    "q_ann_index_extend",
+    "q_embed_near_dup",
+    "q_simhash_near_pairs",
 ]
 
 
