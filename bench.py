@@ -363,7 +363,8 @@ def _recover_clipped(tail: str) -> dict | None:
             if i >= 0:
                 line = line[:i]
         pairs = re.findall(
-            r'"((?:q|etl)[A-Za-z0-9_]*)"\s*:\s*([0-9]+(?:\.[0-9]+)?)', line
+            r'"((?:q|etl(?!_rows_))[A-Za-z0-9_]*)"\s*:\s*([0-9]+(?:\.[0-9]+)?)',
+            line,
         )
         if len(pairs) > len(best):
             best = {k: float(v) for k, v in pairs}

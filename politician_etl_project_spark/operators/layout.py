@@ -102,14 +102,23 @@ def write_zordered(
     if lo_a is None or lo_b is None:  # empty input: schema-true empty write
         df.write.mode("overwrite").parquet(path)
         return
-    top = (1 << bits) - 1
-
     def _q(col: str, lo, hi) -> Column:
+        # hybrid quantizer, overflow-safe at any span:
+        # - small spans STRETCH to fill all 2^bits cells via
+        #   ((x-lo)*top) div span — without the stretch a narrow column
+        #   leaves its high bits constant and the interleave goes
+        #   unbalanced again;
+        # - spans >= 2^50 would overflow the multiply ((span*top) > 2^63
+        #   — ANSI aborts, non-ANSI wraps into garbage), but they
+        #   already fill every bit, so plain division suffices.
         span = max(int(hi) - int(lo), 1)
-        # integer floor-div, not float /: exact at any magnitude
-        return F.expr(
-            f"((cast({col} as bigint) - {int(lo)}) * {top}) div {span}"
-        )
+        top = (1 << bits) - 1
+        if span < (1 << 50):
+            return F.expr(
+                f"((cast({col} as bigint) - {int(lo)}) * {top}) div {span}"
+            )
+        step = span // (1 << bits) + 1
+        return F.expr(f"(cast({col} as bigint) - {int(lo)}) div {step}")
 
     z = zorder_value(_q(a, lo_a, hi_a), _q(b, lo_b, hi_b), bits=bits)
     (

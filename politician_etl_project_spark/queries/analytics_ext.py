@@ -1404,6 +1404,9 @@ def _zorder_oracle(bits: int = 12) -> str:
 
     top = (1 << bits) - 1
     day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    # multiply-stretch quantizer — fills all 2^bits cells; safe here
+    # because these column spans are << 2^50 (write_zordered's hybrid
+    # handles the huge-span regime)
     qc = f"(((o_custkey - mm.lo_c) * {top}) // greatest(mm.hi_c - mm.lo_c, 1))"
     qd = f"((({day} - mm.lo_d) * {top}) // greatest(mm.hi_d - mm.lo_d, 1))"
     return f"""

@@ -525,14 +525,18 @@ def _merge_replay_path(spark: SparkSession, sf_dir: str) -> str:
         events = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
-        table = ParquetUpsertTable(spark, staging, keys=["event_id"])
-        table.upsert(events.filter(F.col("event_id") % 4 != 3), update_wins=False)
-        table.upsert(
-            events.filter(F.col("event_id") % 2 == 1).withColumn(
-                "value", F.col("value") + F.lit(100.0)
-            ),
-            update_wins=False,
-        )
+        try:
+            table = ParquetUpsertTable(spark, staging, keys=["event_id"])
+            table.upsert(events.filter(F.col("event_id") % 4 != 3), update_wins=False)
+            table.upsert(
+                events.filter(F.col("event_id") % 2 == 1).withColumn(
+                    "value", F.col("value") + F.lit(100.0)
+                ),
+                update_wins=False,
+            )
+        except BaseException:  # failed build must not leak staging dirs
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         try:
             os.rename(staging, path)
         except OSError:  # another process won the race; theirs is identical

@@ -162,7 +162,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB the bucketed side no longer fits a broadcast — there the
     # answer is more sign bits (more, smaller buckets) + salting the
     # bucket key, not a 4-key exchange.
-    left = b.repartition(32).select(
+    left = b.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
@@ -181,19 +181,23 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark jobs — with a distributed count only as a fallback.
     import os
 
-    import pyarrow.parquet as _pq
-
     try:
+        import pyarrow.parquet as _pq
+
         n_vecs = _pq.ParquetFile(
             os.path.join(sf_dir, "embeddings.parquet")
         ).metadata.num_rows
-    except Exception:
+    except Exception:  # no pyarrow / dir-shaped table: distributed count
         n_vecs = emb.count()
-    joined = (
-        left.join(F.broadcast(right), ["bucket"])
-        if n_vecs <= 2_000_000
-        else left.join(right, ["bucket"])
-    )
+    if n_vecs <= 2_000_000:
+        # spread the (small, possibly few-partition) scan across the
+        # cluster before the map-side join so scoring parallelism equals
+        # compute parallelism; pointless in the shuffle branch, where the
+        # bucket exchange re-partitions anyway
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        joined = left.repartition(par).join(F.broadcast(right), ["bucket"])
+    else:
+        joined = left.join(right, ["bucket"])
     return (
         joined
         .filter(F.col("id_a") < F.col("id_b"))
@@ -211,45 +215,43 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family changes, "ivf"/"pq" when their training logic changes — cached
 # indexes built by old code must not be probed by new code, and bumping
 # one family must not needlessly invalidate the others (round-3 advice).
-_INDEX_ALGO_VERSION = {"lsh": 1, "lshx": 1, "ivf": 1, "pq": 1}
+_INDEX_ALGO_VERSION = {"lsh": "1", "ivf": "1", "pq": "1"}
+# extended indexes are built with the SAME hyperplane family as plain
+# LSH, so their version COMPOSES lsh's — bumping "lsh" invalidates them
+_INDEX_ALGO_VERSION["lshx"] = f"{_INDEX_ALGO_VERSION['lsh']}.1"
 
 
 def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str, builder) -> str:
-    """Shared build-once stored-index cache (LSH / IVF / PQ): the cache
-    key fingerprints the source file (size + mtime), the index params,
-    and the hash-family version, so a regenerated corpus or a changed
-    family rebuilds instead of silently serving stale data; the build
-    stages into a sibling dir and renames atomically so concurrent
-    queries never read a half-written index.  ``builder(emb, staging)``
-    performs the actual build."""
-    import hashlib
+    """Shared build-once stored-index cache (LSH / IVF / PQ): the key is
+    catalog.tmp_cache_key (abspath-normalized source fingerprint) plus
+    the index params and the per-kind algorithm version, so a
+    regenerated corpus or changed algorithm rebuilds instead of silently
+    serving stale data; the build stages into a sibling dir and renames
+    atomically so concurrent queries never read a half-written index —
+    and a FAILED build removes its staging dir instead of leaking one
+    per attempt.  ``builder(emb, staging)`` performs the actual build."""
     import os
+    import shutil
     import tempfile
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        fp = "unknown"
-    ver = str(_INDEX_ALGO_VERSION[kind])
-    if kind == "lshx":
-        # extended indexes are built with the SAME hyperplane family as
-        # plain LSH, so bumping "lsh" must invalidate them too — the key
-        # composes both versions (review finding r4)
-        ver = f"{_INDEX_ALGO_VERSION['lsh']}.{ver}"
-    key = hashlib.md5(
-        f"{sf_dir}|{params}|{fp}|{kind}-v{ver}".encode()
-    ).hexdigest()[:12]
+    from politician_etl_project_spark.catalog import tmp_cache_key
+
+    key = tmp_cache_key(
+        sf_dir,
+        "embeddings.parquet",
+        version=f"{params}|{kind}-v{_INDEX_ALGO_VERSION[kind]}",
+    )
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
     if not os.path.isdir(path):
         staging = f"{path}.building-{os.getpid()}"
-        builder(load_table(spark, sf_dir, "embeddings"), staging)
+        try:
+            builder(load_table(spark, sf_dir, "embeddings"), staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         try:
             os.rename(staging, path)
         except OSError:  # another process won the race; theirs is identical
-            import shutil
-
             shutil.rmtree(staging, ignore_errors=True)
     return path
 

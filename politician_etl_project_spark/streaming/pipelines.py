@@ -408,7 +408,22 @@ def sketch_maintenance_stream(
             return
         delta = _event_cms(batch_df)
         if current_version is None:
-            merged = delta
+            # no committed pointer: EITHER a genuinely fresh store OR a
+            # legacy flat-layout store written before versioning — the
+            # latter must migrate, not silently reset accumulated history
+            legacy = (
+                os.path.isdir(store_path)
+                and any(f.endswith(".parquet") for f in os.listdir(store_path))
+            )
+            if legacy:
+                current = spark.read.parquet(store_path)
+                merged = (
+                    current.unionByName(delta)
+                    .groupBy("d", "bucket")
+                    .agg(F.sum("c").cast("bigint").alias("c"))
+                )
+            else:
+                merged = delta
         else:
             current = spark.read.parquet(
                 os.path.join(store_path, "versions", current_version)
