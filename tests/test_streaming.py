@@ -522,3 +522,44 @@ def test_sketch_maintenance_replay_idempotent(spark, staged_events, tmp_path):
     # predecessor (for in-flight readers); everything older is swept
     versions = os.listdir(os.path.join(store, "versions"))
     assert version in versions and len(versions) <= 2, versions
+
+
+def test_sketch_maintenance_migrates_legacy_store(spark, staged_events, tmp_path):
+    """A store written by the pre-versioning code (flat parquet at
+    store_path, no _CURRENT pointer) must MERGE into the versioned
+    layout, not silently reset to the first batch's delta (round-4
+    review finding).  Final sketch == legacy counts + full stream
+    counts."""
+    import os
+
+    from politician_etl_project_spark.streaming.pipelines import (
+        _event_cms,
+        read_sketch_store,
+        sketch_maintenance_stream,
+    )
+
+    store = str(tmp_path / "cms_store")
+    # legacy flat-layout store: the sketch of a disjoint synthetic slice
+    legacy_events = spark.createDataFrame(
+        [(i, f"legacy_type_{i % 3}") for i in range(300)], "event_id long, event_type string"
+    )
+    _event_cms(legacy_events).coalesce(1).write.mode("overwrite").parquet(store)
+    assert not os.path.exists(os.path.join(store, "_CURRENT"))
+
+    stream = events_stream(spark, staged_events, max_files_per_trigger=1)
+    sketch_maintenance_stream(stream, store, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    got = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in read_sketch_store(spark, store).collect()
+    }
+    want_stream = {
+        (r["d"], r["bucket"]): r["c"] for r in _event_cms(_batch_events(spark)).collect()
+    }
+    want_legacy = {
+        (r["d"], r["bucket"]): r["c"] for r in _event_cms(legacy_events).collect()
+    }
+    want = dict(want_stream)
+    for k, v in want_legacy.items():
+        want[k] = want.get(k, 0) + v
+    assert got == want
