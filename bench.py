@@ -122,6 +122,10 @@ BENCH_QUERIES = [
     "q_ann_index_extend",
     "q_embed_near_dup",
     "q_simhash_near_pairs",
+    # round-4 late additions: CDC MERGE, bloom prune, triangle tier
+    "q_cdc_apply",
+    "q_bloom_prune",
+    "q_triangle_count",
 ]
 
 

@@ -372,3 +372,83 @@ def latest_watermark(update_log: DataFrame, table_name: str):
         .collect()
     )
     return rows[0].wm if rows else None
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq: str,
+    op: str = "op",
+    delete_op: str = "D",
+    status_col: str | None = None,
+) -> DataFrame:
+    """Apply an ordered CDC changelog to a base snapshot and return the
+    post-image (SURVEY S12/S13 generalized with delete semantics — the
+    missing third verb; reference analog: scripts/update_donations.py's
+    upsert loop, which has no delete path at all).
+
+    ``changes`` carries ``key``, a totally-ordered ``seq`` (the
+    change-log LSN / kafka offset), an ``op`` column whose value
+    ``delete_op`` means "remove the key", any other value means
+    "upsert", and new values for some subset of base's columns.  Per
+    key, only the HIGHEST-``seq`` change wins (a delete followed by a
+    later upsert resurrects the key; an upsert followed by a later
+    delete removes it) — exactly MERGE semantics applied once per key
+    instead of once per change row.
+
+    Determinism: the winning change per key is ``max(struct(seq, op,
+    values...))`` — lexicographic struct max, a plain aggregate that is
+    partial-aggregation-safe (map-side combine) and deterministic even
+    on duplicated ``seq`` values (ties fall through to op/value order),
+    unlike ``max_by`` whose tie choice is undefined.
+
+    Scale (100 TB): one aggregate shuffle compacts the changelog by key
+    (map-side combine eats the long per-key histories typical of CDC
+    streams), then ONE full-outer join against base on the same key —
+    both sides hash-partitioned on ``key``, so AQE plans the minimal
+    exchange; no window, no sort, no per-change iteration.  Keys absent
+    from base insert (columns not covered by the changelog stay NULL);
+    keys absent from the changelog carry forward untouched.
+
+    ``status_col``: if set, the post-image carries 'inserted' /
+    'updated' / 'carried' per surviving row for audit aggregation.
+    """
+    value_cols = [c for c in changes.columns if c not in (key, seq, op)]
+    extra = [c for c in value_cols if c not in base.columns]
+    if extra:
+        raise ValueError(f"changelog value columns not in base: {extra}")
+    latest = (
+        changes.groupBy(key)
+        .agg(F.max(F.struct(seq, op, *value_cols)).alias("_last"))
+        .select(
+            key,
+            F.col(f"_last.{op}").alias("_op"),
+            *[F.col(f"_last.{c}").alias(f"_new_{c}") for c in value_cols],
+        )
+    )
+    # presence marker instead of probing a base column for NULL: a base
+    # column can be legitimately NULL, the marker cannot
+    merged = base.withColumn("_base_present", F.lit(True)).join(
+        latest, key, "full_outer"
+    ).filter(F.col("_op").isNull() | (F.col("_op") != delete_op))
+    out_cols = [F.col(key)]
+    for c in base.columns:
+        if c == key:
+            continue
+        if c in value_cols:
+            out_cols.append(
+                F.when(F.col("_op").isNotNull(), F.col(f"_new_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    if status_col is not None:
+        out_cols.append(
+            F.when(F.col("_op").isNull(), F.lit("carried"))
+            .when(F.col("_base_present").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias(status_col)
+        )
+    return merged.select(*out_cols)

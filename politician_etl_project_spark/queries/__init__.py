@@ -31,15 +31,18 @@ DRIVER_WINDOW = [
     # Slots 1-37: every query that had never had a driver CORRECTNESS
     # row after rounds 1-3 (r3 verdict item 1) — the analytics_ext /
     # quality / pagerank / PQ / banded-simhash / countmin families.
-    # Six slots: queries NEW this round — q_merge_batch_replay +
+    # Nine slots: queries NEW this round — q_merge_batch_replay +
     # q_sketch_merge_replay (T5 foreachBatch twins, r3 verdict item 6),
     # q_bpe_train_merges + q_bpe_vocab_stats (iterative BPE training and
-    # its application), and q_ann_index_extend (incremental LSH
-    # maintenance proven equal to the full rebuild), and
-    # q_zorder_layout (Morton clustering key).
+    # its application), q_ann_index_extend (incremental LSH maintenance
+    # proven equal to the full rebuild), q_zorder_layout (Morton
+    # clustering key), q_cdc_apply (I/U/D changelog MERGE),
+    # q_bloom_prune (bloom semijoin pruning with measured FP rate), and
+    # q_triangle_count (degree-oriented triangle enumeration).
     # Remaining slots: sentinels from code touched in round 4 (banded
-    # SimHash rewrite, ADC fixed-point, stored-index cache keys,
-    # pagerank rewrite) plus previously-green family representatives.
+    # SimHash rewrite in q_simhash_near_pairs / q_dedup_multi_policy,
+    # stored-index cache keys in q_ann_lsh, funnel fusion in
+    # q_curation_funnel).
     # tests/test_window.py asserts this composition mechanically.
     "q_gap_fill",
     "q_calendar_spine",
@@ -81,17 +84,20 @@ DRIVER_WINDOW = [
     "q_merge_batch_replay",
     "q_simhash_near_pairs",
     "q_dedup_multi_policy",
-    "q_simhash",
-    "q_zorder_layout",  # NEW r4: Morton layout key
+    "q_cdc_apply",  # NEW r4: I/U/D changelog MERGE (apply_changelog)
+    "q_zorder_layout",  # NEW r4: Morton clustering key
     "q_ann_lsh",
-    "q_ann_ivf",
+    "q_bloom_prune",  # NEW r4: bloom semijoin prune w/ measured FP rate
     "q_ann_index_extend",  # NEW r4: incremental LSH maintenance
     "q_bpe_vocab_stats",  # NEW r4: BPE train->apply closure
-    "q_dedup_incremental",
+    "q_triangle_count",  # NEW r4: degree-oriented triangle enumeration
     "q_curation_funnel",
     "q_bpe_train_merges",  # NEW r4: iterative BPE training loop
     "q_sketch_merge_replay",  # NEW r4: count-min monoid merge, T5 twin
     # --- end of the 50-slot driver window; overflow order below ---
+    "q_simhash",
+    "q_ann_ivf",
+    "q_dedup_incremental",
     "q_near_dup_pairs",
     "q_knn_bruteforce",
     "q_ann_batch",

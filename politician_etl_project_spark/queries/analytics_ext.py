@@ -1472,3 +1472,339 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "o_orderkey")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (insert/update/delete MERGE, latest-LSN-wins)
+# ---------------------------------------------------------------------------
+
+_CDC_CUTOFF = "1999-01-01"
+
+_CDC_ORACLE = f"""
+WITH raw AS (
+  SELECT o_custkey AS k, o_orderkey AS seq,
+         CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS new_bal
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_CDC_CUTOFF}'
+  UNION ALL
+  SELECT o_custkey + 10000000 AS k, o_orderkey AS seq, 'U' AS op,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS new_bal
+  FROM orders WHERE o_orderkey % 97 = 0
+), chg AS (
+  SELECT k, arg_max(op, seq) AS op, arg_max(new_bal, seq) AS new_bal
+  FROM raw GROUP BY k
+), post AS (
+  SELECT COALESCE(c.c_nationkey, -1) AS nation,
+         CASE WHEN g.op IS NOT NULL THEN g.new_bal ELSE CAST(c.c_acctbal AS DECIMAL(12,2)) END AS bal,
+         CASE WHEN g.op IS NULL THEN 'carried'
+              WHEN c.c_custkey IS NULL THEN 'inserted'
+              ELSE 'updated' END AS status
+  FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
+  WHERE g.op IS NULL OR g.op <> 'D'
+), live AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_live,
+         CAST(SUM(CASE WHEN status = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+         CAST(SUM(CASE WHEN status = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+         CAST(SUM(CASE WHEN status = 'carried' THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+         CAST(SUM(bal) AS DECIMAL(18,2)) AS total_bal
+  FROM post GROUP BY nation
+), basec AS (
+  SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n_base FROM customer GROUP BY 1
+)
+SELECT COALESCE(b.nation, l.nation) AS nation,
+       COALESCE(b.n_base, 0) AS n_base,
+       COALESCE(l.n_live, 0) AS n_live,
+       COALESCE(b.n_base, 0) + COALESCE(l.n_inserted, 0) - COALESCE(l.n_live, 0) AS n_deleted,
+       COALESCE(l.n_updated, 0) AS n_updated,
+       COALESCE(l.n_inserted, 0) AS n_inserted,
+       COALESCE(l.n_carried, 0) AS n_carried,
+       COALESCE(l.total_bal, CAST(0 AS DECIMAL(18,2))) AS total_bal
+FROM basec b FULL OUTER JOIN live l ON b.nation = l.nation
+ORDER BY nation
+"""
+
+
+@declared_query(
+    "q_cdc_apply",
+    oracle=_CDC_ORACLE,
+    ops=("S12", "S13", "CDC-apply", "A6", "J1"),
+    doc="CDC changelog apply: an ordered insert/update/delete changelog "
+    "(derived deterministically from orders: LSN = o_orderkey, status "
+    "'P' means DELETE the customer, else upsert the balance; keys "
+    "offset by 1e7 synthesize inserts of unseen customers) is applied "
+    "to the customer snapshot with latest-LSN-wins MERGE semantics — "
+    "the three-verb generalization of S12/S13 the reference's "
+    "update_donations.py loop lacks (it has no delete path, "
+    "scripts/update_donations.py:258-307).  Per nation: base rows, "
+    "surviving rows, deletes, updates, inserts (NULL dim attrs -> "
+    "nation -1), carried rows, and the post-image balance total.  "
+    "operators/upsert.apply_changelog compacts the log with ONE "
+    "map-side-combining aggregate (max(struct(seq, op, vals)) — "
+    "deterministic under seq ties, unlike max_by) and applies it with "
+    "ONE key-partitioned full-outer join; the oracle replays the same "
+    "semantics via arg_max + FULL OUTER JOIN, so the hash proves "
+    "delete-resurrection ordering, insert surfacing, and carry-forward "
+    "all at once.  At 100 TB the log compaction absorbs long per-key "
+    "histories before any join, and base co-partitions with the "
+    "compacted log on the merge key.",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.upsert import apply_changelog
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    upd = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("c_acctbal"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_custkey") + 10_000_000).alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("c_acctbal"),
+    )
+    post = apply_changelog(
+        cust, upd.unionByName(ins), key="c_custkey", seq="seq", op="op",
+        status_col="status",
+    )
+    live = (
+        post.groupBy(F.coalesce("c_nationkey", F.lit(-1)).alias("nation"))
+        .agg(
+            F.count("*").alias("n_live"),
+            F.sum(F.when(F.col("status") == "updated", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_updated"),
+            F.sum(F.when(F.col("status") == "inserted", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inserted"),
+            F.sum(F.when(F.col("status") == "carried", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_carried"),
+            F.sum("c_acctbal").cast("decimal(18,2)").alias("total_bal"),
+        )
+    )
+    basec = cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count("*").alias("n_base")
+    )
+    zero_bal = F.lit(0).cast("decimal(18,2)")
+    return (
+        basec.join(live, "nation", "full_outer")
+        .select(
+            "nation",
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_live", F.lit(0)).cast("bigint").alias("n_live"),
+            (
+                F.coalesce("n_base", F.lit(0))
+                + F.coalesce("n_inserted", F.lit(0))
+                - F.coalesce("n_live", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_deleted"),
+            F.coalesce("n_updated", F.lit(0)).cast("bigint").alias("n_updated"),
+            F.coalesce("n_inserted", F.lit(0)).cast("bigint").alias("n_inserted"),
+            F.coalesce("n_carried", F.lit(0)).cast("bigint").alias("n_carried"),
+            F.coalesce("total_bal", zero_bal).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semijoin pruning (measured false-positive rate)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1024
+_BLOOM_NATION = 7
+
+
+def _duck_bloom_bit(col: str, off: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), {off}, 8) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH dim AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_nationkey = {_BLOOM_NATION}
+), bits AS (
+  SELECT DISTINCT b FROM (
+    SELECT {_duck_bloom_bit('k', 1)} AS b FROM dim
+    UNION ALL SELECT {_duck_bloom_bit('k', 9)} FROM dim
+    UNION ALL SELECT {_duck_bloom_bit('k', 17)} FROM dim)
+), probed AS (
+  SELECT o_custkey AS k,
+         ({_duck_bloom_bit('o_custkey', 1)} IN (SELECT b FROM bits)
+          AND {_duck_bloom_bit('o_custkey', 9)} IN (SELECT b FROM bits)
+          AND {_duck_bloom_bit('o_custkey', 17)} IN (SELECT b FROM bits)) AS pass,
+         o_custkey IN (SELECT k FROM dim) AS m
+  FROM orders
+)
+SELECT CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS n_dim_keys,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+       CAST(COUNT(*) AS BIGINT) AS n_fact_rows,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS rows_bloom_pass,
+       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS rows_true_match,
+       CAST(SUM(CASE WHEN pass AND NOT m THEN 1 ELSE 0 END) AS BIGINT) AS rows_false_pos,
+       CAST(COUNT(DISTINCT CASE WHEN pass THEN k END) AS BIGINT) AS keys_bloom_pass,
+       CAST(COUNT(DISTINCT CASE WHEN m THEN k END) AS BIGINT) AS keys_true_match,
+       CAST(COUNT(DISTINCT CASE WHEN pass AND NOT m THEN k END) AS BIGINT) AS keys_false_pos
+FROM probed
+"""
+
+
+@declared_query(
+    "q_bloom_prune",
+    oracle=_BLOOM_ORACLE,
+    ops=("BLOOM-prune", "J7", "P8", "A6"),
+    doc="Bloom-filter semijoin pruning with its false-positive rate "
+    "MEASURED in the result: a 1024-bit / k=3 filter built from one "
+    "nation's customer keys (operators/bloom.build_bloom_words — an "
+    "O(m) aggregate + bounded collect, the filter is by construction "
+    "data-volume-independent) probes every orders row as a PURE "
+    "per-row expression (operators/bloom.bloom_probe: the packed words "
+    "ship as an array literal inside whole-stage codegen — no join, no "
+    "shuffle on the fact, the runtime-filter plan Spark's AQE bloom "
+    "filter injects, made explicit and auditable).  Output: dim keys, "
+    "bits set, fact rows, rows/keys passing the bloom vs truly "
+    "matching vs false positives.  Hash positions are disjoint md5 "
+    "slices (the repo's cross-engine hash idiom), so the DuckDB oracle "
+    "rebuilds the IDENTICAL filter and the driver hash verifies the "
+    "filter's bit pattern itself, not just summary counts.  This is "
+    "how you size m before pruning a 100 TB scan: observed FP here "
+    "(~0.6% at 196/1024 bits) matches (bits_set/m)^k theory.",
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.bloom import (
+        bloom_probe,
+        build_bloom_words,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = (
+        cust.filter(F.col("c_nationkey") == _BLOOM_NATION)
+        .select("c_custkey")
+        .distinct()
+    )
+    words, bits_set = build_bloom_words(dim, "c_custkey", _BLOOM_M, 3)
+    n_dim_keys = dim.count()  # bounded: one nation's keys
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    probed = orders.withColumn(
+        "pass", bloom_probe("o_custkey", words, _BLOOM_M, 3)
+    ).join(
+        F.broadcast(dim.select(F.col("c_custkey").alias("o_custkey")).withColumn("_m", F.lit(True))),
+        "o_custkey",
+        "left",
+    )
+    member = F.col("_m").isNotNull()
+    fp = F.col("pass") & ~member
+    # Row-level and key-level tallies as SEPARATE aggregates (SCALE.md
+    # aggregation rule: mixed COUNT DISTINCTs plan as an Expand over the
+    # fact, losing map-side partials).  pass/member are deterministic
+    # functions of the key, so the key tallies come from a plain
+    # distinct + conditional counts — no COUNT DISTINCT at all; the two
+    # 1-row frames meet in a trivial broadcast join.
+    rows_agg = probed.agg(
+        F.count("*").cast("bigint").alias("n_fact_rows"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("bigint").alias("rows_bloom_pass"),
+        F.sum(F.when(member, 1).otherwise(0)).cast("bigint").alias("rows_true_match"),
+        F.sum(F.when(fp, 1).otherwise(0)).cast("bigint").alias("rows_false_pos"),
+    )
+    keys_agg = (
+        orders.select("o_custkey")
+        .distinct()
+        .withColumn("pass", bloom_probe("o_custkey", words, _BLOOM_M, 3))
+        .join(
+            F.broadcast(
+                dim.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+                    "_m", F.lit(True)
+                )
+            ),
+            "o_custkey",
+            "left",
+        )
+        .agg(
+            F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("bigint").alias("keys_bloom_pass"),
+            F.sum(F.when(member, 1).otherwise(0)).cast("bigint").alias("keys_true_match"),
+            F.sum(F.when(fp, 1).otherwise(0)).cast("bigint").alias("keys_false_pos"),
+        )
+    )
+    return rows_agg.crossJoin(F.broadcast(keys_agg)).select(
+        F.lit(n_dim_keys).cast("bigint").alias("n_dim_keys"),
+        F.lit(bits_set).cast("bigint").alias("bits_set"),
+        "n_fact_rows",
+        "rows_bloom_pass",
+        "rows_true_match",
+        "rows_false_pos",
+        "keys_bloom_pass",
+        "keys_true_match",
+        "keys_false_pos",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration (degree-oriented node-iterator, graph tier)
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+  FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey
+  WHERE l.l_quantity >= 25 AND pt.p_size <= 10
+), e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+)
+SELECT e1.u AS t1, e1.v AS t2, e2.v AS t3
+FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+ORDER BY t1, t2, t3
+"""
+
+
+@declared_query(
+    "q_triangle_count",
+    oracle=_TRI_ORACLE,
+    ops=("GRAPH-triangles", "J1", "U2"),
+    doc="Triangle enumeration over the part co-purchase graph (edges = "
+    "part pairs sharing an order, thinned to quantity >= 25 and size "
+    "<= 10 parts; 194 triangles at sf0.01).  Spark runs the "
+    "DEGREE-ORIENTED node-iterator (operators/graph.triangles, Suri & "
+    "Vassilvitskii WWW'11): arcs point low-(deg,id) -> high, wedges "
+    "fan out only along out-arcs, so skew cost is bounded O(E^1.5) "
+    "regardless of hub degree — the 'curse of the last reducer' "
+    "answer a 100 TB co-occurrence graph needs.  The oracle enumerates "
+    "naively (id order), so the canonical-triple hash PROVES the "
+    "orientation strategy counts every triangle exactly once — third "
+    "iterative-graph op beside connected_components and pagerank "
+    "(cohesion vs reach vs grouping over the reference's cosponsor "
+    "network, app/metrics.py:50-93).",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.graph import triangles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sel = (
+        li.filter(F.col("l_quantity") >= 25)
+        .join(
+            F.broadcast(part.filter(F.col("p_size") <= 10).select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = sel.alias("a")
+    b = sel.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    return triangles(edges).orderBy("t1", "t2", "t3")

@@ -686,3 +686,149 @@ def test_zorder_value_bijective_and_bounded(spark):
     assert z.select("z").distinct().count() == n_pairs
     mx = z.agg(F.max("z")).collect()[0][0]
     assert 0 <= mx < (1 << (2 * bits))
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration (operators/graph.triangles)
+# ---------------------------------------------------------------------------
+
+
+def _tri_set(spark, edges):
+    from politician_etl_project_spark.operators.graph import triangles
+
+    df = spark.createDataFrame(edges, ["u", "v"])
+    return {(r.t1, r.t2, r.t3) for r in triangles(df).collect()}
+
+
+def test_triangles_k4(spark):
+    """K4 has exactly 4 triangles, each listed once, id-sorted."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    out = _tri_set(spark, k4)
+    assert out == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_triangles_square_has_none(spark):
+    assert _tri_set(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == set()
+
+
+def test_triangles_input_normalization(spark):
+    """Reversed duplicates and self-loops must not create or double
+    triangles."""
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 2)]
+    assert _tri_set(spark, messy) == {(1, 2, 3)}
+
+
+def test_triangles_hub_graph(spark):
+    """Star hub + one rim edge: exactly the one closed wedge, and the
+    hub's high degree must not multiply it (degree orientation points
+    rim -> hub)."""
+    hub = [(0, i) for i in range(1, 40)] + [(1, 2)]
+    assert _tri_set(spark, hub) == {(0, 1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (operators/upsert.apply_changelog)
+# ---------------------------------------------------------------------------
+
+
+def _cdc(spark, base_rows, chg_rows, **kw):
+    from politician_etl_project_spark.operators.upsert import apply_changelog
+
+    base = spark.createDataFrame(base_rows, "k long, val string, dim string")
+    chg = spark.createDataFrame(chg_rows, "k long, seq long, op string, val string")
+    out = apply_changelog(base, chg, key="k", seq="seq", status_col="status", **kw)
+    return {r.k: (r.val, r.dim, r.status) for r in out.collect()}
+
+
+def test_changelog_delete_then_resurrect(spark):
+    """Latest LSN wins in BOTH directions: delete after upsert removes,
+    upsert after delete resurrects."""
+    base = [(1, "a", "x"), (2, "b", "y")]
+    chg = [
+        (1, 10, "U", "a2"), (1, 20, "D", None),          # net delete
+        (2, 10, "D", None), (2, 20, "U", "b2"),          # net resurrect
+        (3, 5, "U", "new"),                              # insert
+    ]
+    out = _cdc(spark, base, chg)
+    assert out == {
+        2: ("b2", "y", "updated"),
+        3: ("new", None, "inserted"),
+    }
+
+
+def test_changelog_carry_forward_untouched(spark):
+    out = _cdc(spark, [(1, "a", "x")], [(9, 1, "U", "z")])
+    assert out[1] == ("a", "x", "carried")
+
+
+def test_changelog_delete_of_absent_key_is_noop(spark):
+    out = _cdc(spark, [(1, "a", "x")], [(7, 1, "D", None)])
+    assert out == {1: ("a", "x", "carried")}
+
+
+def test_changelog_tie_on_seq_is_deterministic(spark):
+    """Duplicate seq: struct-max falls through to (op, value) order, so
+    the winner is stable across partitionings — 'U' > 'D' in lexicographic
+    string order, then max value."""
+    base = [(1, "a", "x")]
+    chg = [(1, 10, "D", None), (1, 10, "U", "hi"), (1, 10, "U", "zz")]
+    out = _cdc(spark, base, chg)
+    assert out == {1: ("zz", "x", "updated")}
+
+
+def test_changelog_rejects_unknown_value_columns(spark):
+    import pytest as _pytest
+
+    from politician_etl_project_spark.operators.upsert import apply_changelog
+
+    base = spark.createDataFrame([(1, "a")], ["k", "val"])
+    chg = spark.createDataFrame([(1, 1, "U", "a", "oops")], ["k", "seq", "op", "val", "extra"])
+    with _pytest.raises(ValueError, match="extra"):
+        apply_changelog(base, chg, key="k", seq="seq")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (operators/bloom)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key must pass the probe — the bloom contract."""
+    from politician_etl_project_spark.operators.bloom import bloom_probe, build_bloom_words
+
+    keys = spark.range(100, 200).select(F.col("id").alias("k"))
+    words, bits_set = build_bloom_words(keys, "k", 512, 3)
+    assert 0 < bits_set <= 300
+    passed = (
+        keys.withColumn("p", bloom_probe("k", words, 512, 3))
+        .agg(F.sum(F.when(F.col("p"), 1).otherwise(0)))
+        .collect()[0][0]
+    )
+    assert passed == 100
+
+
+def test_bloom_rejects_most_non_members(spark):
+    """With m=4096 over 100 keys the FP rate is far below 1 — the probe
+    must reject the bulk of a disjoint key range."""
+    from politician_etl_project_spark.operators.bloom import bloom_probe, build_bloom_words
+
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    words, _ = build_bloom_words(keys, "k", 4096, 3)
+    others = spark.range(10_000, 12_000).select(F.col("id").alias("k"))
+    passed = (
+        others.withColumn("p", bloom_probe("k", words, 4096, 3))
+        .agg(F.sum(F.when(F.col("p"), 1).otherwise(0)))
+        .collect()[0][0]
+    )
+    assert passed < 100, f"FP rate implausibly high: {passed}/2000"
+
+
+def test_bloom_param_validation(spark):
+    import pytest as _pytest
+
+    from politician_etl_project_spark.operators.bloom import bloom_bit_exprs, build_bloom_words
+
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom_words(spark.range(1), "id", 100, 3)
+    with _pytest.raises(ValueError, match="1..4"):
+        bloom_bit_exprs("cast(id as string)", 1024, 5)

@@ -24,6 +24,9 @@ INVARIANT_QUERIES = [
     "q_zorder_layout",      # pure integer bit interleave
     "q_bpe_train_merges",   # argmax merges, weighted integer counts
     "q_sketch_merge_replay",  # count-min monoid (integer counters)
+    "q_cdc_apply",          # struct-max compaction, decimal balance sums
+    "q_bloom_prune",        # bit-or word build + integer tallies
+    "q_triangle_count",     # degree-keyed orientation, pure joins
 ]
 
 

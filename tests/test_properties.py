@@ -429,3 +429,89 @@ def test_quantize_error_bound(spark, sf_dir):
     df = load_all()["q_embed_quantize"].fn(spark, sf_dir)
     for r in df.collect():
         assert r["max_err_nano"] <= r["scale_nano"] // 2 + 1, r
+
+
+# ---------------------------------------------------------------------------
+# Triangles: degree-oriented enumeration == brute force on random graphs
+# ---------------------------------------------------------------------------
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=30
+)
+
+
+@given(edges=edge_strategy)
+@settings(**_SETTINGS)
+def test_triangles_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from politician_etl_project_spark.operators.graph import triangles
+
+    df = spark.createDataFrame(edges or [(0, 0)], "u int, v int").filter(
+        F.lit(bool(edges))
+    )
+    got = {(r.t1, r.t2, r.t3) for r in triangles(df).collect()}
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    verts = sorted({x for e in eset for x in e})
+    want = {
+        (a, b, c)
+        for a, b, c in combinations(verts, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: latest-seq-wins MERGE == a sequential replay of the log
+# ---------------------------------------------------------------------------
+
+chg_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),                      # key
+        st.integers(0, 20),                     # seq
+        st.sampled_from(["U", "D"]),            # op
+        st.integers(-50, 50),                   # new value
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),           # unique (key, seq): a real log's LSN
+)
+
+
+@given(base=rows_strategy, changes=chg_strategy, parts=st.sampled_from([1, 3, 7]))
+@settings(**_SETTINGS)
+def test_apply_changelog_equals_python_model(spark, base, changes, parts):
+    """Latest-op-wins MERGE against a direct python model: per key the
+    highest-seq change decides (D -> absent; U -> new value, base attrs
+    carried for pre-existing keys, NULL attrs for inserts); untouched
+    base rows carry forward.  Partitioning must not matter."""
+    from politician_etl_project_spark.operators.upsert import apply_changelog
+
+    # base must be a valid snapshot (one live row per key): drop dup draws
+    base_keys = [r[0] for r in base]
+    if len(base_keys) != len(set(base_keys)):
+        base = list({r[0]: r for r in base}.values())
+
+    base_df = _df(spark, base, parts)
+    chg_df = spark.createDataFrame(
+        changes or [(0, 0, "U", 0)], "k int, seq int, op string, v int"
+    ).filter(F.lit(bool(changes)))
+    out = {
+        r.k: (r.v, r.attr)
+        for r in apply_changelog(
+            base_df, chg_df, key="k", seq="seq", op="op"
+        ).collect()
+    }
+
+    state = {k: (v, attr) for k, v, attr in base}
+    last = {}
+    for k, seq, op, v in changes:
+        if k not in last or seq > last[k][0]:
+            last[k] = (seq, op, v)
+    for k, (_seq, op, v) in last.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            base_attr = dict((b[0], b[2]) for b in base).get(k)
+            state[k] = (v, base_attr)
+    assert out == state
