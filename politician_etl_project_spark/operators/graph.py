@@ -141,18 +141,20 @@ def pagerank_micro(
     # out-weight via a window sum instead of an aggregate + join-back:
     # ONE shuffle on u attaches ow to every edge row, and the result is
     # hash-partitioned on u going into the per-round joins.  Checkpointed
-    # eagerly so the edge-derivation subtree (often a fact join +
-    # aggregate) materializes exactly once instead of being replicated
-    # per iteration in the final plan (measured 24 exchanges / 0 reused
-    # for the 3-round bipartite query before this discipline).
+    # so the edge-derivation subtree (often a fact join + aggregate)
+    # materializes exactly once instead of being replicated per iteration
+    # in the final plan (measured 24 exchanges / 0 reused for the 3-round
+    # bipartite query before this discipline).  The checkpoint is LAZY:
+    # the vertex-count action right below materializes it, so setup costs
+    # one job, not two.
     ew = (
         edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
         )
         .withColumn("ow", F.sum("w").over(Window.partitionBy("u")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n = ew.select("u").distinct().count()  # reads checkpointed blocks
+    n = ew.select("u").distinct().count()  # materializes the checkpoint
     if n == 0:  # empty graph: no vertices, schema-true empty result
         return ew.select(F.col("u"), F.lit(0).cast("long").alias("r"))
     micro = max(micro, n * 1000)  # keep >=~1000 units/vertex at any N
