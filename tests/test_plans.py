@@ -451,3 +451,36 @@ def test_simhash_near_pairs_joins_on_band_key(spark, specs):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # the band value column participates in the join key
     assert "bv" in plan and "band_id" in plan, plan[:3000]
+
+
+def test_bloom_probe_never_shuffles_fact_for_a_join(spark, specs):
+    """The bloom membership test must be a pure expression over the fact
+    scan — a words-array literal inside codegen.  No SortMergeJoin may
+    appear anywhere (the only joins are broadcast: the tiny dim
+    truth-check and the 1-row tally merge)."""
+    plan = plan_of(spark, specs, "q_bloom_prune")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_compaction_aggregates_map_side(spark, specs):
+    """apply_changelog's log compaction is max(struct(...)) — it must
+    plan as partial+final HashAggregate (map-side combine eats per-key
+    history before the shuffle), and the base merge must be ONE
+    full-outer join."""
+    plan = plan_of(spark, specs, "q_cdc_apply")
+    assert plan.count("FullOuter") >= 1
+    # partial aggregation present: HashAggregate appears in pairs around
+    # the exchange (Functions [partial_max / max])
+    assert "partial_max" in plan or "partial_finalmerge" in plan or plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triangles_plan_is_bounded(spark, specs):
+    """Degree-oriented triangles: equi-joins only, and the checkpointed
+    edge/arc frames must keep the plan small (the un-truncated form
+    replicated the edge derivation into 92 exchanges)."""
+    plan = plan_of(spark, specs, "q_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 12, plan.count("Exchange")
