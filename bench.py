@@ -122,10 +122,12 @@ BENCH_QUERIES = [
     "q_ann_index_extend",
     "q_embed_near_dup",
     "q_simhash_near_pairs",
-    # round-4 late additions: CDC MERGE, bloom prune, triangle tier
+    # round-4 late additions: CDC MERGE, bloom prune, triangle tier,
+    # snapshot time travel
     "q_cdc_apply",
     "q_bloom_prune",
     "q_triangle_count",
+    "q_time_travel",
 ]
 
 

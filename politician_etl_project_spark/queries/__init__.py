@@ -86,7 +86,7 @@ DRIVER_WINDOW = [
     "q_dedup_multi_policy",
     "q_cdc_apply",  # NEW r4: I/U/D changelog MERGE (apply_changelog)
     "q_zorder_layout",  # NEW r4: Morton clustering key
-    "q_ann_lsh",
+    "q_time_travel",  # NEW r4: snapshot versioning, manifest time travel
     "q_bloom_prune",  # NEW r4: bloom semijoin prune w/ measured FP rate
     "q_ann_index_extend",  # NEW r4: incremental LSH maintenance
     "q_bpe_vocab_stats",  # NEW r4: BPE train->apply closure
@@ -95,6 +95,7 @@ DRIVER_WINDOW = [
     "q_bpe_train_merges",  # NEW r4: iterative BPE training loop
     "q_sketch_merge_replay",  # NEW r4: count-min monoid merge, T5 twin
     # --- end of the 50-slot driver window; overflow order below ---
+    "q_ann_lsh",
     "q_simhash",
     "q_ann_ivf",
     "q_dedup_incremental",

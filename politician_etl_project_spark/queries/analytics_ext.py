@@ -1808,3 +1808,120 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangles(edges).orderBy("t1", "t2", "t3")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot versioning / time travel (storage.SnapshotTable)
+# ---------------------------------------------------------------------------
+
+_TT_V2_CUT = "1997-01-01"
+_TT_V3_CUT = "1999-01-01"
+
+
+def _time_travel_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once three-version snapshot table (same staging + rename
+    cache discipline as queries/events._merge_replay_path): v1 =
+    pre-1997 orders, v2 = append of 1997-98 orders (file-sharing
+    append — v1's files are referenced, not copied), v3 = copy-on-write
+    upsert doubling o_totalprice for pre-1997 keys divisible by 5.
+    Readers time-travel to any of the three."""
+    import os
+    import shutil
+    import tempfile
+
+    from politician_etl_project_spark.storage import SnapshotTable
+
+    key = _tmp_key(sf_dir, "orders.parquet", version="time-travel-v1")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_snap_{key}")
+    if not os.path.isdir(path):
+        staging = f"{path}.building-{os.getpid()}"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        v2_cut = F.lit(_TT_V2_CUT).cast("timestamp")
+        v3_cut = F.lit(_TT_V3_CUT).cast("timestamp")
+        try:
+            t = SnapshotTable(spark, staging)
+            t.overwrite(orders.filter(F.col("o_orderdate") < v2_cut))
+            t.append(
+                orders.filter(
+                    (F.col("o_orderdate") >= v2_cut) & (F.col("o_orderdate") < v3_cut)
+                )
+            )
+            t.upsert(
+                orders.filter(
+                    (F.col("o_orderdate") < v2_cut) & (F.col("o_orderkey") % 5 == 0)
+                ).withColumn("o_totalprice", F.col("o_totalprice") * 2),
+                keys=["o_orderkey"],
+            )
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        try:
+            os.replace(staging, path)
+        except OSError:  # concurrent builder won the rename
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+_TT_ORACLE = f"""
+WITH v1 AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_TT_V2_CUT}'
+), v2 AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_TT_V3_CUT}'
+)
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price
+FROM v1
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+FROM v2
+UNION ALL
+SELECT 3, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderkey % 5 = 0 AND o_orderdate < TIMESTAMP '{_TT_V2_CUT}'
+                     THEN CAST(o_totalprice * 2 AS DECIMAL(12,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2))
+FROM v2
+ORDER BY version
+"""
+
+
+@declared_query(
+    "q_time_travel",
+    oracle=_TT_ORACLE,
+    ops=("S12", "S14", "STORE-snapshot", "A1"),
+    doc="Snapshot versioning + time travel (storage.SnapshotTable — the "
+    "lakehouse-table-format core in parquet + atomic renames): v1 "
+    "overwrite, v2 file-sharing append (parent files REFERENCED in the "
+    "manifest, O(new data) at any table size), v3 copy-on-write upsert "
+    "doubling selected prices; the query reads all three pinned "
+    "versions and aggregates each.  The oracle reconstructs every "
+    "snapshot from the raw fact by replaying the version predicates, "
+    "so the hash proves isolation: the v3 MERGE must not leak into the "
+    "v1/v2 manifests and the append must not duplicate shared parent "
+    "files.  Writes commit via a manifest + one atomic pointer rename "
+    "(the streaming sketch store's protocol) — a torn write is "
+    "invisible and vacuumable, never a torn table.  Reference analog: "
+    "destructive whole-file re-ingests (scripts/ingest_bulk_donations"
+    ".py) made auditable and revertible.",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.storage import SnapshotTable
+
+    t = SnapshotTable(spark, _time_travel_path(spark, sf_dir))
+    outs = []
+    for v in (1, 2, 3):
+        outs.append(
+            t.read(v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("decimal(18,2)")
+                .alias("total_price"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("version")

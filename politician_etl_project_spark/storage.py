@@ -64,3 +64,224 @@ def _bucket_key(spark: SparkSession, table: str) -> list[str]:
         if row.col_name == "Bucket Columns":
             return [c.strip(" `") for c in row.data_type.strip("[]").split(",")]
     raise ValueError(f"{table} is not bucketed")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot versioning / time travel (manifest-based, Delta-style)
+# ---------------------------------------------------------------------------
+
+
+class SnapshotTable:
+    """Versioned managed table with time travel, the third storage tool
+    beside partitioning and bucketing: every write publishes an IMMUTABLE
+    snapshot and readers pin any historical version.
+
+    Layout (the essential core of a lakehouse table format, expressed
+    with nothing but parquet + atomic renames):
+
+    - ``data/v{N}-*.parquet``   — immutable data files, never rewritten
+    - ``versions/v{N}.json``    — manifest: the FILE LIST composing
+      snapshot N (plus op, parent, schema)
+    - ``_CURRENT``              — atomic pointer to the live version
+
+    Snapshots share files: ``append`` writes only the new rows' files
+    and its manifest references the parent's files plus the new ones —
+    O(new data) regardless of table size, which is what makes the
+    scheme viable at 100 TB (an overwrite-per-version copy would not
+    be).  ``upsert`` is copy-on-write over the merged result (pair with
+    ``ParquetUpsertTable``'s partition-scoped MERGE when slices must
+    stay cheap).  Time travel is free: old manifests keep old files
+    alive until ``vacuum`` retires them.
+
+    Crash safety mirrors the streaming sketch store's versioned-pointer
+    protocol: data files land first, then the manifest, then one atomic
+    ``os.replace`` flips ``_CURRENT``.  A crash at any point leaves
+    either the previous version live (orphan files/manifests are
+    harmless and vacuumable) or the new version fully published — never
+    a torn table.  Reference analog: the reference re-ingests whole FEC
+    files destructively (scripts/ingest_bulk_donations.py); this keeps
+    every load auditable and revertible.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "versions"), exist_ok=True)
+
+    # -- pointers & manifests ------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self):
+        import os
+
+        ptr = self._pointer_path()
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return int(fh.read().strip().lstrip("v"))
+
+    def versions(self) -> list[int]:
+        """Published (pointer-reachable or historical) versions, ascending.
+        Only manifests at or below the current pointer count — a manifest
+        above it is a torn write awaiting vacuum."""
+        import os
+
+        cur = self.current_version()
+        if cur is None:
+            return []
+        out = []
+        for fn in os.listdir(os.path.join(self.path, "versions")):
+            if fn.startswith("v") and fn.endswith(".json"):
+                n = int(fn[1:-5])
+                if n <= cur:
+                    out.append(n)
+        return sorted(out)
+
+    def _manifest(self, version: int) -> dict:
+        import json
+        import os
+
+        with open(os.path.join(self.path, "versions", f"v{version:06d}.json")) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """Audit trail: one row per published version (op, parent,
+        file count) — the queryable equivalent of DESCRIBE HISTORY."""
+        return [
+            {
+                "version": v,
+                "op": self._manifest(v)["op"],
+                "parent": self._manifest(v)["parent"],
+                "n_files": len(self._manifest(v)["files"]),
+            }
+            for v in self.versions()
+        ]
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: current)."""
+        import os
+
+        from pyspark.sql.types import StructType
+
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        v = cur if version is None else version
+        if v not in self.versions():
+            raise ValueError(f"unknown version {v}; have {self.versions()}")
+        man = self._manifest(v)
+        files = [os.path.join(self.path, "data", f) for f in man["files"]]
+        if not files:
+            schema = StructType.fromJson(man["schema"])
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*files)
+
+    # -- writes --------------------------------------------------------------
+
+    def _stage_files(self, df: DataFrame, version: int) -> list[str]:
+        """Write df's parquet files and move them into data/ under
+        version-prefixed (hence globally unique, collision-free) names."""
+        import os
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="snap-", dir=self.path)
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            names = []
+            for fn in sorted(os.listdir(staging)):
+                if fn.endswith(".parquet"):
+                    dst = f"v{version:06d}-{fn}"
+                    os.replace(os.path.join(staging, fn), os.path.join(self.path, "data", dst))
+                    names.append(dst)
+            return names
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _publish(self, files: list[str], op: str, schema_json: dict) -> int:
+        import json
+        import os
+
+        parent = self.current_version()
+        version = 1 if parent is None else parent + 1
+        man = {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "files": files,
+            "schema": schema_json,
+        }
+        man_path = os.path.join(self.path, "versions", f"v{version:06d}.json")
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, man_path)
+        ptr_tmp = self._pointer_path() + ".tmp"
+        with open(ptr_tmp, "w") as fh:
+            fh.write(f"v{version:06d}")
+        os.replace(ptr_tmp, self._pointer_path())  # the commit point
+        return version
+
+    def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
+        parent = self.current_version()
+        version = 1 if parent is None else parent + 1
+        files = self._stage_files(df, version)
+        return self._publish(files, op, df.schema.jsonValue())
+
+    def append(self, df: DataFrame) -> int:
+        """O(new data): parent files are REFERENCED, not copied."""
+        parent = self.current_version()
+        if parent is None:
+            return self.overwrite(df, op="append")
+        version = parent + 1
+        new_files = self._stage_files(df, version)
+        files = self._manifest(parent)["files"] + new_files
+        return self._publish(files, "append", df.schema.jsonValue())
+
+    def upsert(self, df: DataFrame, keys: list[str], update_wins: bool = True) -> int:
+        """Copy-on-write MERGE: the merged result becomes the new
+        snapshot's file set; the parent snapshot stays readable."""
+        from politician_etl_project_spark.operators.upsert import dedup_keys, merge_keep
+
+        if self.current_version() is None:
+            return self.overwrite(dedup_keys(df, keys), op="upsert")
+        merged = merge_keep(self.read(), df, keys, update_wins=update_wins)
+        return self.overwrite(merged, op="upsert")
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Retire history: keep the newest ``keep_last`` versions, delete
+        manifests and data files no retained version references, plus any
+        torn-write orphans (files/manifests above the pointer).  Returns
+        the number of data files deleted."""
+        import os
+
+        vs = self.versions()
+        if not vs:
+            return 0
+        keep = set(vs[-max(keep_last, 1):])
+        live = set()
+        for v in keep:
+            live.update(self._manifest(v)["files"])
+        removed = 0
+        data_dir = os.path.join(self.path, "data")
+        for fn in list(os.listdir(data_dir)):
+            if fn.endswith(".parquet") and fn not in live:
+                os.remove(os.path.join(data_dir, fn))
+                removed += 1
+        vdir = os.path.join(self.path, "versions")
+        for fn in list(os.listdir(vdir)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                if int(fn[1:-5]) not in keep:
+                    os.remove(os.path.join(vdir, fn))
+        return removed

@@ -234,3 +234,94 @@ def test_compact_counts_partitioned_files(spark, tmp_path):
         (1, 118),
         (2, 119),
     ]
+
+
+# ---------------------------------------------------------------------------
+# SnapshotTable: versioned snapshots + time travel
+# ---------------------------------------------------------------------------
+
+
+def _snap(spark, tmp_path, name="snap"):
+    return storage.SnapshotTable(spark, str(tmp_path / name))
+
+
+def test_snapshot_versions_and_time_travel(spark, tmp_path):
+    t = _snap(spark, tmp_path)
+    assert t.current_version() is None
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"), keys=["k"])
+    assert t.versions() == [1, 2, 3]
+    assert {(r.k, r.v) for r in t.read(1).collect()} == {(1, "a"), (2, "b")}
+    assert {(r.k, r.v) for r in t.read(2).collect()} == {(1, "a"), (2, "b"), (3, "c")}
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (4, "d"),
+    }
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["overwrite", "append", "upsert"]
+
+
+def test_snapshot_append_shares_parent_files(spark, tmp_path):
+    """append must reference the parent's files, not copy them — the
+    O(new data) property that makes versioning viable at scale."""
+    t = _snap(spark, tmp_path)
+    t.overwrite(spark.range(100).coalesce(1))
+    t.append(spark.range(100, 110).coalesce(1))
+    m1, m2 = t._manifest(1), t._manifest(2)
+    assert set(m1["files"]) < set(m2["files"])  # strict superset: shared, not copied
+    assert len(m2["files"]) == len(m1["files"]) + 1
+
+
+def test_snapshot_torn_write_invisible_until_pointer_flip(spark, tmp_path):
+    """A manifest (or data files) without the pointer flip is a torn
+    write: readers must keep serving the previous version, and vacuum
+    must clean the orphans."""
+    import json
+    import os
+
+    t = _snap(spark, tmp_path)
+    t.overwrite(spark.range(5).coalesce(1))
+    # simulate a crash after manifest write, before pointer flip
+    orphan = {"version": 2, "parent": 1, "op": "append",
+              "files": ["v000002-ghost.parquet"], "schema": t._manifest(1)["schema"]}
+    with open(os.path.join(t.path, "versions", "v000002.json"), "w") as fh:
+        json.dump(orphan, fh)
+    assert t.versions() == [1]
+    assert t.current_version() == 1
+    assert len(t.read().collect()) == 5
+    # the NEXT write allocates version 2 again and atomically replaces
+    # the orphan manifest
+    t.append(spark.range(5, 8).coalesce(1))
+    assert t.versions() == [1, 2]
+    assert len(t.read().collect()) == 8
+
+
+def test_snapshot_vacuum_retires_history_keeps_current(spark, tmp_path):
+    import os
+
+    t = _snap(spark, tmp_path)
+    t.overwrite(spark.range(10).coalesce(1))
+    t.overwrite(spark.range(20).coalesce(1))  # v2 shares nothing with v1
+    t.append(spark.range(20, 25).coalesce(1))
+    removed = t.vacuum(keep_last=2)
+    assert removed == 1  # v1's lone file retired; v2's file lives on in v3
+    assert t.versions() == [2, 3]
+    assert len(t.read(2).collect()) == 20
+    assert len(t.read().collect()) == 25
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown version"):
+        t.read(1)
+    # all remaining files are referenced
+    live = set(t._manifest(2)["files"]) | set(t._manifest(3)["files"])
+    on_disk = {f for f in os.listdir(os.path.join(t.path, "data")) if f.endswith(".parquet")}
+    assert on_disk == live
+
+
+def test_snapshot_empty_dataframe_roundtrip(spark, tmp_path):
+    t = _snap(spark, tmp_path)
+    df = spark.createDataFrame([], "k long, v string")
+    t.overwrite(df)
+    out = t.read()
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
