@@ -237,15 +237,17 @@ class SnapshotTable:
         files = self._stage_files(df, version)
         return self._publish(files, op, df.schema.jsonValue())
 
-    def append(self, df: DataFrame) -> int:
-        """O(new data): parent files are REFERENCED, not copied."""
+    def append(self, df: DataFrame, op: str = "append") -> int:
+        """O(new data): parent files are REFERENCED, not copied.  ``op``
+        labels the manifest (streaming sinks tag their batch id, making
+        the audit trail double as a replay-marker store)."""
         parent = self.current_version()
         if parent is None:
-            return self.overwrite(df, op="append")
+            return self.overwrite(df, op=op)
         version = parent + 1
         new_files = self._stage_files(df, version)
         files = self._manifest(parent)["files"] + new_files
-        return self._publish(files, "append", df.schema.jsonValue())
+        return self._publish(files, op, df.schema.jsonValue())
 
     def upsert(self, df: DataFrame, keys: list[str], update_wins: bool = True) -> int:
         """Copy-on-write MERGE: the merged result becomes the new
@@ -284,4 +286,11 @@ class SnapshotTable:
             if fn.startswith("v") and fn.endswith(".json"):
                 if int(fn[1:-5]) not in keep:
                     os.remove(os.path.join(vdir, fn))
+        # staging dirs abandoned by a crashed writer ("snap-*"): their
+        # files were never referenced by any manifest
+        import shutil
+
+        for fn in list(os.listdir(self.path)):
+            if fn.startswith("snap-"):
+                shutil.rmtree(os.path.join(self.path, fn), ignore_errors=True)
         return removed

@@ -456,3 +456,37 @@ def sketch_maintenance_stream(
                 shutil.rmtree(os.path.join(vdir, old), ignore_errors=True)
 
     run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)
+
+
+def snapshot_append_stream(
+    events: DataFrame,
+    store_path: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Versioned streaming ingestion: each micro-batch lands as ONE
+    immutable append version of a :class:`~politician_etl_project_spark.
+    storage.SnapshotTable` — the stream's whole history stays
+    time-travelable (read the table exactly as of batch N), which is the
+    auditability the reference's destructive re-ingest loop
+    (scripts/update_donations.py:258-307) cannot offer.
+
+    Replay-idempotent over foreachBatch's at-least-once delivery via the
+    manifest audit trail itself: batch N commits with op
+    ``append-b{N}``; a replayed batch finds its op already in
+    ``history()`` (committed = pointer-reachable) and skips.  A crash
+    BEFORE the pointer flip leaves orphan files no manifest references
+    (invisible to readers, reclaimed by ``vacuum``), so the replay
+    appends cleanly against the previous version — the same
+    versioned-pointer protocol as ``sketch_maintenance_stream``, with
+    the manifest log doubling as the batch-id marker store."""
+    from politician_etl_project_spark.storage import SnapshotTable
+    from politician_etl_project_spark.streaming.sources import run_foreach_batch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        table = SnapshotTable(batch_df.sparkSession, store_path)
+        op = f"append-b{batch_id}"
+        if any(h["op"] == op for h in table.history()):
+            return  # replay of an already-committed batch
+        table.append(batch_df, op=op)
+
+    run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)

@@ -563,3 +563,48 @@ def test_sketch_maintenance_migrates_legacy_store(spark, staged_events, tmp_path
     for k, v in want_legacy.items():
         want[k] = want.get(k, 0) + v
     assert got == want
+
+
+def test_snapshot_append_stream_versions_per_batch(spark, staged_events, tmp_path):
+    """Versioned streaming ingestion: one append version per micro-batch,
+    final version equal to the batch union, and intermediate versions
+    time-travelable to each batch prefix."""
+    from politician_etl_project_spark.storage import SnapshotTable
+    from politician_etl_project_spark.streaming.pipelines import snapshot_append_stream
+
+    store = str(tmp_path / "snap_store")
+    stream = events_stream(spark, staged_events, max_files_per_trigger=1)
+    snapshot_append_stream(stream, store, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    t = SnapshotTable(spark, store)
+    vs = t.versions()
+    assert len(vs) == 4  # 4 staged files, 1 per trigger
+    assert [h["op"] for h in t.history()] == [f"append-b{i}" for i in range(4)]
+    assert t.read().count() == _batch_events(spark).count()
+    # version row counts are strictly increasing batch prefixes
+    counts = [t.read(v).count() for v in vs]
+    assert counts == sorted(counts) and counts[-1] == _batch_events(spark).count()
+
+
+def test_snapshot_append_stream_replay_idempotent(spark, staged_events, tmp_path):
+    """A replayed batch (at-least-once foreachBatch) must hit the
+    manifest-op guard and change nothing."""
+    from politician_etl_project_spark.storage import SnapshotTable
+    from politician_etl_project_spark.streaming.pipelines import snapshot_append_stream
+
+    store = str(tmp_path / "snap_store")
+    stream = events_stream(spark, staged_events, max_files_per_trigger=1)
+    snapshot_append_stream(stream, store, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    t = SnapshotTable(spark, store)
+    before = (t.versions(), t.read().count())
+    # replay the LAST batch manually, as a post-crash re-delivery would
+    last = _batch_events(spark).limit(50)
+    op = t.history()[-1]["op"]
+    if not any(h["op"] == op for h in t.history()):
+        t.append(last, op=op)  # unreachable; guard mirrors the sink
+    # and replay THROUGH the sink: new stream over the same files with a
+    # FRESH checkpoint re-delivers every batch id
+    stream2 = events_stream(spark, staged_events, max_files_per_trigger=1)
+    snapshot_append_stream(stream2, store, checkpoint_dir=str(tmp_path / "ckpt2"))
+    assert (t.versions(), t.read().count()) == before

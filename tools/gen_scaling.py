@@ -31,6 +31,10 @@ QUERIES = [
     "q_pagerank",            # iterative graph
     "q_curation_funnel",     # composed pipeline
     "q_percentiles",         # rank arithmetic
+    "q_cdc_apply",           # changelog compaction + full-outer MERGE
+    "q_bloom_prune",         # bloom build + codegen probe
+    "q_triangle_count",      # degree-oriented wedge joins
+    "q_time_travel",         # manifest reads across three versions
 ]
 
 
