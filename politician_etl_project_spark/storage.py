@@ -154,15 +154,26 @@ class SnapshotTable:
     def history(self) -> list[dict]:
         """Audit trail: one row per published version (op, parent,
         file count) — the queryable equivalent of DESCRIBE HISTORY."""
-        return [
-            {
-                "version": v,
-                "op": self._manifest(v)["op"],
-                "parent": self._manifest(v)["parent"],
-                "n_files": len(self._manifest(v)["files"]),
-            }
-            for v in self.versions()
-        ]
+        out = []
+        for v in self.versions():
+            man = self._manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": man["op"],
+                    "parent": man["parent"],
+                    "n_files": len(man["files"]),
+                }
+            )
+        return out
+
+    def current_op(self) -> str | None:
+        """The op label of the live version (None before the first
+        commit) — the O(1) probe streaming sinks use as their replay
+        guard: foreachBatch redelivers batches in order, so a replayed
+        batch id can only ever be the latest committed one."""
+        cur = self.current_version()
+        return None if cur is None else self._manifest(cur)["op"]
 
     # -- reads ---------------------------------------------------------------
 
@@ -180,10 +191,13 @@ class SnapshotTable:
             raise ValueError(f"unknown version {v}; have {self.versions()}")
         man = self._manifest(v)
         files = [os.path.join(self.path, "data", f) for f in man["files"]]
+        schema = StructType.fromJson(man["schema"])
         if not files:
-            schema = StructType.fromJson(man["schema"])
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*files)
+        # pin the manifest's schema instead of letting Spark sample one
+        # file's footer — version reads stay deterministic even if other
+        # table generations carry different schemas
+        return self.spark.read.schema(schema).parquet(*files)
 
     # -- writes --------------------------------------------------------------
 
@@ -207,12 +221,15 @@ class SnapshotTable:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
-    def _publish(self, files: list[str], op: str, schema_json: dict) -> int:
+    def _publish(
+        self, version: int, parent, files: list[str], op: str, schema_json: dict
+    ) -> int:
+        """Commit ``version``: manifest write + atomic pointer flip.
+        Takes the version/parent the caller staged files under — deriving
+        them again here could diverge from the staged file prefixes."""
         import json
         import os
 
-        parent = self.current_version()
-        version = 1 if parent is None else parent + 1
         man = {
             "version": version,
             "parent": parent,
@@ -235,19 +252,29 @@ class SnapshotTable:
         parent = self.current_version()
         version = 1 if parent is None else parent + 1
         files = self._stage_files(df, version)
-        return self._publish(files, op, df.schema.jsonValue())
+        return self._publish(version, parent, files, op, df.schema.jsonValue())
 
     def append(self, df: DataFrame, op: str = "append") -> int:
         """O(new data): parent files are REFERENCED, not copied.  ``op``
-        labels the manifest (streaming sinks tag their batch id, making
-        the audit trail double as a replay-marker store)."""
+        labels the manifest (streaming sinks tag their sink + batch id,
+        making the audit trail double as a replay-marker store).
+        Rejects a schema that differs from the parent snapshot's —
+        shared-file reads would silently null the divergent columns."""
         parent = self.current_version()
         if parent is None:
             return self.overwrite(df, op=op)
+        pman = self._manifest(parent)
+        want = [(f["name"], f["type"]) for f in pman["schema"]["fields"]]
+        got = [(f["name"], f["type"]) for f in df.schema.jsonValue()["fields"]]
+        if want != got:
+            raise ValueError(
+                f"append schema {got} does not match snapshot schema {want}; "
+                "use overwrite() for schema changes"
+            )
         version = parent + 1
         new_files = self._stage_files(df, version)
-        files = self._manifest(parent)["files"] + new_files
-        return self._publish(files, op, df.schema.jsonValue())
+        files = pman["files"] + new_files
+        return self._publish(version, parent, files, op, df.schema.jsonValue())
 
     def upsert(self, df: DataFrame, keys: list[str], update_wins: bool = True) -> int:
         """Copy-on-write MERGE: the merged result becomes the new
@@ -265,7 +292,14 @@ class SnapshotTable:
         """Retire history: keep the newest ``keep_last`` versions, delete
         manifests and data files no retained version references, plus any
         torn-write orphans (files/manifests above the pointer).  Returns
-        the number of data files deleted."""
+        the number of data files deleted.
+
+        MAINTENANCE op — run it only while no writer is mid-commit, like
+        Delta's VACUUM (whose retention window exists for exactly this):
+        an in-flight writer's staged-but-unpublished files look like
+        orphans here.  The streaming sink's replay guard survives any
+        vacuum, because it probes only the CURRENT version's op
+        (``current_op``), which ``keep_last >= 1`` always retains."""
         import os
 
         vs = self.versions()

@@ -470,23 +470,38 @@ def snapshot_append_stream(
     auditability the reference's destructive re-ingest loop
     (scripts/update_donations.py:258-307) cannot offer.
 
-    Replay-idempotent over foreachBatch's at-least-once delivery via the
-    manifest audit trail itself: batch N commits with op
-    ``append-b{N}``; a replayed batch finds its op already in
-    ``history()`` (committed = pointer-reachable) and skips.  A crash
-    BEFORE the pointer flip leaves orphan files no manifest references
-    (invisible to readers, reclaimed by ``vacuum``), so the replay
-    appends cleanly against the previous version — the same
-    versioned-pointer protocol as ``sketch_maintenance_stream``, with
-    the manifest log doubling as the batch-id marker store."""
+    Replay-idempotent over foreachBatch's at-least-once delivery, with
+    markers scoped the way Spark's idempotent-foreachBatch recipe
+    prescribes — per (sink lineage, batch id), NOT per batch id alone:
+    batch N commits with op ``append-{sink}-b{N}`` where ``sink`` is
+    derived from the checkpoint location (the checkpoint IS the identity
+    of a delivery lineage).  The guard probes only the CURRENT version's
+    op (``SnapshotTable.current_op`` — O(1), and keep_last>=1 means no
+    ``vacuum`` can retire it): foreachBatch delivers batches in order,
+    so a redelivery after a crash between the append and the checkpoint
+    commit is always the LATEST committed batch — it matches and skips.
+    A restart with a FRESH checkpoint is a NEW lineage (batch ids
+    restart and regroup), so its batches append rather than being
+    mistaken for replays — duplicates are possible then, data loss is
+    not; dedup downstream or keep the checkpoint."""
+    import hashlib
+    import tempfile
+
     from politician_etl_project_spark.storage import SnapshotTable
     from politician_etl_project_spark.streaming.sources import run_foreach_batch
 
+    # an anonymous run gets a throwaway checkpoint HERE so the sink id
+    # still tracks the delivery lineage (deriving it from store_path
+    # would collide a later fresh run's restarted batch ids with the
+    # committed markers — exactly the loss mode the scoping prevents)
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    sink = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         table = SnapshotTable(batch_df.sparkSession, store_path)
-        op = f"append-b{batch_id}"
-        if any(h["op"] == op for h in table.history()):
-            return  # replay of an already-committed batch
+        op = f"append-{sink}-b{batch_id}"
+        if table.current_op() == op:
+            return  # redelivery of the latest committed batch
         table.append(batch_df, op=op)
 
-    run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)
+    run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
