@@ -83,3 +83,20 @@ def test_pixel_stats_prunes_payload_only_columns(media):
         .count()
     )
     assert joined == 0
+
+
+def test_udtf_frame_sampler_matches_mapinpandas(spark, sf_dir):
+    """The first-class @udtf tier (D4) must emit exactly the rows the
+    Arrow-batched mapInPandas tier emits — two execution surfaces, one
+    contract."""
+    from politician_etl_project_spark.operators.multimodal import (
+        sample_frames,
+        sample_frames_udtf,
+        synthesize_media,
+    )
+    from politician_etl_project_spark.catalog import load_table
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    a = sorted(map(tuple, sample_frames(media, every=2).collect()))
+    b = sorted(map(tuple, sample_frames_udtf(media, every=2).collect()))
+    assert a == b and len(a) > 0
