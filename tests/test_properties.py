@@ -515,3 +515,70 @@ def test_apply_changelog_equals_python_model(spark, base, changes, parts):
             base_attr = dict((b[0], b[2]) for b in base).get(k)
             state[k] = (v, base_attr)
     assert out == state
+
+
+# ---------------------------------------------------------------------------
+# SnapshotTable: random write sequences == a python model, at every version
+# ---------------------------------------------------------------------------
+
+write_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["overwrite", "append", "upsert"]),
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(-50, 50)),
+            min_size=0,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(writes=write_strategy)
+@settings(**_SETTINGS)
+def test_snapshot_table_matches_model(spark, writes, tmp_path_factory):
+    """Every published version must forever read back exactly what the
+    write sequence implied at that point: overwrite replaces, append
+    concatenates (duplicates preserved), upsert merges by key with
+    update-wins.  Time travel = replaying the model prefix."""
+    from politician_etl_project_spark.storage import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path_factory.mktemp("snapprop") / "t"))
+    model_states: list[list[tuple[int, int]]] = []
+    state: list[tuple[int, int]] = []
+    for op, rows in writes:
+        df = spark.createDataFrame(rows or [(0, 0)], "k long, v long").filter(
+            F.lit(bool(rows))
+        )
+        if op == "overwrite":
+            t.overwrite(df)
+            state = list(rows)
+        elif op == "append":
+            if t.current_version() is None:
+                t.overwrite(df, op="append")
+            else:
+                t.append(df)
+            state = state + list(rows)
+        else:
+            t.upsert(df, keys=["k"])
+            # merge_keep / dedup_keys order ties by the value columns
+            # ASCENDING, so the deterministic winner is the LOWEST value
+            # per key WITHIN each side; update-wins puts incoming first.
+            # The merge also rewrites the table one-row-per-key, so any
+            # append-introduced duplicate keys collapse here.
+            merged: dict[int, int] = {}
+            for k, v in state:
+                if k not in merged or v < merged[k]:
+                    merged[k] = v
+            incoming: dict[int, int] = {}
+            for k, v in rows:
+                if k not in incoming or v < incoming[k]:
+                    incoming[k] = v
+            merged.update(incoming)
+            state = sorted(merged.items())
+        model_states.append(list(state))
+    # every version still reads back its model prefix
+    for v, want in zip(t.versions(), model_states):
+        got = sorted((r.k, r.v) for r in t.read(v).collect())
+        assert got == sorted(want), f"version {v}: {got} != {sorted(want)}"
