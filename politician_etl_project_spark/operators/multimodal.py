@@ -239,8 +239,11 @@ def sample_frames_udtf(media: DataFrame, every: int = 2) -> DataFrame:
     vids = media.filter(F.col("kind") == "video").select(
         "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
     )
-    vids.createOrReplaceTempView("_udtf_vids")
+    # bind the DataFrame as a parameter instead of a session-global temp
+    # view — concurrent callers on one SparkSession must not race on a
+    # shared view name
     return spark.sql(
-        f"SELECT s.media_id, s.frame_idx, s.frame_sum "
-        f"FROM _udtf_vids v, LATERAL frame_sampler(v.media_id, v.payload, v.n_frames, {int(every)}) s"
+        "SELECT s.media_id, s.frame_idx, s.frame_sum "
+        f"FROM {{vids}} v, LATERAL frame_sampler(v.media_id, v.payload, v.n_frames, {int(every)}) s",
+        vids=vids,
     )

@@ -169,11 +169,50 @@ class SnapshotTable:
 
     def current_op(self) -> str | None:
         """The op label of the live version (None before the first
-        commit) — the O(1) probe streaming sinks use as their replay
-        guard: foreachBatch redelivers batches in order, so a replayed
-        batch id can only ever be the latest committed one."""
+        commit)."""
         cur = self.current_version()
         return None if cur is None else self._manifest(cur)["op"]
+
+    # -- per-sink replay markers --------------------------------------------
+
+    def sink_marker(self, sink: str):
+        """Last (batch_id, version) a streaming sink recorded, or None.
+        Markers live beside the manifests in ``markers/{sink}`` and are
+        NOT touched by ``vacuum`` — they are the durable half of the
+        streaming replay guard (see ``snapshot_append_stream``)."""
+        import json
+        import os
+
+        p = os.path.join(self.path, "markers", sink)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            d = json.load(fh)
+        return d["batch_id"], d["version"]
+
+    def set_sink_marker(self, sink: str, batch_id: int, version: int) -> None:
+        import json
+        import os
+
+        os.makedirs(os.path.join(self.path, "markers"), exist_ok=True)
+        p = os.path.join(self.path, "markers", sink)
+        tmp = f"{p}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id, "version": version}, fh)
+        os.replace(tmp, p)
+
+    def has_op_since(self, op: str, after_version: int | None) -> bool:
+        """Was ``op`` committed by any version newer than
+        ``after_version``?  Scans descending and only the (small) window
+        above the caller's marker — the replay guard stays O(window),
+        not O(history), and survives interleaved writers that advance
+        the current version past the sink's own last commit."""
+        for v in reversed(self.versions()):
+            if after_version is not None and v <= after_version:
+                break
+            if self._manifest(v)["op"] == op:
+                return True
+        return False
 
     # -- reads ---------------------------------------------------------------
 

@@ -474,17 +474,24 @@ def snapshot_append_stream(
     markers scoped the way Spark's idempotent-foreachBatch recipe
     prescribes — per (sink lineage, batch id), NOT per batch id alone:
     batch N commits with op ``append-{sink}-b{N}`` where ``sink`` is
-    derived from the checkpoint location (the checkpoint IS the identity
-    of a delivery lineage).  The guard probes only the CURRENT version's
-    op (``SnapshotTable.current_op`` — O(1), and keep_last>=1 means no
-    ``vacuum`` can retire it): foreachBatch delivers batches in order,
-    so a redelivery after a crash between the append and the checkpoint
-    commit is always the LATEST committed batch — it matches and skips.
+    derived from the realpath of the checkpoint location (the checkpoint
+    IS the identity of a delivery lineage; realpath so a respelled path
+    to the same checkpoint stays the same lineage).  The guard is
+    two-tier and exact even when OTHER writers (a second sink, a manual
+    upsert, compaction) interleave commits on the same table:
+
+    1. a per-sink sidecar marker (``SnapshotTable.sink_marker`` — O(1),
+       vacuum never touches it) records the last batch this sink both
+       committed AND marked; redelivery at or below it skips instantly;
+    2. for the crash window (append committed, marker/checkpoint not
+       yet) the guard scans manifest ops DESCENDING only above the
+       marker's version (``has_op_since``) — bounded by the
+       interleaving window, not the table's history.
+
     A restart with a FRESH checkpoint is a NEW lineage (batch ids
     restart and regroup), so its batches append rather than being
     mistaken for replays — duplicates are possible then, data loss is
     not; dedup downstream or keep the checkpoint."""
-    import hashlib
     import tempfile
 
     from politician_etl_project_spark.storage import SnapshotTable
@@ -495,13 +502,40 @@ def snapshot_append_stream(
     # would collide a later fresh run's restarted batch ids with the
     # committed markers — exactly the loss mode the scoping prevents)
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
-    sink = hashlib.md5(ckpt.encode()).hexdigest()[:8]
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         table = SnapshotTable(batch_df.sparkSession, store_path)
-        op = f"append-{sink}-b{batch_id}"
-        if table.current_op() == op:
-            return  # redelivery of the latest committed batch
-        table.append(batch_df, op=op)
+        snapshot_guarded_append(table, _sink_lineage_id(ckpt), batch_df, batch_id)
 
     run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
+
+
+def _sink_lineage_id(checkpoint_dir: str) -> str:
+    """Stable id of a delivery lineage: md5 of the checkpoint's realpath
+    (trailing-slash or relative respellings of the same location must
+    not look like a new lineage — that would duplicate the crash-window
+    redelivery)."""
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.realpath(checkpoint_dir).encode()).hexdigest()[:8]
+
+
+def snapshot_guarded_append(table, sink: str, batch_df: DataFrame, batch_id: int) -> bool:
+    """The sink's idempotent append, factored out so tests can drive the
+    guard directly: returns True if the batch was appended, False if it
+    was recognized as a replay.  See ``snapshot_append_stream`` for the
+    two-tier guard contract."""
+    marker = table.sink_marker(sink)
+    if marker is not None and batch_id <= marker[0]:
+        return False  # committed AND marked — the common fast path
+    op = f"append-{sink}-b{batch_id}"
+    after = marker[1] if marker is not None else None
+    if table.has_op_since(op, after):
+        # crash window: append committed but marker/checkpoint didn't —
+        # record the marker now so the next probe is O(1) again
+        table.set_sink_marker(sink, batch_id, table.current_version())
+        return False
+    version = table.append(batch_df, op=op)
+    table.set_sink_marker(sink, batch_id, version)
+    return True

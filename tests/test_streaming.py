@@ -588,12 +588,19 @@ def test_snapshot_append_stream_versions_per_batch(spark, staged_events, tmp_pat
 
 
 def test_snapshot_append_stream_replay_idempotent(spark, staged_events, tmp_path):
-    """At-least-once semantics: (a) restarting with the SAME checkpoint
-    appends nothing (all batches committed), and (b) a crash between the
-    append and the checkpoint commit — Spark redelivers the LATEST batch
-    id on the same lineage — hits the current-op guard and is a no-op."""
+    """At-least-once semantics, driving the REAL guard
+    (snapshot_guarded_append): (a) same-checkpoint restart appends
+    nothing; (b) redelivery of a committed batch is skipped — even with
+    a marker wiped (crash before marker write) and even after OTHER
+    writers interleaved commits on the same table."""
+    import shutil
+
     from politician_etl_project_spark.storage import SnapshotTable
-    from politician_etl_project_spark.streaming.pipelines import snapshot_append_stream
+    from politician_etl_project_spark.streaming.pipelines import (
+        _sink_lineage_id,
+        snapshot_append_stream,
+        snapshot_guarded_append,
+    )
 
     store = str(tmp_path / "snap_store")
     ckpt = str(tmp_path / "ckpt")
@@ -602,18 +609,34 @@ def test_snapshot_append_stream_replay_idempotent(spark, staged_events, tmp_path
 
     t = SnapshotTable(spark, store)
     before = (t.versions(), t.read().count())
+    sink = _sink_lineage_id(ckpt)
+    # schema-identical to the snapshot (the append guard rejects even a
+    # timestamp vs timestamp_ntz drift, so derive from the table itself)
+    redelivered = t.read().limit(50).localCheckpoint()
+
     # (a) same-checkpoint restart: availableNow finds nothing new
     stream2 = events_stream(spark, staged_events, max_files_per_trigger=1)
     snapshot_append_stream(stream2, store, checkpoint_dir=ckpt)
     assert (t.versions(), t.read().count()) == before
-    # (b) crash-window redelivery of the latest batch: same guard the
-    # sink runs (current_op match) must skip the duplicate append
-    op = t.current_op()
-    assert op is not None and "-b3" in op
-    redelivered = _batch_events(spark).limit(50)
-    if t.current_op() != op:  # pragma: no cover - mirrors the sink guard
-        t.append(redelivered, op=op)
+
+    # (b1) marked redelivery: fast-path marker skip
+    assert snapshot_guarded_append(t, sink, redelivered, 3) is False
     assert (t.versions(), t.read().count()) == before
+
+    # (b2) crash window: marker never landed; another writer's commit
+    # moved current past our batch — the bounded history scan must still
+    # recognize the committed op, skip, and heal the marker
+    shutil.rmtree(f"{store}/markers", ignore_errors=True)
+    t.upsert(redelivered, keys=["event_id"])
+    interleaved = (t.versions(), t.read().count())
+    assert snapshot_guarded_append(t, sink, redelivered, 3) is False
+    assert (t.versions(), t.read().count()) == interleaved
+    assert t.sink_marker(sink) is not None  # healed for O(1) next time
+
+    # a genuinely NEW batch id on the same lineage still appends
+    assert snapshot_guarded_append(t, sink, redelivered, 4) is True
+    assert t.read().count() == interleaved[1] + 50
+    assert len(t.versions()) == len(interleaved[0]) + 1
 
 
 def test_snapshot_append_stream_fresh_checkpoint_is_new_lineage(
