@@ -327,6 +327,17 @@ class SnapshotTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def compact(self, target_files: int = 1) -> int:
+        """Small-files maintenance as a PUBLISHED version: rewrite the
+        current snapshot into ``target_files`` files and commit the
+        result with op='compact'.  A long append-per-batch stream leaves
+        one file per batch; scan planning degrades with file count, and
+        because compaction is just another snapshot, readers pinned to
+        older versions (and the streaming replay guard, which keys on
+        sink markers, not file layout) are untouched — run ``vacuum``
+        afterwards to actually reclaim the pre-compaction files."""
+        return self.overwrite(self.read().coalesce(target_files), op="compact")
+
     def vacuum(self, keep_last: int = 1) -> int:
         """Retire history: keep the newest ``keep_last`` versions, delete
         manifests and data files no retained version references, plus any

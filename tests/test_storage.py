@@ -325,3 +325,26 @@ def test_snapshot_empty_dataframe_roundtrip(spark, tmp_path):
     out = t.read()
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["k", "v"]
+
+
+def test_snapshot_compact_publishes_version_and_vacuum_reclaims(spark, tmp_path):
+    import os
+
+    t = _snap(spark, tmp_path)
+    for i in range(4):
+        if t.current_version() is None:
+            t.overwrite(spark.range(i * 10, (i + 1) * 10).repartition(3), op="append")
+        else:
+            t.append(spark.range(i * 10, (i + 1) * 10).repartition(3))
+    files_before = len(t._manifest(t.current_version())["files"])
+    assert files_before >= 4
+    v = t.compact(target_files=1)
+    assert t._manifest(v)["op"] == "compact"
+    assert len(t._manifest(v)["files"]) == 1
+    assert t.read().count() == 40
+    # pre-compaction versions still time-travel until vacuumed
+    assert t.read(v - 1).count() == 40
+    removed = t.vacuum(keep_last=1)
+    assert removed == files_before
+    on_disk = [f for f in os.listdir(os.path.join(t.path, "data")) if f.endswith(".parquet")]
+    assert len(on_disk) == 1
