@@ -23,6 +23,14 @@ Append discipline: survivor rows APPEND into their partitions (ids are
 new by contract, like extend_lsh_index — a changed doc re-ingested under
 the same id needs a rebuild, since its old fingerprint/bands partitions
 are unknown without a scan).
+
+Cost profile: ``ingest`` is intentionally a MULTI-JOB report operator —
+each per-stage drop count (in-batch, exact-vs-store, near-vs-store) is
+its own action over the persisted batch, plus two bounded prefix
+collects, ~6-7 small jobs total (≈5 s at sf0.1 steady-state).  Every job
+is O(batch + pruned store slice), so the shape is constant-cost at any
+corpus size; fuse the counts only if the report granularity stops being
+worth one job each.
 """
 
 from __future__ import annotations
