@@ -64,7 +64,14 @@ def build_bloom_words(keys: DataFrame, key: str, m_bits: int, k: int = 3) -> tup
         raise ValueError("m_bits must be a multiple of 64")
     key_sql = f"cast({key} as string)"
     bit_cols = [F.expr(e) for e in bloom_bit_exprs(key_sql, m_bits, k)]
-    bits = keys.select(F.explode(F.array(*bit_cols)).alias("bit")).distinct()
+    # NULL keys set no bits: md5(NULL) is NULL and a NULL never matches
+    # an equi-join anyway — without the filter the NULL bit group would
+    # index the words list with None and crash the build
+    bits = (
+        keys.filter(F.col(key).isNotNull())
+        .select(F.explode(F.array(*bit_cols)).alias("bit"))
+        .distinct()
+    )
     words_rows = (
         bits.groupBy((F.col("bit") / _WORD).cast("int").alias("w"))
         .agg(F.expr(f"bit_or(shiftleft(cast(1 as bigint), cast(bit % {_WORD} as int)))").alias("word"))

@@ -261,11 +261,13 @@ def triangles(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     wedges = a1.join(a2, "x").filter(F.col("ky") < F.col("kz")).select("x", "y", "z")
     closing = arcs.select(F.col("x").alias("y"), F.col("y").alias("z"))
     tri = wedges.join(closing, ["y", "z"])
-    t_all = [F.col("x"), F.col("y"), F.col("z")]
+    # middle vertex via array_sort, NOT x+y+z-least-greatest: the sum
+    # overflows 32-bit when the edge columns are IntegerType and ids sit
+    # near the documented < 2^31 ceiling (three ~1.5e9 ids wrap past
+    # int32 max).  array_sort keeps the input type and never widens.
+    t_sorted = F.array_sort(F.array(F.col("x"), F.col("y"), F.col("z")))
     return tri.select(
-        F.least(*t_all).alias("t1"),
-        (F.col("x") + F.col("y") + F.col("z") - F.least(*t_all) - F.greatest(*t_all)).alias(
-            "t2"
-        ),
-        F.greatest(*t_all).alias("t3"),
+        F.element_at(t_sorted, 1).alias("t1"),
+        F.element_at(t_sorted, 2).alias("t2"),
+        F.element_at(t_sorted, 3).alias("t3"),
     )

@@ -108,12 +108,15 @@ def write_zordered(
         #   ((x-lo)*top) div span — without the stretch a narrow column
         #   leaves its high bits constant and the interleave goes
         #   unbalanced again;
-        # - spans >= 2^50 would overflow the multiply ((span*top) > 2^63
-        #   — ANSI aborts, non-ANSI wraps into garbage), but they
-        #   already fill every bit, so plain division suffices.
+        # - spans >= 2^(63-bits) would overflow the multiply
+        #   (span * top approaches 2^63 — ANSI aborts, non-ANSI wraps
+        #   into garbage z-values and silently corrupt footers), but
+        #   they already fill every bit, so plain division suffices.
+        #   The threshold must track ``bits``: at bits=20 a 2^50-span
+        #   column would push the product past 2^63.
         span = max(int(hi) - int(lo), 1)
         top = (1 << bits) - 1
-        if span < (1 << 50):
+        if span < (1 << (63 - bits)):
             return F.expr(
                 f"((cast({col} as bigint) - {int(lo)}) * {top}) div {span}"
             )

@@ -418,6 +418,13 @@ def apply_changelog(
     extra = [c for c in value_cols if c not in base.columns]
     if extra:
         raise ValueError(f"changelog value columns not in base: {extra}")
+    reserved = {"_op", "_base_present", "_last"} | {f"_new_{c}" for c in value_cols}
+    clash = sorted(reserved & (set(base.columns) | set(changes.columns)))
+    if clash:
+        raise ValueError(
+            f"apply_changelog reserves working columns {clash}; rename them "
+            "in the inputs (same contract as write_zordered's '_z')"
+        )
     latest = (
         changes.groupBy(key)
         .agg(F.max(F.struct(seq, op, *value_cols)).alias("_last"))

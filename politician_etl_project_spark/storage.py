@@ -71,6 +71,11 @@ def _bucket_key(spark: SparkSession, table: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+class SnapshotConflictError(RuntimeError):
+    """A concurrent writer claimed the version slot (cross-host race) or
+    won too many optimistic retries in a row."""
+
+
 class SnapshotTable:
     """Versioned managed table with time travel, the third storage tool
     beside partitioning and bucketing: every write publishes an IMMUTABLE
@@ -98,9 +103,26 @@ class SnapshotTable:
     ``os.replace`` flips ``_CURRENT``.  A crash at any point leaves
     either the previous version live (orphan files/manifests are
     harmless and vacuumable) or the new version fully published — never
-    a torn table.  Reference analog: the reference re-ingests whole FEC
-    files destructively (scripts/ingest_bulk_donations.py); this keeps
-    every load auditable and revertible.
+    a torn table.
+
+    Concurrency: commits serialize on an ``fcntl`` file lock held only
+    for the version-allocation + manifest + pointer-flip window (staging
+    — the expensive Spark write — happens OUTSIDE the lock under a
+    commit-unique file prefix, so two writers never block each other's
+    I/O and never collide on file names).  Version slots are claimed
+    with ``O_CREAT|O_EXCL`` as a second line of defense: a writer that
+    bypasses the lock (e.g. a second host on a network mount where
+    ``flock`` doesn't travel) gets :class:`SnapshotConflictError`
+    instead of silently clobbering a committed manifest.  Multi-HOST
+    writers should front commits with a shared lock service, the same
+    boundary Delta draws with its commit coordinators on S3.
+    Read-modify-write ops (``upsert``, ``compact``) run optimistically:
+    merge + stage against a read version, then publish only if the
+    table hasn't advanced, else re-merge and retry.
+
+    Reference analog: the reference re-ingests whole FEC files
+    destructively (scripts/ingest_bulk_donations.py); this keeps every
+    load auditable and revertible.
     """
 
     def __init__(self, spark: SparkSession, path: str):
@@ -240,35 +262,70 @@ class SnapshotTable:
 
     # -- writes --------------------------------------------------------------
 
-    def _stage_files(self, df: DataFrame, version: int) -> list[str]:
-        """Write df's parquet files and move them into data/ under
-        version-prefixed (hence globally unique, collision-free) names."""
+    def _stage_files(self, df: DataFrame) -> list[str]:
+        """Write df's parquet files and move them into data/ under a
+        commit-unique token prefix — collision-free even when several
+        writers stage concurrently (the version number isn't known
+        until the commit lock is held, which is AFTER staging)."""
         import os
         import shutil
         import tempfile
+        import uuid
 
+        token = uuid.uuid4().hex[:12]
         staging = tempfile.mkdtemp(prefix="snap-", dir=self.path)
         try:
             df.write.mode("overwrite").parquet(staging)
             names = []
             for fn in sorted(os.listdir(staging)):
                 if fn.endswith(".parquet"):
-                    dst = f"v{version:06d}-{fn}"
+                    dst = f"c{token}-{fn}"
                     os.replace(os.path.join(staging, fn), os.path.join(self.path, "data", dst))
                     names.append(dst)
             return names
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
-    def _publish(
-        self, version: int, parent, files: list[str], op: str, schema_json: dict
-    ) -> int:
-        """Commit ``version``: manifest write + atomic pointer flip.
-        Takes the version/parent the caller staged files under — deriving
-        them again here could diverge from the staged file prefixes."""
+    def _unstage_files(self, files: list[str]) -> None:
+        """Drop files staged by an abandoned optimistic attempt (they are
+        referenced by no manifest, so removal is always safe)."""
+        import os
+
+        for fn in files:
+            try:
+                os.remove(os.path.join(self.path, "data", fn))
+            except FileNotFoundError:
+                pass
+
+    def _commit_lock(self):
+        """Exclusive advisory lock serializing the allocate-publish
+        window across processes ON THIS HOST (see class docstring for
+        the multi-host boundary)."""
+        import contextlib
+        import fcntl
+        import os
+
+        @contextlib.contextmanager
+        def _lock():
+            fd = os.open(os.path.join(self.path, "_commit.lock"), os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _lock()
+
+    def _publish_locked(self, parent, files: list[str], op: str, schema_json: dict) -> int:
+        """Allocate the next version and commit it: exclusive manifest
+        create + atomic pointer flip.  MUST be called with the commit
+        lock held; ``parent`` must equal ``current_version()`` (the
+        caller re-reads it under the lock)."""
         import json
         import os
 
+        version = 1 if parent is None else parent + 1
         man = {
             "version": version,
             "parent": parent,
@@ -277,10 +334,23 @@ class SnapshotTable:
             "schema": schema_json,
         }
         man_path = os.path.join(self.path, "versions", f"v{version:06d}.json")
-        tmp = man_path + ".tmp"
-        with open(tmp, "w") as fh:
+        # a manifest already at this slot is a TORN write (manifest
+        # landed, pointer flip didn't — its writer died, or it would
+        # hold the lock we hold): the commit never happened, so the
+        # slot is reclaimable and the orphan's data files age out via
+        # vacuum.  Renumbering around it instead would resurrect the
+        # torn manifest into visible history once the pointer passed it.
+        if os.path.exists(man_path):
+            os.remove(man_path)
+        try:
+            fd = os.open(man_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:  # un-locked writer raced us (other host)
+            raise SnapshotConflictError(
+                f"version {version} claimed concurrently at {self.path}; "
+                "multi-host writers need a shared lock service"
+            ) from exc
+        with os.fdopen(fd, "w") as fh:
             json.dump(man, fh)
-        os.replace(tmp, man_path)
         ptr_tmp = self._pointer_path() + ".tmp"
         with open(ptr_tmp, "w") as fh:
             fh.write(f"v{version:06d}")
@@ -288,42 +358,61 @@ class SnapshotTable:
         return version
 
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
-        parent = self.current_version()
-        version = 1 if parent is None else parent + 1
-        files = self._stage_files(df, version)
-        return self._publish(version, parent, files, op, df.schema.jsonValue())
+        files = self._stage_files(df)
+        with self._commit_lock():
+            return self._publish_locked(
+                self.current_version(), files, op, df.schema.jsonValue()
+            )
 
     def append(self, df: DataFrame, op: str = "append") -> int:
         """O(new data): parent files are REFERENCED, not copied.  ``op``
         labels the manifest (streaming sinks tag their sink + batch id,
         making the audit trail double as a replay-marker store).
         Rejects a schema that differs from the parent snapshot's —
-        shared-file reads would silently null the divergent columns."""
-        parent = self.current_version()
-        if parent is None:
-            return self.overwrite(df, op=op)
-        pman = self._manifest(parent)
-        want = [(f["name"], f["type"]) for f in pman["schema"]["fields"]]
+        shared-file reads would silently null the divergent columns.
+        The parent's file list is resolved UNDER the commit lock, so an
+        append never loses rows committed by an interleaved writer."""
         got = [(f["name"], f["type"]) for f in df.schema.jsonValue()["fields"]]
-        if want != got:
-            raise ValueError(
-                f"append schema {got} does not match snapshot schema {want}; "
-                "use overwrite() for schema changes"
+        new_files = self._stage_files(df)
+        with self._commit_lock():
+            parent = self.current_version()
+            if parent is None:
+                return self._publish_locked(None, new_files, op, df.schema.jsonValue())
+            pman = self._manifest(parent)
+            want = [(f["name"], f["type"]) for f in pman["schema"]["fields"]]
+            if want != got:
+                self._unstage_files(new_files)
+                raise ValueError(
+                    f"append schema {got} does not match snapshot schema {want}; "
+                    "use overwrite() for schema changes"
+                )
+            return self._publish_locked(
+                parent, pman["files"] + new_files, op, df.schema.jsonValue()
             )
-        version = parent + 1
-        new_files = self._stage_files(df, version)
-        files = pman["files"] + new_files
-        return self._publish(version, parent, files, op, df.schema.jsonValue())
 
     def upsert(self, df: DataFrame, keys: list[str], update_wins: bool = True) -> int:
         """Copy-on-write MERGE: the merged result becomes the new
-        snapshot's file set; the parent snapshot stays readable."""
+        snapshot's file set; the parent snapshot stays readable.
+        Optimistic: if another writer commits between the base read and
+        the publish, the stale merge is discarded and re-run against the
+        new current version (bounded retries)."""
         from politician_etl_project_spark.operators.upsert import dedup_keys, merge_keep
 
-        if self.current_version() is None:
-            return self.overwrite(dedup_keys(df, keys), op="upsert")
-        merged = merge_keep(self.read(), df, keys, update_wins=update_wins)
-        return self.overwrite(merged, op="upsert")
+        for _ in range(5):
+            base_version = self.current_version()
+            if base_version is None:
+                merged = dedup_keys(df, keys)
+            else:
+                merged = merge_keep(
+                    self.read(base_version), df, keys, update_wins=update_wins
+                )
+            files = self._stage_files(merged)
+            schema_json = merged.schema.jsonValue()
+            with self._commit_lock():
+                if self.current_version() == base_version:
+                    return self._publish_locked(base_version, files, "upsert", schema_json)
+            self._unstage_files(files)  # lost the race: re-merge on new base
+        raise SnapshotConflictError(f"upsert lost 5 commit races at {self.path}")
 
     # -- maintenance ---------------------------------------------------------
 
@@ -335,8 +424,40 @@ class SnapshotTable:
         because compaction is just another snapshot, readers pinned to
         older versions (and the streaming replay guard, which keys on
         sink markers, not file layout) are untouched — run ``vacuum``
-        afterwards to actually reclaim the pre-compaction files."""
-        return self.overwrite(self.read().coalesce(target_files), op="compact")
+        afterwards to actually reclaim the pre-compaction files.
+        Optimistic like ``upsert``: a batch appended mid-compaction is
+        never dropped — the stale rewrite is discarded and redone."""
+        for _ in range(5):
+            base_version = self.current_version()
+            rewritten = self.read(base_version).coalesce(target_files)
+            files = self._stage_files(rewritten)
+            schema_json = rewritten.schema.jsonValue()
+            with self._commit_lock():
+                if self.current_version() == base_version:
+                    return self._publish_locked(base_version, files, "compact", schema_json)
+            self._unstage_files(files)
+        raise SnapshotConflictError(f"compact lost 5 commit races at {self.path}")
+
+    def _sink_marker_floor(self) -> int | None:
+        """Lowest version any sink marker records, or None when no sink
+        has ever marked.  An unreadable marker pins everything (-1) —
+        losing space temporarily beats reopening a replay window."""
+        import json
+        import os
+
+        mdir = os.path.join(self.path, "markers")
+        if not os.path.isdir(mdir):
+            return None
+        floors = []
+        for fn in os.listdir(mdir):
+            if fn.endswith(".tmp"):
+                continue
+            try:
+                with open(os.path.join(mdir, fn)) as fh:
+                    floors.append(int(json.load(fh)["version"]))
+            except Exception:
+                floors.append(-1)
+        return min(floors) if floors else None
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Retire history: keep the newest ``keep_last`` versions, delete
@@ -347,15 +468,28 @@ class SnapshotTable:
         MAINTENANCE op — run it only while no writer is mid-commit, like
         Delta's VACUUM (whose retention window exists for exactly this):
         an in-flight writer's staged-but-unpublished files look like
-        orphans here.  The streaming sink's replay guard survives any
-        vacuum, because it probes only the CURRENT version's op
-        (``current_op``), which ``keep_last >= 1`` always retains."""
+        orphans here.
+
+        Streaming replay guard: a sink that crashed between its append
+        commit and its marker/checkpoint write is detected on replay by
+        scanning manifest OPS above its last marker
+        (``has_op_since``) — so every version ABOVE the oldest sink
+        marker is retained (manifest AND files) in addition to the
+        newest ``keep_last``.  Deleting that window would let the
+        replayed batch re-append (silent duplication).  The retention is
+        self-healing: the window closes as soon as each sink commits and
+        marks once more, and the next vacuum reclaims it.  A sink that
+        has never written a marker is still inside its first commit —
+        covered by the no-writer-mid-commit precondition above."""
         import os
 
         vs = self.versions()
         if not vs:
             return 0
         keep = set(vs[-max(keep_last, 1):])
+        floor = self._sink_marker_floor()
+        if floor is not None:
+            keep |= {v for v in vs if v > floor}
         live = set()
         for v in keep:
             live.update(self._manifest(v)["files"])

@@ -389,20 +389,33 @@ def sketch_maintenance_stream(
     Replay-idempotent over foreachBatch's at-least-once delivery via a
     versioned store with an atomic pointer (stronger than the marker-dir
     scheme in rollup_maintenance_stream, closing the round-3 advice):
-    batch N's merged sketch is written to ``versions/b{N}`` and only then
-    does an atomic rename flip ``_CURRENT`` to it.  A crash BEFORE the
-    flip leaves ``_CURRENT`` on the previous version, so the replayed
-    batch merges against the OLD sketch (no double count); a crash AFTER
-    the flip makes the replay hit the ``_CURRENT == b{N}`` guard and
-    skip.  Only a missing pointer means "first batch" — a genuine store
-    read error now propagates instead of silently resetting history."""
+    batch N's merged sketch is written to ``versions/{lineage}-b{N}``
+    and only then does an atomic rename flip ``_CURRENT`` to it.  A
+    crash BEFORE the flip leaves ``_CURRENT`` on the previous version,
+    so the replayed batch merges against the OLD sketch (no double
+    count); a crash AFTER the flip makes the replay hit the
+    ``_CURRENT == {lineage}-b{N}`` guard and skip.  Only a missing
+    pointer means "first batch" — a genuine store read error propagates
+    instead of silently resetting history.
+
+    Versions are scoped by delivery lineage (md5 of the checkpoint's
+    realpath, same scheme as ``snapshot_append_stream``), NOT by batch
+    id alone: a rerun with a FRESH checkpoint restarts batch ids at 0,
+    and an unscoped ``b0`` guard would mistake that run's first batch
+    for a replay of the old run's ``b0`` and silently drop its counts.
+    Under a new lineage the first batch MERGES into the existing sketch
+    instead."""
     import os
+    import tempfile
 
     from politician_etl_project_spark.streaming.sources import run_foreach_batch
 
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    lineage = _sink_lineage_id(ckpt)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        version = f"b{batch_id}"
+        version = f"{lineage}-b{batch_id}"
         current_version = _sketch_current_version(store_path)
         if current_version == version:  # crash-after-commit replay
             return
@@ -455,7 +468,7 @@ def sketch_maintenance_stream(
             if old not in keep:
                 shutil.rmtree(os.path.join(vdir, old), ignore_errors=True)
 
-    run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)
+    run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
 
 
 def snapshot_append_stream(

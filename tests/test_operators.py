@@ -832,3 +832,54 @@ def test_bloom_param_validation(spark):
         build_bloom_words(spark.range(1), "id", 100, 3)
     with _pytest.raises(ValueError, match="1..4"):
         bloom_bit_exprs("cast(id as string)", 1024, 5)
+
+
+def test_triangles_int32_ids_near_ceiling(spark):
+    """Round-4 review finding: the middle vertex must not be derived via
+    x+y+z arithmetic — three int32 ids near the documented < 2^31
+    ceiling sum past int32 max.  array_sort keeps the input type and
+    never widens."""
+    from politician_etl_project_spark.operators.graph import triangles
+
+    a, b, c = 1_500_000_000, 2_000_000_000, 2_100_000_000
+    df = spark.createDataFrame([(a, b), (b, c), (a, c)], "u int, v int")
+    got = [(r.t1, r.t2, r.t3) for r in triangles(df).collect()]
+    assert got == [(a, b, c)]
+    assert dict(triangles(df).dtypes) == {"t1": "int", "t2": "int", "t3": "int"}
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    """Round-4 review finding: a NULL dim key must set no bits (a NULL
+    never equi-joins anyway) instead of crashing the build."""
+    from politician_etl_project_spark.operators.bloom import bloom_probe, build_bloom_words
+
+    keys = spark.createDataFrame([(1,), (2,), (None,)], "k int")
+    words, bits_set = build_bloom_words(keys, "k", 512, 3)
+    assert bits_set > 0
+    probe = spark.createDataFrame([(1,), (2,)], "k int").filter(
+        bloom_probe("k", words, 512, 3)
+    )
+    assert probe.count() == 2  # members still always pass
+
+
+def test_changelog_rejects_reserved_working_columns(spark):
+    from politician_etl_project_spark.operators.upsert import apply_changelog
+
+    base = spark.createDataFrame([(1, "x", True)], "k int, v string, _base_present boolean")
+    chg = spark.createDataFrame([(1, 1, "U", "y")], "k int, seq int, op string, v string")
+    with pytest.raises(ValueError, match="reserves working columns"):
+        apply_changelog(base, chg, key="k", seq="seq")
+
+
+def test_write_zordered_wide_span_high_bits(spark, tmp_path):
+    """Round-4 review finding: the stretch-quantizer threshold must
+    track ``bits`` — at bits=20 a ~2^45-wide span would push the
+    (span * top) multiply past 2^63 (ANSI abort / silent wrap)."""
+    from politician_etl_project_spark.operators.layout import write_zordered
+
+    rows = [(i * (1 << 42), i * 7 % 100) for i in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")  # span of a ~ 2^45.9
+    path = str(tmp_path / "z_widespan")
+    write_zordered(df, path, "a", "b", n_files=2, bits=20)
+    back = spark.read.parquet(path)
+    assert {(r.a, r.b) for r in back.collect()} == set(rows)

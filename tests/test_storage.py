@@ -348,3 +348,73 @@ def test_snapshot_compact_publishes_version_and_vacuum_reclaims(spark, tmp_path)
     assert removed == files_before
     on_disk = [f for f in os.listdir(os.path.join(t.path, "data")) if f.endswith(".parquet")]
     assert len(on_disk) == 1
+
+
+def test_snapshot_vacuum_retains_replay_guard_window(spark, tmp_path):
+    """The round-4 review's duplication scenario: sink commits batch N's
+    append then crashes BEFORE writing its marker; an interleaved
+    compact advances the table; vacuum(keep_last=1) runs.  The vacuum
+    must retain every version above the sink's last marker so the
+    replayed batch still finds its op and is NOT re-appended."""
+    from politician_etl_project_spark.streaming.pipelines import snapshot_guarded_append
+
+    t = _snap(spark, tmp_path)
+    b0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    b1 = spark.createDataFrame([(2, "b")], "k long, v string")
+    assert snapshot_guarded_append(t, "sinkA", b0, 0) is True  # marker at v1
+    # crash window: batch 1's append commits but the marker never lands
+    t.append(b1, op="append-sinkA-b1")
+    t.compact(target_files=1)  # interleaved writer advances the table
+    t.vacuum(keep_last=1)
+    # versions above the marker floor (v1) survive for the guard
+    assert 2 in t.versions()
+    # replay of batch 1 must be recognized, not duplicated
+    assert snapshot_guarded_append(t, "sinkA", b1, 1) is False
+    assert t.read().count() == 2
+    # and the guard healed the marker, so the window closes: after one
+    # more committed+marked batch, vacuum reclaims everything old
+    assert snapshot_guarded_append(t, "sinkA", spark.createDataFrame(
+        [(3, "c")], "k long, v string"), 2) is True
+    t.vacuum(keep_last=1)
+    assert t.versions() == [t.current_version()]
+
+
+def test_snapshot_interleaved_writers_two_handles(spark, tmp_path):
+    """Two independent handles on the same table path interleaving
+    appends: every committed row survives and versions are allocated
+    without collision (parent resolved under the commit lock)."""
+    a = _snap(spark, tmp_path, "shared")
+    b = _snap(spark, tmp_path, "shared")
+    a.overwrite(spark.createDataFrame([(1,)], "k long"))
+    b.append(spark.createDataFrame([(2,)], "k long"))
+    a.append(spark.createDataFrame([(3,)], "k long"))
+    b.upsert(spark.createDataFrame([(4,)], "k long"), keys=["k"])
+    assert a.versions() == [1, 2, 3, 4]
+    assert {r.k for r in a.read().collect()} == {1, 2, 3, 4}
+
+
+def test_snapshot_upsert_retries_when_table_advances(spark, tmp_path, monkeypatch):
+    """Optimistic upsert: if another writer commits between the base
+    read and the publish, the stale merge is discarded and re-run
+    against the new version — the interleaved append's rows survive."""
+    t = _snap(spark, tmp_path)
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    real_stage = storage.SnapshotTable._stage_files
+    raced = {"done": False}
+
+    def stage_and_race(self, df):
+        files = real_stage(self, df)
+        if not raced["done"]:
+            raced["done"] = True
+            # interleaved writer lands AFTER the upsert staged its merge
+            other = storage.SnapshotTable(spark, self.path)
+            monkeypatch.setattr(storage.SnapshotTable, "_stage_files", real_stage)
+            other.append(spark.createDataFrame([(9, "z")], "k long, v string"))
+            monkeypatch.setattr(storage.SnapshotTable, "_stage_files", stage_and_race)
+        return files
+
+    monkeypatch.setattr(storage.SnapshotTable, "_stage_files", stage_and_race)
+    t.upsert(spark.createDataFrame([(2, "b")], "k long, v string"), keys=["k"])
+    monkeypatch.setattr(storage.SnapshotTable, "_stage_files", real_stage)
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (9, "z"), (2, "b")}

@@ -673,3 +673,44 @@ def test_snapshot_append_rejects_schema_drift(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
     with _pytest.raises(ValueError, match="does not match snapshot schema"):
         t.append(spark.createDataFrame([(2, 5)], "k long, w long"))
+
+
+def test_sketch_maintenance_fresh_checkpoint_merges_not_skips(spark, staged_events, tmp_path):
+    """Round-4 review finding: versions are scoped by delivery lineage,
+    so a rerun with a FRESH checkpoint (batch ids restart at 0) MERGES
+    its first batch into the existing sketch instead of mistaking it
+    for a replay of the old lineage's batch 0 and dropping it."""
+    from politician_etl_project_spark.streaming.pipelines import (
+        _event_cms,
+        read_sketch_store,
+        sketch_maintenance_stream,
+    )
+
+    store = str(tmp_path / "cms_store")
+    stream = events_stream(spark, staged_events, max_files_per_trigger=1)
+    sketch_maintenance_stream(stream, store, checkpoint_dir=str(tmp_path / "ckptA"))
+
+    # second run: NEW data, FRESH checkpoint -> lineage B, batch ids from 0
+    src2 = str(tmp_path / "events_src2")
+    extra = spark.createDataFrame(
+        [(10_000 + i, f"extra_type_{i % 2}") for i in range(200)],
+        "event_id long, event_type string",
+    )
+    extra.coalesce(1).write.mode("overwrite").parquet(src2)
+    schema = spark.read.parquet(src2).schema
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src2)
+    )
+    sketch_maintenance_stream(stream2, store, checkpoint_dir=str(tmp_path / "ckptB"))
+
+    got = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in read_sketch_store(spark, store).collect()
+    }
+    want = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in _event_cms(
+            _batch_events(spark).select("event_id", "event_type").unionByName(extra)
+        ).collect()
+    }
+    assert got == want
