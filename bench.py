@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "q_bloom_prune",
     "q_triangle_count",
     "q_time_travel",
+    "q_segment_dedup",
 ]
 
 

@@ -91,10 +91,11 @@ DRIVER_WINDOW = [
     "q_ann_index_extend",  # NEW r4: incremental LSH maintenance
     "q_bpe_vocab_stats",  # NEW r4: BPE train->apply closure
     "q_triangle_count",  # NEW r4: degree-oriented triangle enumeration
-    "q_curation_funnel",
+    "q_segment_dedup",  # NEW r4: C4/CCNet-style corpus segment dedup
     "q_bpe_train_merges",  # NEW r4: iterative BPE training loop
     "q_sketch_merge_replay",  # NEW r4: count-min monoid merge, T5 twin
     # --- end of the 50-slot driver window; overflow order below ---
+    "q_curation_funnel",
     "q_ann_lsh",
     "q_simhash",
     "q_ann_ivf",

@@ -1691,3 +1691,47 @@ def q_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("sym"))
         .limit(15)
     )
+
+
+@declared_query(
+    "q_segment_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), segs AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS seg_idx,
+         array_to_string(w[CAST(i*3+1 AS BIGINT):CAST(i*3+3 AS BIGINT)], ' ') AS seg
+  FROM toks, unnest(range(CAST(ceil(len(w) / 3.0) AS BIGINT))) AS t(i)
+), ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+), kept AS (
+  SELECT doc_id, seg_idx, seg FROM ranked WHERE rn = 1
+), totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id
+), kd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segs, COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept, k.kept_text
+FROM totals t LEFT JOIN kd k USING (doc_id)
+ORDER BY t.doc_id
+""",
+    ops=("DEDUP-segment", "A14", "U2"),
+    doc="Corpus-level exact segment (line/paragraph) dedup — the C4/CCNet "
+    "stage missing from the dedup family: 3-token segments, keep-first "
+    "corpus-wide, docs reassembled from survivors.  Spark's winner per "
+    "segment is min(struct(doc_id, seg_idx)) under a plain groupBy — "
+    "map-side combine collapses boilerplate-hot segments BEFORE the "
+    "exchange, where the oracle's row_number window (fine at oracle "
+    "scale) would sort a 100 TB hot key on one task.  operators/"
+    "dedup.segment_dedup.",
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, "doc_id", "text", seg_tokens=3).orderBy("doc_id")

@@ -883,3 +883,24 @@ def test_write_zordered_wide_span_high_bits(spark, tmp_path):
     write_zordered(df, path, "a", "b", n_files=2, bits=20)
     back = spark.read.parquet(path)
     assert {(r.a, r.b) for r in back.collect()} == set(rows)
+
+
+def test_segment_dedup_keep_first_semantics(spark):
+    """Crafted corpus: doc 0 owns every segment it introduces; doc 1
+    repeats doc 0's first segment and adds one of its own; doc 2 is a
+    full copy of doc 0 and must come back empty."""
+    from politician_etl_project_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),          # segs: "a b c", "d e f"
+            (1, "a b c x y z"),          # "a b c" dropped, "x y z" kept
+            (2, "a b c d e f"),          # everything dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(docs, seg_tokens=3).collect()}
+    assert (out[0].n_segs, out[0].n_kept, out[0].kept_text) == (2, 2, "a b c d e f")
+    assert (out[1].n_segs, out[1].n_kept, out[1].kept_text) == (2, 1, "x y z")
+    assert (out[2].n_segs, out[2].n_kept) == (2, 0)
+    assert out[2].kept_text is None

@@ -484,3 +484,13 @@ def test_triangles_plan_is_bounded(spark, specs):
     plan = plan_of(spark, specs, "q_triangle_count")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 12, plan.count("Exchange")
+
+
+def test_segment_dedup_no_window_partial_agg(spark, specs):
+    """Corpus segment dedup must pick its keep-first winner with a plain
+    aggregate (map-side combine survives boilerplate-hot segments), not
+    a row_number window that sorts each hot segment on one task."""
+    plan = plan_of(spark, specs, "q_segment_dedup")
+    assert "Window" not in plan
+    assert "partial_min" in plan or plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
