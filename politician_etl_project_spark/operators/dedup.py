@@ -421,7 +421,13 @@ def segment_dedup(
             ),
         ).alias("kept_text"),
     )
-    per_doc = segs.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_segs"))
+    # per-doc totals from a NARROW projection, not a second pass over the
+    # corpus-wide explode: n_segs is derivable row-locally, and the
+    # where-clause mirrors posexplode's NULL-text row drop
+    per_doc = docs.select(
+        F.col(id_col),
+        F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("bigint").alias("n_segs"),
+    ).where(F.col("n_segs").isNotNull())
     return per_doc.join(kept_per_doc, id_col, "left").select(
         F.col(id_col),
         "n_segs",

@@ -419,6 +419,8 @@ def apply_changelog(
     if extra:
         raise ValueError(f"changelog value columns not in base: {extra}")
     reserved = {"_op", "_base_present", "_last"} | {f"_new_{c}" for c in value_cols}
+    if status_col is not None:
+        reserved.add(status_col)
     clash = sorted(reserved & (set(base.columns) | set(changes.columns)))
     if clash:
         raise ValueError(

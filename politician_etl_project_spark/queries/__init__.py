@@ -37,12 +37,13 @@ DRIVER_WINDOW = [
     # its application), q_ann_index_extend (incremental LSH maintenance
     # proven equal to the full rebuild), q_zorder_layout (Morton
     # clustering key), q_cdc_apply (I/U/D changelog MERGE),
-    # q_bloom_prune (bloom semijoin pruning with measured FP rate), and
-    # q_triangle_count (degree-oriented triangle enumeration).
-    # Remaining slots: sentinels from code touched in round 4 (banded
-    # SimHash rewrite in q_simhash_near_pairs / q_dedup_multi_policy,
-    # stored-index cache keys in q_ann_lsh, funnel fusion in
-    # q_curation_funnel).
+    # q_bloom_prune (bloom semijoin pruning with measured FP rate),
+    # q_triangle_count (degree-oriented triangle enumeration), and
+    # q_segment_dedup (corpus-level C4/CCNet-style segment dedup).
+    # Remaining slots: sentinels from code REWRITTEN in round 4 (the
+    # banded SimHash pair generation in q_simhash_near_pairs and the
+    # simhash branch of q_dedup_multi_policy) — previously driver-green
+    # only in their pre-banding form.
     # tests/test_window.py asserts this composition mechanically.
     "q_gap_fill",
     "q_calendar_spine",

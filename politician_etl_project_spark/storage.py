@@ -84,7 +84,10 @@ class SnapshotTable:
     Layout (the essential core of a lakehouse table format, expressed
     with nothing but parquet + atomic renames):
 
-    - ``data/v{N}-*.parquet``   — immutable data files, never rewritten
+    - ``data/c{token}-*.parquet`` — immutable data files, never
+      rewritten; named by a commit-unique token (NOT the version — the
+      version number isn't known until the commit lock is held, after
+      staging); a version's files are listed only in its manifest
     - ``versions/v{N}.json``    — manifest: the FILE LIST composing
       snapshot N (plus op, parent, schema)
     - ``_CURRENT``              — atomic pointer to the live version
@@ -334,13 +337,21 @@ class SnapshotTable:
             "schema": schema_json,
         }
         man_path = os.path.join(self.path, "versions", f"v{version:06d}.json")
-        # a manifest already at this slot is a TORN write (manifest
-        # landed, pointer flip didn't — its writer died, or it would
-        # hold the lock we hold): the commit never happened, so the
-        # slot is reclaimable and the orphan's data files age out via
-        # vacuum.  Renumbering around it instead would resurrect the
-        # torn manifest into visible history once the pointer passed it.
+        # A manifest already at this slot is EITHER a torn write
+        # (manifest landed, pointer flip didn't — its writer died, or
+        # it would hold the lock we hold) or a commit by a writer whose
+        # lock we cannot see (other host).  The live pointer tells them
+        # apart: at or above the slot ⇒ committed ⇒ conflict; below ⇒
+        # torn ⇒ reclaim the slot (renumbering around it instead would
+        # resurrect the torn manifest into visible history once the
+        # pointer passed it).
         if os.path.exists(man_path):
+            cur = self.current_version()
+            if cur is not None and cur >= version:
+                raise SnapshotConflictError(
+                    f"version {version} already committed at {self.path}; "
+                    "multi-host writers need a shared lock service"
+                )
             os.remove(man_path)
         try:
             fd = os.open(man_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -438,26 +449,36 @@ class SnapshotTable:
             self._unstage_files(files)
         raise SnapshotConflictError(f"compact lost 5 commit races at {self.path}")
 
-    def _sink_marker_floor(self) -> int | None:
-        """Lowest version any sink marker records, or None when no sink
-        has ever marked.  An unreadable marker pins everything (-1) —
-        losing space temporarily beats reopening a replay window."""
-        import json
-        import os
+    def _replay_guard_versions(self, vs: list[int]) -> set[int]:
+        """Versions whose manifest op is a sink append NOT yet covered by
+        that sink's marker — exactly the set ``has_op_since`` may need on
+        a crash-window replay (append committed, marker/checkpoint
+        didn't).  A sink with NO marker file retains all its append
+        versions (a sink that crashed before its very FIRST marker is
+        the same window); an unreadable marker pins that sink's appends
+        (losing space temporarily beats reopening a replay window).
+        Versions with non-sink ops (compact/overwrite/upsert) are never
+        pinned, so a retired sink's stale marker holds no history beyond
+        its own last unmarked appends — i.e. nothing."""
+        import re
 
-        mdir = os.path.join(self.path, "markers")
-        if not os.path.isdir(mdir):
-            return None
-        floors = []
-        for fn in os.listdir(mdir):
-            if fn.endswith(".tmp"):
+        out: set[int] = set()
+        marker_cache: dict[str, int | None] = {}
+        for v in vs:
+            m = re.fullmatch(r"append-(.+)-b\d+", self._manifest(v)["op"])
+            if not m:
                 continue
-            try:
-                with open(os.path.join(mdir, fn)) as fh:
-                    floors.append(int(json.load(fh)["version"]))
-            except Exception:
-                floors.append(-1)
-        return min(floors) if floors else None
+            sink = m.group(1)
+            if sink not in marker_cache:
+                try:
+                    mk = self.sink_marker(sink)
+                    marker_cache[sink] = None if mk is None else int(mk[1])
+                except Exception:
+                    marker_cache[sink] = None  # unreadable: pin this sink's appends
+            mv = marker_cache[sink]
+            if mv is None or v > mv:
+                out.add(v)
+        return out
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Retire history: keep the newest ``keep_last`` versions, delete
@@ -470,26 +491,26 @@ class SnapshotTable:
         an in-flight writer's staged-but-unpublished files look like
         orphans here.
 
-        Streaming replay guard: a sink that crashed between its append
+        Streaming replay guard: a sink that crashed between an append
         commit and its marker/checkpoint write is detected on replay by
-        scanning manifest OPS above its last marker
-        (``has_op_since``) — so every version ABOVE the oldest sink
-        marker is retained (manifest AND files) in addition to the
-        newest ``keep_last``.  Deleting that window would let the
-        replayed batch re-append (silent duplication).  The retention is
-        self-healing: the window closes as soon as each sink commits and
-        marks once more, and the next vacuum reclaims it.  A sink that
-        has never written a marker is still inside its first commit —
-        covered by the no-writer-mid-commit precondition above."""
+        scanning manifest OPS above its last marker (``has_op_since``).
+        Vacuum therefore retains every version whose op is a sink append
+        not yet covered by that sink's marker (including a sink's FIRST
+        batch, before any marker exists) — deleting one would let the
+        replayed batch re-append, silently duplicating rows.  The
+        retention is precise and self-healing: only the sink's own
+        unmarked append versions are pinned (interleaved compactions
+        and other writers' history stay reclaimable, and a
+        decommissioned sink's stale marker pins nothing), and the
+        window closes as soon as the sink commits-and-marks or its
+        replay heals the marker."""
         import os
 
         vs = self.versions()
         if not vs:
             return 0
         keep = set(vs[-max(keep_last, 1):])
-        floor = self._sink_marker_floor()
-        if floor is not None:
-            keep |= {v for v in vs if v > floor}
+        keep |= self._replay_guard_versions(vs)
         live = set()
         for v in keep:
             live.update(self._manifest(v)["files"])

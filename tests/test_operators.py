@@ -904,3 +904,26 @@ def test_segment_dedup_keep_first_semantics(spark):
     assert (out[1].n_segs, out[1].n_kept, out[1].kept_text) == (2, 1, "x y z")
     assert (out[2].n_segs, out[2].n_kept) == (2, 0)
     assert out[2].kept_text is None
+
+
+def test_changelog_rejects_status_col_collision(spark):
+    from politician_etl_project_spark.operators.upsert import apply_changelog
+
+    base = spark.createDataFrame([(1, "x")], "k int, v string")
+    chg = spark.createDataFrame([(1, 1, "U", "y")], "k int, seq int, op string, v string")
+    with pytest.raises(ValueError, match="reserves working columns"):
+        apply_changelog(base, chg, key="k", seq="seq", status_col="v")
+
+
+def test_segment_dedup_null_text_dropped_single_explode(spark):
+    """NULL-text docs vanish from the output (posexplode semantics), and
+    the per-doc totals come from a narrow projection — the corpus-wide
+    explode appears ONCE in the plan."""
+    from politician_etl_project_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None)], "doc_id long, text string"
+    )
+    out = segment_dedup(docs, seg_tokens=3)
+    assert [r.doc_id for r in out.collect()] == [0]
+    assert out._jdf.queryExecution().optimizedPlan().toString().count("posexplode") <= 1

@@ -582,3 +582,46 @@ def test_snapshot_table_matches_model(spark, writes, tmp_path_factory):
     for v, want in zip(t.versions(), model_states):
         got = sorted((r.k, r.v) for r in t.read(v).collect())
         assert got == sorted(want), f"version {v}: {got} != {sorted(want)}"
+
+
+# ---------------------------------------------------------------------------
+# Corpus segment dedup (operators/dedup.segment_dedup)
+# ---------------------------------------------------------------------------
+
+_seg_corpus = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=9).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _segment_dedup_model(texts, k=3):
+    """Brute-force keep-first model over (doc order, segment order)."""
+    seen = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        w = text.split()
+        segs = [" ".join(w[i : i + k]) for i in range(0, len(w), k)]
+        kept = [s for s in segs if s not in seen and not seen.add(s)]
+        out[doc_id] = (len(segs), len(kept), " ".join(kept) if kept else None)
+    return out
+
+
+@given(texts=_seg_corpus, parts=st.sampled_from([1, 5]))
+@settings(**_SETTINGS)
+def test_segment_dedup_matches_python_model(spark, texts, parts):
+    """Tiny vocab forces heavy cross-doc segment collisions; the Spark
+    aggregate's winner must equal the sequential keep-first model for
+    every doc, under any partitioning."""
+    from politician_etl_project_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.kept_text)
+        for r in segment_dedup(docs, seg_tokens=3).collect()
+    }
+    assert got == _segment_dedup_model(texts, 3)

@@ -418,3 +418,50 @@ def test_snapshot_upsert_retries_when_table_advances(spark, tmp_path, monkeypatc
     t.upsert(spark.createDataFrame([(2, "b")], "k long, v string"), keys=["k"])
     monkeypatch.setattr(storage.SnapshotTable, "_stage_files", real_stage)
     assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (9, "z"), (2, "b")}
+
+
+def test_snapshot_vacuum_retains_first_batch_crash_window(spark, tmp_path):
+    """A sink that crashes between its very FIRST append commit and its
+    first marker write has no marker file at all; vacuum must still
+    retain that append version for the replay guard."""
+    from politician_etl_project_spark.streaming.pipelines import snapshot_guarded_append
+
+    t = _snap(spark, tmp_path)
+    t.overwrite(spark.createDataFrame([(0, "seed")], "k long, v string"))
+    b0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    t.append(b0, op="append-sinkB-b0")  # crash before set_sink_marker
+    t.compact(target_files=1)
+    t.vacuum(keep_last=1)
+    assert snapshot_guarded_append(t, "sinkB", b0, 0) is False
+    assert t.read().count() == 2
+
+
+def test_snapshot_dead_sink_marker_pins_nothing(spark, tmp_path):
+    """A decommissioned sink's stale marker must not pin later history:
+    only a sink's OWN unmarked append versions are retained, so a table
+    advanced by other ops vacuums down to keep_last."""
+    from politician_etl_project_spark.streaming.pipelines import snapshot_guarded_append
+
+    t = _snap(spark, tmp_path)
+    snapshot_guarded_append(
+        t, "dead_sink", spark.createDataFrame([(1,)], "k long"), 0
+    )  # marker at v1, sink never returns
+    for i in range(2, 5):
+        t.append(spark.createDataFrame([(i,)], "k long"), op="manual")
+    t.compact(target_files=1)
+    t.vacuum(keep_last=1)
+    assert t.versions() == [t.current_version()]
+
+
+def test_snapshot_publish_refuses_committed_slot(spark, tmp_path):
+    """Cross-host defense: a manifest slot that the live pointer already
+    covers is a COMMITTED version — publishing over it must raise, not
+    silently clobber (only a torn manifest above the pointer is
+    reclaimable)."""
+    t = _snap(spark, tmp_path)
+    t.overwrite(spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    with pytest.raises(storage.SnapshotConflictError, match="already committed"):
+        with t._commit_lock():
+            t._publish_locked(1, [], "append", t._manifest(1)["schema"])
+    assert t.read().count() == 2  # v2 intact

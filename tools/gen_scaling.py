@@ -35,6 +35,7 @@ QUERIES = [
     "q_bloom_prune",         # bloom build + codegen probe
     "q_triangle_count",      # degree-oriented wedge joins
     "q_time_travel",         # manifest reads across three versions
+    "q_segment_dedup",       # corpus keep-first segment aggregate
 ]
 
 
