@@ -112,6 +112,28 @@ def minhash_signature(col: str = "text", n_hashes: int = 4) -> list[Column]:
     ]
 
 
+def band_key_array(n_hashes: int, rows_per_band: int) -> Column:
+    """THE MinHash banding formula — an array of md5 band keys over the
+    ``sig{j}`` columns, one element per band.  Single definition shared
+    by batch pair generation (:func:`lsh_candidate_pairs`,
+    :func:`lsh_bucket_pairs`) and the stored bands index
+    (operators/ingest), so the persisted index can never silently drift
+    from the batch formula: a scheme change here changes every call
+    site at once (and invalidates stored indexes loudly, since their
+    keys stop matching everywhere rather than in one forgotten copy)."""
+    n_bands = n_hashes // rows_per_band
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"sig{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -155,22 +177,13 @@ def lsh_candidate_pairs(
         sigs = df.withColumn("_toks", distinct_tokens(col)).select(
             F.col(id_col), *[F.col(c) for c in carry], *minhash_signature_from("_toks", n_hashes)
         )
-    n_bands = n_hashes // rows_per_band
     # One projection + posexplode: signatures are computed once per doc and
     # each doc emits n_bands (band_id, band_key) rows — no per-band union
     # branches re-reading the source.
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[f"sig{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
     bands = sigs.select(
-        F.col(id_col), *[F.col(c) for c in carry], F.posexplode(band_keys).alias("band_id", "band_key")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode(band_key_array(n_hashes, rows_per_band)).alias("band_id", "band_key"),
     )
     if max_bucket is not None:
         # skew guard: a band key shared by m docs yields m^2/2 candidate
@@ -235,19 +248,10 @@ def lsh_bucket_pairs(
     sigs = df.select(
         F.col(id_col), F.col(tokens_col), *minhash_signature_from(tokens_col, n_hashes)
     )
-    n_bands = n_hashes // rows_per_band
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[f"sig{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
     bands = sigs.select(
-        F.col(id_col), F.col(tokens_col), F.posexplode(band_keys).alias("band_id", "band_key")
+        F.col(id_col),
+        F.col(tokens_col),
+        F.posexplode(band_key_array(n_hashes, rows_per_band)).alias("band_id", "band_key"),
     )
     w = _W.partitionBy("band_id", "band_key").orderBy(F.asc(id_col))
     capped = (

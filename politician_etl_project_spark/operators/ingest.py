@@ -19,16 +19,26 @@ candidate verification is the same capped in-bucket Jaccard the batch
 path uses.  A 1k-doc batch against a billion-doc corpus reads
 O(batch-size) partitions, not the corpus.
 
-Append discipline: survivor rows APPEND into their partitions (ids are
-new by contract, like extend_lsh_index — a changed doc re-ingested under
-the same id needs a rebuild, since its old fingerprint/bands partitions
-are unknown without a scan).
+Append discipline: survivor rows land via partition-pruned
+insert-if-absent (anti-join on id within only the batch's partitions),
+NOT blind appends — that is what makes an at-least-once replay
+(dedup_ingest_stream's foreachBatch) converge: a batch crash between
+the fps and bands writes leaves a doc half-indexed, and the replay's
+self-exclusion in stages 2/4 plus the id-based anti-join on write
+completes exactly the missing half.  Ids are still new by contract
+(like extend_lsh_index — a CHANGED doc re-ingested under its old id
+needs a rebuild, since its old fingerprint/bands partitions are
+unknown without a scan); pass ``validate_new=True`` for a loud check
+(costs one column-pruned full scan of the fps id column per batch, and
+must NOT be combined with replayed delivery — a legitimate replay
+carries stored ids by design).
 
 Cost profile: ``ingest`` is intentionally a MULTI-JOB report operator —
-each per-stage drop count (in-batch, exact-vs-store, near-vs-store) is
-its own action over the persisted batch, plus two bounded prefix
-collects, ~6-7 small jobs total (≈5 s at sf0.1 steady-state).  Every job
-is O(batch + pruned store slice), so the shape is constant-cost at any
+each per-stage drop count (in-batch exact, exact-vs-store, in-batch
+near, near-vs-store) is its own action over the persisted batch, plus
+two bounded prefix collects and two pruned insert-if-absent anti-joins,
+~8-9 small jobs total (≈5-6 s at sf0.1 steady-state).  Every job is
+O(batch + pruned store slice), so the shape is constant-cost at any
 corpus size; fuse the counts only if the report granularity stops being
 worth one job each.
 """
@@ -41,13 +51,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from politician_etl_project_spark.operators.dedup import (
+    band_key_array,
     fingerprint,
     jaccard,
+    lsh_bucket_drops,
     minhash_signature_from,
 )
 
 _N_HASHES = 4
 _ROWS_PER_BAND = 2
+_MAX_BUCKET = 32  # same in-batch skew cap as the batch rebuild path
 
 
 def _with_fp(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -65,35 +78,26 @@ def _with_fp(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _bands_of(df: DataFrame, id_col: str) -> DataFrame:
-    """(band_id, band_key, doc_id, toks) rows — same banding scheme as
-    lsh_bucket_pairs (md5 over paired minhash sigs)."""
+    """(band_id, band_key, doc_id, toks) rows via the ONE shared banding
+    formula (:func:`~politician_etl_project_spark.operators.dedup.
+    band_key_array`) — the stored index cannot drift from the batch
+    pair-generation scheme.  posexplode computes signatures once per doc
+    instead of re-deriving them per band-union branch."""
     sigs = df.select(id_col, "toks", *minhash_signature_from("toks", _N_HASHES))
-    bands = []
-    for b in range(_N_HASHES // _ROWS_PER_BAND):
-        lo = b * _ROWS_PER_BAND
-        key = F.md5(
-            F.concat_ws("|", *[F.col(f"sig{j}") for j in range(lo, lo + _ROWS_PER_BAND)])
-        )
-        bands.append(
-            sigs.select(
-                F.lit(b).alias("band_id"),
-                key.alias("band_key"),
-                F.col(id_col),
-                "toks",
-            )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out.withColumn("bkp", F.concat(F.lit("x"), F.substring("band_key", 1, 2)))
+    return sigs.select(
+        F.col(id_col),
+        "toks",
+        F.posexplode(band_key_array(_N_HASHES, _ROWS_PER_BAND)).alias("band_id", "band_key"),
+    ).withColumn("bkp", F.concat(F.lit("x"), F.substring("band_key", 1, 2)))
 
 
 @dataclass
 class IngestReport:
     n_in: int
-    n_batch_dup: int
-    n_exact_dup: int
-    n_near_dup: int
+    n_batch_dup: int        # in-batch exact dups (same fingerprint, keep min id)
+    n_exact_dup: int        # exact dups vs the stored corpus
+    n_batch_near_dup: int   # in-batch near dups (LSH + Jaccard, keep lower id)
+    n_near_dup: int         # near dups vs the stored corpus
     n_ingested: int
 
 
@@ -115,24 +119,48 @@ class DedupIngestTable:
 
     # -- state ---------------------------------------------------------
     def initialize(self, corpus: DataFrame) -> None:
-        """Bootstrap the index from an already-deduplicated corpus.  An
-        empty corpus writes nothing — a partitioned write of zero rows
-        emits no files at all and a later read can't infer a schema, so
-        the probe side falls back to a typed empty frame instead
-        (:meth:`_pruned`)."""
+        """Bootstrap the index from an already-deduplicated corpus,
+        REPLACING any prior index at this path — including when the new
+        corpus is empty (a partitioned write of zero rows emits no files
+        at all, so without the explicit clear a stale index would
+        silently survive and later ingests would dedup against ghost
+        documents; the probe side falls back to a typed empty frame via
+        :meth:`_pruned`)."""
+        import shutil
+
+        for t in ("fps", "bands"):
+            shutil.rmtree(f"{self.path}/{t}", ignore_errors=True)
         enriched = _with_fp(corpus, self.id_col, self.text_col)
         self._append(enriched, overwrite=True)
 
     def _append(self, enriched: DataFrame, overwrite: bool = False) -> None:
+        """Write survivor rows into both tables.  Incremental mode is
+        INSERT-IF-ABSENT by id within only the batch's partitions (two
+        pruned anti-joins, O(batch)): combined with the self-exclusion
+        in the ingest probes, an at-least-once replay that finds a doc
+        half-indexed (fps written, bands not — or the reverse) completes
+        exactly the missing table instead of double-appending or
+        dropping the doc as a dup of itself."""
         mode = "overwrite" if overwrite else "append"
         if enriched.isEmpty():
             return
-        enriched.select(self.id_col, "fp", "fpp").write.partitionBy("fpp").mode(
-            mode
-        ).parquet(f"{self.path}/fps")
-        _bands_of(enriched, self.id_col).write.partitionBy("bkp").mode(
-            mode
-        ).parquet(f"{self.path}/bands")
+        fps_rows = enriched.select(self.id_col, "fp", "fpp")
+        band_rows = _bands_of(enriched, self.id_col)
+        if not overwrite:
+            fpp = [r["fpp"] for r in fps_rows.select("fpp").distinct().collect()]
+            fps_rows = fps_rows.join(
+                self._pruned("fps", "fpp", fpp).select(self.id_col),
+                self.id_col,
+                "left_anti",
+            )
+            bkp = [r["bkp"] for r in band_rows.select("bkp").distinct().collect()]
+            band_rows = band_rows.join(
+                self._pruned("bands", "bkp", bkp).select(self.id_col).distinct(),
+                self.id_col,
+                "left_anti",
+            )
+        fps_rows.write.partitionBy("fpp").mode(mode).parquet(f"{self.path}/fps")
+        band_rows.write.partitionBy("bkp").mode(mode).parquet(f"{self.path}/bands")
 
     def _pruned(self, table: str, part_col: str, prefixes: list[str]) -> DataFrame:
         from pyspark.errors import AnalysisException
@@ -145,17 +173,50 @@ class DedupIngestTable:
         return df.filter(F.col(part_col).isin(prefixes) if prefixes else F.lit(False))
 
     # -- ingest --------------------------------------------------------
-    def ingest(self, batch: DataFrame, dry_run: bool = False) -> IngestReport:
+    def ingest(
+        self, batch: DataFrame, dry_run: bool = False, validate_new: bool = False
+    ) -> IngestReport:
         """Dedup ``batch`` within itself and against the stored corpus;
         append survivors (unless ``dry_run`` — then only report, leaving
         the index untouched: the what-would-this-batch-add probe, and
         the form the declared query q_dedup_incremental verifies).
-        Returns per-stage drop counts."""
+        Returns per-stage drop counts.
+
+        Stages: (1) in-batch exact (keep min id per fingerprint),
+        (2) exact vs store, (3) in-batch NEAR (LSH + Jaccard, drop the
+        larger id of each verified pair — without this, two near-dup
+        docs arriving in the SAME batch would both ingest and the pair
+        would be undetectable forever, diverging from the batch-mode
+        rebuild), (4) near vs store.  Stages 2 and 4 exclude SELF-id
+        matches so an at-least-once replay of a half-indexed doc is not
+        dropped as a duplicate of itself (see :meth:`_append`).
+
+        ``validate_new=True`` raises if any batch id already exists in
+        the index (the changed-doc-under-old-id hazard the append
+        contract forbids).  It costs a column-pruned scan of the whole
+        fps id column and MUST NOT be combined with replayed delivery —
+        a legitimate replay carries stored ids by design."""
         id_col = self.id_col
         enriched = _with_fp(batch, id_col, self.text_col).persist()
-        no_exact = survivors = None
+        no_exact = batch_clean = survivors = None
         try:
             n_in = enriched.count()
+            if validate_new:
+                from pyspark.errors import AnalysisException
+
+                try:
+                    stored_ids = self.spark.read.parquet(f"{self.path}/fps").select(id_col)
+                except AnalysisException:
+                    stored_ids = None
+                if stored_ids is not None:
+                    clash = (
+                        enriched.select(id_col).join(stored_ids, id_col, "semi").limit(5).collect()
+                    )
+                    if clash:
+                        raise ValueError(
+                            f"batch ids already in index (changed-doc re-ingest "
+                            f"needs a rebuild): {[r[0] for r in clash]}"
+                        )
 
             # 1. within-batch exact dedup (keep min id per fingerprint)
             w_keep = F.row_number().over(Window.partitionBy("fp").orderBy(id_col))
@@ -163,43 +224,74 @@ class DedupIngestTable:
             n_kept = batch_kept.count()
             n_batch_dup = n_in - n_kept
 
-            # 2. exact dups vs store: partition-pruned anti join on fp
+            # 2. exact dups vs store: partition-pruned join on fp, self
+            #    excluded (a replayed half-indexed doc matches its own
+            #    stored fingerprint and must not count as a dup)
             fpp = [r["fpp"] for r in batch_kept.select("fpp").distinct().collect()]
-            stored_fps = self._pruned("fps", "fpp", fpp).select("fp")
-            no_exact = batch_kept.join(stored_fps, "fp", "left_anti").persist()
+            stored_fps = self._pruned("fps", "fpp", fpp).select(
+                "fp", F.col(id_col).alias("_sid")
+            )
+            exact_ids = (
+                batch_kept.join(stored_fps, "fp")
+                .filter(F.col("_sid") != F.col(id_col))
+                .select(id_col)
+                .distinct()
+            )
+            no_exact = batch_kept.join(exact_ids, id_col, "left_anti").persist()
             n_after_exact = no_exact.count()
             n_exact_dup = n_kept - n_after_exact
 
-            # 3. near-dups vs store: band-key equi-join (partition-pruned),
-            #    Jaccard-verified — same comparator as the batch path
-            batch_bands = _bands_of(no_exact, id_col)
+            # 3. near-dups WITHIN the batch: same capped one-shuffle plan
+            #    as the batch-mode rebuild (lsh_bucket_drops), so a batch
+            #    ingested into an empty index equals the full rebuild
+            batch_near = lsh_bucket_drops(
+                no_exact,
+                id_col,
+                _N_HASHES,
+                _ROWS_PER_BAND,
+                max_bucket=_MAX_BUCKET,
+                tokens_col="toks",
+                min_jaccard=self.min_jaccard,
+            ).withColumnRenamed("id_b", id_col).distinct()
+            batch_clean = no_exact.join(batch_near, id_col, "left_anti").persist()
+            n_after_batch_near = batch_clean.count()
+            n_batch_near_dup = n_after_exact - n_after_batch_near
+
+            # 4. near-dups vs store: band-key equi-join (partition-pruned),
+            #    Jaccard-verified, self excluded (replay of a doc whose
+            #    bands committed but fps didn't)
+            batch_bands = _bands_of(batch_clean, id_col)
             bkp = [r["bkp"] for r in batch_bands.select("bkp").distinct().collect()]
             stored_bands = self._pruned("bands", "bkp", bkp).select(
-                "band_id", "band_key", F.col("toks").alias("_stoks")
+                "band_id",
+                "band_key",
+                F.col(id_col).alias("_sid"),
+                F.col("toks").alias("_stoks"),
             )
             near_ids = (
                 batch_bands.join(stored_bands, ["band_id", "band_key"])
+                .filter(F.col("_sid") != F.col(id_col))
                 .filter(jaccard("toks", "_stoks") >= self.min_jaccard)
                 .select(id_col)
                 .distinct()
             )
-            survivors = no_exact.join(near_ids, id_col, "left_anti").persist()
+            survivors = batch_clean.join(near_ids, id_col, "left_anti").persist()
             n_ingested = survivors.count()
-            n_near_dup = n_after_exact - n_ingested
+            n_near_dup = n_after_batch_near - n_ingested
 
-            # 4. append survivor state (new ids by contract — plain
-            #    partition-dir appends, no merge needed)
+            # 5. write survivor state (insert-if-absent — see _append)
             if not dry_run:
                 self._append(survivors)
             return IngestReport(
                 n_in=n_in,
                 n_batch_dup=n_batch_dup,
                 n_exact_dup=n_exact_dup,
+                n_batch_near_dup=n_batch_near_dup,
                 n_near_dup=n_near_dup,
                 n_ingested=n_ingested,
             )
         finally:
             enriched.unpersist()
-            for df in (no_exact, survivors):
+            for df in (no_exact, batch_clean, survivors):
                 if df is not None:
                     df.unpersist()

@@ -147,6 +147,78 @@ def ann_lsh(
     )
 
 
+# Per-kind algorithm versions: bump "lsh" when hyperplane_bits' plane
+# family changes, "ivf"/"pq" when their training logic changes — cached
+# indexes built by old code must not be probed by new code, and bumping
+# one family must not needlessly invalidate the others (round-3 advice).
+# They live HERE, next to the algorithms they version, so an edit to the
+# plane family / Lloyd loop / codebook training cannot miss the bump
+# (queries/vector.py imports these for its /tmp cache keys).
+INDEX_ALGO_VERSION = {"lsh": "1", "ivf": "1", "pq": "1"}
+# extended indexes are built with the SAME hyperplane family as plain
+# LSH, so their version COMPOSES lsh's — bumping "lsh" invalidates them
+INDEX_ALGO_VERSION["lshx"] = f"{INDEX_ALGO_VERSION['lsh']}.1"
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    """Params sidecar beside the index data (underscore-prefixed, so
+    Spark's parquet discovery ignores it).  Probes check it so a
+    parameter mismatch errors loudly instead of silently returning
+    near-empty results (wrong n_planes ⇒ probe buckets that barely
+    exist)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_index_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_index_meta.json"))
+
+
+def _read_index_meta(path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path, "_index_meta.json")
+    if not os.path.exists(p):
+        return None  # pre-sidecar index: tolerate (no check possible)
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _read_index_or_empty(spark, path: str, meta: dict | None) -> DataFrame:
+    """Read index data; an empty index (sidecar only, zero data files —
+    the empty-corpus build) serves a typed empty frame from the
+    sidecar's recorded schema instead of failing schema inference."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.types import StructType
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        if meta is not None and "schema" in meta:
+            return spark.createDataFrame([], StructType.fromJson(meta["schema"]))
+        raise
+
+
+def _check_index_meta(path: str, kind: str, **params) -> dict | None:
+    meta = _read_index_meta(path)
+    if meta is None:
+        return None
+    mism = {
+        k: (meta.get(k), v) for k, v in (("kind", kind), *params.items())
+        if meta.get(k) != v
+    }
+    if mism:
+        raise ValueError(
+            f"stored index at {path} was built with different parameters: "
+            + ", ".join(f"{k}: built={b!r} probed={p!r}" for k, (b, p) in mism.items())
+            + " — rebuild the index or probe with the build-time parameters"
+        )
+    return meta
+
+
 def build_lsh_index(
     emb: DataFrame,
     path: str,
@@ -159,18 +231,28 @@ def build_lsh_index(
     Probing then reads only the probed partitions — `PartitionFilters`
     in the scan, ~(1+n_planes)/2^planes of the files touched — instead
     of scanning every row to recompute its bucket (plan-asserted in
-    tests/test_plans.py).  Index build is one narrow map + write."""
+    tests/test_plans.py).  Index build is one narrow map + write; build
+    params land in a ``_index_meta.json`` sidecar that probes and
+    extends validate."""
     from politician_etl_project_spark.storage import write_partitioned
 
     bucketed = emb.withColumn("bucket", hyperplane_bits(vec_col, n_planes, dim))
+    meta = {
+        "kind": "lsh",
+        "n_planes": n_planes,
+        "dim": dim,
+        "schema": bucketed.schema.jsonValue(),
+    }
     if bucketed.isEmpty():
-        # a partitioned write of zero rows emits no data files at all, and
-        # a later read fails with UNABLE_TO_INFER_SCHEMA; an unpartitioned
-        # empty write keeps the schema (bucket column included), so probes
-        # still plan — they just read an empty relation
-        bucketed.write.mode("overwrite").parquet(path)
+        # a partitioned write of zero rows emits no data files at all —
+        # the sidecar alone carries the schema, so probes return a typed
+        # empty frame and the FIRST extend takes the fresh partitioned
+        # write path (a flat empty file here would leave a mixed
+        # flat+partitioned layout after extend, bricking every read)
+        _write_index_meta(path, meta)
         return
     write_partitioned(bucketed, path, ["bucket"])
+    _write_index_meta(path, meta)
 
 
 def extend_lsh_index(
@@ -197,9 +279,27 @@ def extend_lsh_index(
     ``validate_new=True`` enforces the contract with one column-pruned id
     scan (flip it off when id discipline — e.g. monotonically growing doc
     ids — makes the check redundant at scale)."""
-    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+    import os
 
+    from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
+    from politician_etl_project_spark.storage import write_partitioned
+
+    _check_index_meta(index_path, "lsh", n_planes=n_planes, dim=dim)
     bucketed = new_emb.withColumn("bucket", hyperplane_bits(vec_col, n_planes, dim))
+    # an index with no bucket= partitions yet (built from an empty
+    # corpus: sidecar only) takes the fresh partitioned-write path — the
+    # MERGE's dynamic overwrite would otherwise interleave bucket= dirs
+    # with nothing to merge against
+    has_parts = os.path.isdir(index_path) and any(
+        fn.startswith("bucket=") for fn in os.listdir(index_path)
+    )
+    if not has_parts:
+        if not bucketed.isEmpty():
+            meta = _read_index_meta(index_path)  # before the dir overwrite
+            write_partitioned(bucketed, index_path, ["bucket"])
+            if meta is not None:
+                _write_index_meta(index_path, meta)
+        return
     if validate_new:
         existing = spark.read.parquet(index_path).select(id_col)
         clash = existing.join(bucketed.select(id_col), id_col, "semi").limit(1).collect()
@@ -232,6 +332,7 @@ def ann_lsh_indexed(
     IN-list on the partition column prunes non-probed directories at
     planning time.  Same results as :func:`ann_lsh` (identical plane
     family and probe set), different I/O shape."""
+    meta = _check_index_meta(index_path, "lsh", n_planes=n_planes, dim=dim)
     qrow = (
         query_vec.withColumn("qbucket", hyperplane_bits("q", n_planes, dim))
         .select("qbucket")
@@ -242,7 +343,7 @@ def ann_lsh_indexed(
     else:
         qb = qrow["qbucket"]
         probes = [qb] + ([qb ^ (1 << p) for p in range(n_planes)] if multiprobe else [])
-    idx = spark.read.parquet(index_path).filter(
+    idx = _read_index_or_empty(spark, index_path, meta).filter(
         F.col("bucket").isin(probes) if probes else F.lit(False)
     )
     return (
@@ -431,6 +532,7 @@ def build_ivf_index(
     else:
         write_partitioned(lists, f"{path}/lists", ["cluster"])
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_index_meta(path, {"kind": "ivf", "n_clusters": n_clusters, "dim": dim})
 
 
 def ann_ivf_indexed(
@@ -447,6 +549,7 @@ def ann_ivf_indexed(
     `cluster=` partitions via an IN-list that folds into the scan's
     PartitionFilters (plan-asserted).  Same results as :func:`ann_ivf`
     over the same quantizer; I/O proportional to n_probe/n_clusters."""
+    _check_index_meta(index_path, "ivf")
     centroids = spark.read.parquet(f"{index_path}/centroids")
     d2 = F.aggregate(
         F.zip_with(
@@ -705,6 +808,7 @@ def build_pq_index(
         tagged = b.select(F.lit(j).alias("sub"), "cluster", "centroid")
         merged = tagged if merged is None else merged.unionByName(tagged)
     merged.write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_index_meta(path, {"kind": "pq", "m": m, "ksub": ksub, "dim": dim})
 
 
 def ann_pq_indexed(
@@ -720,6 +824,7 @@ def ann_pq_indexed(
     """Serve ADC top-k from a stored PQ index (see :func:`_adc_topk`).
     Identical results to :func:`ann_pq_adc` over the same codebooks, at
     one code-table scan per batch."""
+    _check_index_meta(index_path, "pq", m=m, dim=dim)
     books = spark.read.parquet(f"{index_path}/codebooks")
     codes = spark.read.parquet(f"{index_path}/codes")
     return _adc_topk(

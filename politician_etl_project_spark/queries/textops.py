@@ -1262,13 +1262,29 @@ WITH corpus AS (
 ), bbands AS (
   SELECT doc_id, toks, 0 AS band_id, md5(sig0 || '|' || sig1) AS band_key FROM bsig
   UNION ALL SELECT doc_id, toks, 1, md5(sig2 || '|' || sig3) FROM bsig
+), bband_capped AS (
+  -- same in-batch skew cap as the batch rebuild (max_bucket = 32)
+  SELECT doc_id, toks, band_id, band_key FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS bn
+    FROM bbands
+  ) WHERE bn <= 32
+), batch_near AS (
+  SELECT DISTINCT r.doc_id
+  FROM bband_capped l JOIN bband_capped r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+  WHERE CAST(CAST(len(list_intersect(l.toks, r.toks)) AS DECIMAL(18,4))
+             / greatest(len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks)), 1)
+             AS DECIMAL(18,6)) >= 0.80
+), batch_clean AS (
+  SELECT doc_id FROM bsig WHERE doc_id NOT IN (SELECT doc_id FROM batch_near)
 ), cbands AS (
   SELECT doc_id, toks, 0 AS band_id, md5(sig0 || '|' || sig1) AS band_key FROM csig
   UNION ALL SELECT doc_id, toks, 1, md5(sig2 || '|' || sig3) FROM csig
 ), near AS (
   SELECT DISTINCT b.doc_id
   FROM bbands b JOIN cbands c ON b.band_id = c.band_id AND b.band_key = c.band_key
-  WHERE CAST(CAST(len(list_intersect(b.toks, c.toks)) AS DECIMAL(18,4))
+  WHERE b.doc_id IN (SELECT doc_id FROM batch_clean)
+    AND CAST(CAST(len(list_intersect(b.toks, c.toks)) AS DECIMAL(18,4))
              / greatest(len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks)), 1)
              AS DECIMAL(18,6)) >= 0.80
 )
@@ -1276,8 +1292,9 @@ SELECT stage, n FROM (
   SELECT 'n_in' AS stage, COUNT(*) AS n FROM batch
   UNION ALL SELECT 'n_batch_dup', (SELECT COUNT(*) FROM batch) - COUNT(*) FROM batch_kept
   UNION ALL SELECT 'n_exact_dup', (SELECT COUNT(*) FROM batch_kept) - COUNT(*) FROM no_exact
+  UNION ALL SELECT 'n_batch_near_dup', COUNT(*) FROM batch_near
   UNION ALL SELECT 'n_near_dup', COUNT(*) FROM near
-  UNION ALL SELECT 'n_ingested', (SELECT COUNT(*) FROM no_exact) - COUNT(*) FROM near
+  UNION ALL SELECT 'n_ingested', (SELECT COUNT(*) FROM batch_clean) - COUNT(*) FROM near
 )
 ORDER BY stage
 """
@@ -1292,9 +1309,11 @@ ORDER BY stage
     "LSH-band parquet, partition-pruned probes — operators/ingest."
     "DedupIngestTable, built once and cached like the stored ANN "
     "indexes) and the held-out slice arrives as a new batch.  The "
-    "report counts within-batch dups, exact dups vs the store, "
-    "band-join near-dups (Jaccard >= 0.8), and survivors — the oracle "
-    "replays every probe in SQL against the same slices.  dry_run "
+    "report counts within-batch exact dups, exact dups vs the store, "
+    "within-batch NEAR dups (capped LSH + Jaccard — without this stage "
+    "two near-dups arriving together would both ingest), band-join "
+    "near-dups vs the store (Jaccard >= 0.8), and survivors — the "
+    "oracle replays every probe in SQL against the same slices.  dry_run "
     "keeps the query pure (no index mutation), so reruns are "
     "idempotent.  This is the production ingestion shape: each batch "
     "reads O(batch) index partitions, never the corpus.",
@@ -1313,6 +1332,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_in", rep.n_in),
         ("n_batch_dup", rep.n_batch_dup),
         ("n_exact_dup", rep.n_exact_dup),
+        ("n_batch_near_dup", rep.n_batch_near_dup),
         ("n_near_dup", rep.n_near_dup),
         ("n_ingested", rep.n_ingested),
     ]

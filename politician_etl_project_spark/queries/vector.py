@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from politician_etl_project_spark.catalog import load_table
-from politician_etl_project_spark.operators.similarity import ann_lsh, dot, knn_bruteforce, l2_norm
+from politician_etl_project_spark.operators.similarity import dot, knn_bruteforce, l2_norm
 from politician_etl_project_spark.queries.registry import declared_query
 
 _DUCK_DOT_AB = (
@@ -211,14 +211,13 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Per-kind algorithm versions: bump "lsh" when hyperplane_bits' plane
-# family changes, "ivf"/"pq" when their training logic changes — cached
-# indexes built by old code must not be probed by new code, and bumping
-# one family must not needlessly invalidate the others (round-3 advice).
-_INDEX_ALGO_VERSION = {"lsh": "1", "ivf": "1", "pq": "1"}
-# extended indexes are built with the SAME hyperplane family as plain
-# LSH, so their version COMPOSES lsh's — bumping "lsh" invalidates them
-_INDEX_ALGO_VERSION["lshx"] = f"{_INDEX_ALGO_VERSION['lsh']}.1"
+# Per-kind algorithm versions live NEXT TO the algorithms they version
+# (operators/similarity.INDEX_ALGO_VERSION) so a plane-family or
+# training-loop edit cannot miss the bump; imported here for the /tmp
+# cache keys only.
+from politician_etl_project_spark.operators.similarity import (  # noqa: E402
+    INDEX_ALGO_VERSION as _INDEX_ALGO_VERSION,
+)
 
 
 def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str, builder) -> str:
@@ -881,7 +880,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    brute = knn_bruteforce(emb, qv, k=10).select("vec_id")
+    # materialize the exact baseline ONCE: it feeds both recall joins,
+    # and without the checkpoint the O(n·d) full-corpus scoring subtree
+    # would execute twice in the one job (no subplan reuse for
+    # TakeOrderedAndProject subtrees)
+    brute = knn_bruteforce(emb, qv, k=10).select("vec_id").localCheckpoint(eager=False)
     lsh = ann_lsh_indexed(
         spark, _lsh_index_path(spark, sf_dir, n_planes=4, dim=64), qv, k=10, n_planes=4, dim=64
     ).select("vec_id")

@@ -288,8 +288,15 @@ def dedup_ingest_stream(
     append — operators/ingest.DedupIngestTable under foreachBatch.  This
     is the always-on form of the batch curation funnel: state lives in
     the index tables, not in streaming state, so the stream restarts
-    cheaply and the index is queryable mid-flight.  ``reports`` (if
-    given) collects one IngestReport per batch for observability."""
+    cheaply and the index is queryable mid-flight.  Replay-convergent
+    over foreachBatch's at-least-once delivery: the ingest probes
+    exclude self-id matches and the index writes are insert-if-absent
+    (see DedupIngestTable._append), so a batch replayed after a crash —
+    even one that left a doc half-indexed between the two table writes —
+    completes the missing state instead of double-appending or dropping
+    the doc as a dup of itself.  ``reports`` (if given) collects one
+    IngestReport per batch for observability (report COUNTS may differ
+    across a replay; the index state does not)."""
     from politician_etl_project_spark.streaming.sources import run_foreach_batch
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

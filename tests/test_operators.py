@@ -402,6 +402,7 @@ def test_dedup_ingest_table(spark, tmp_path):
     assert rep.n_in == 4
     assert rep.n_batch_dup == 1
     assert rep.n_exact_dup == 1
+    assert rep.n_batch_near_dup == 0
     assert rep.n_near_dup == 1
     assert rep.n_ingested == 1
 
@@ -927,3 +928,132 @@ def test_segment_dedup_null_text_dropped_single_explode(spark):
     out = segment_dedup(docs, seg_tokens=3)
     assert [r.doc_id for r in out.collect()] == [0]
     assert out._jdf.queryExecution().optimizedPlan().toString().count("posexplode") <= 1
+
+
+def test_dedup_ingest_in_batch_near_dups(spark, tmp_path):
+    """Two near-dup docs arriving in the SAME batch: the lower id
+    ingests, the higher drops (matching the batch-mode rebuild) —
+    previously both ingested and the pair was undetectable forever."""
+    from politician_etl_project_spark.operators.ingest import DedupIngestTable
+
+    t = DedupIngestTable(spark, str(tmp_path / "idx"))
+    t.initialize(spark.createDataFrame([], "doc_id bigint, text string"))
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rep = t.ingest(
+        spark.createDataFrame(
+            [(1, base), (2, base.replace("today", "tonight"))],
+            "doc_id bigint, text string",
+        )
+    )
+    assert rep.n_batch_near_dup == 1
+    assert rep.n_ingested == 1
+    stored = {r.doc_id for r in spark.read.parquet(str(tmp_path / "idx" / "fps")).collect()}
+    assert stored == {1}
+
+
+def test_dedup_ingest_replay_converges_half_written(spark, tmp_path):
+    """At-least-once replay after a crash between the fps and bands
+    writes: the doc must neither drop as a dup of itself nor
+    double-append — the replay completes the missing bands table."""
+    import shutil
+
+    from politician_etl_project_spark.operators.ingest import DedupIngestTable, _with_fp
+
+    t = DedupIngestTable(spark, str(tmp_path / "idx"))
+    t.initialize(spark.createDataFrame([], "doc_id bigint, text string"))
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs far away today")],
+        "doc_id bigint, text string",
+    )
+    t.ingest(batch)
+    shutil.rmtree(str(tmp_path / "idx" / "bands"))  # simulate crash between writes
+    rep = t.ingest(batch)  # replay
+    assert rep.n_exact_dup == 0 and rep.n_near_dup == 0  # not a dup of itself
+    fps = spark.read.parquet(str(tmp_path / "idx" / "fps")).collect()
+    assert [r.doc_id for r in fps] == [1]  # no double append
+    bands = spark.read.parquet(str(tmp_path / "idx" / "bands")).collect()
+    assert {r.doc_id for r in bands} == {1}  # bands completed
+    # near-dup detection now works against the repaired index
+    rep2 = t.ingest(
+        spark.createDataFrame(
+            [(9, "the quick brown fox jumps over the lazy dog and runs far away tonight")],
+            "doc_id bigint, text string",
+        )
+    )
+    assert rep2.n_near_dup == 1 and rep2.n_ingested == 0
+
+
+def test_dedup_ingest_initialize_empty_clears_stale_index(spark, tmp_path):
+    """Re-initializing with an empty corpus must clear a prior index —
+    not silently keep ghost documents that future ingests dedup
+    against."""
+    from politician_etl_project_spark.operators.ingest import DedupIngestTable
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    t = DedupIngestTable(spark, str(tmp_path / "idx"))
+    t.initialize(spark.createDataFrame([(1, base)], "doc_id bigint, text string"))
+    t.initialize(spark.createDataFrame([], "doc_id bigint, text string"))
+    rep = t.ingest(spark.createDataFrame([(5, base)], "doc_id bigint, text string"))
+    assert rep.n_exact_dup == 0 and rep.n_ingested == 1
+
+
+def test_dedup_ingest_validate_new_rejects_stored_ids(spark, tmp_path):
+    from politician_etl_project_spark.operators.ingest import DedupIngestTable
+
+    t = DedupIngestTable(spark, str(tmp_path / "idx"))
+    t.initialize(
+        spark.createDataFrame(
+            [(1, "some original content with several unique tokens")],
+            "doc_id bigint, text string",
+        )
+    )
+    with pytest.raises(ValueError, match="already in index"):
+        t.ingest(
+            spark.createDataFrame(
+                [(1, "edited content under the same id which needs a rebuild")],
+                "doc_id bigint, text string",
+            ),
+            validate_new=True,
+        )
+
+
+def test_lsh_index_param_mismatch_raises(spark, sf_dir, tmp_path):
+    """A stored index probed with different build params must error
+    loudly — a silent mismatch collapses recall to ~0 (wrong-width
+    buckets barely intersect the stored partitioning)."""
+    from politician_etl_project_spark.operators.similarity import (
+        ann_lsh_indexed,
+        build_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lshidx")
+    build_lsh_index(emb, path, n_planes=4, dim=64)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    with pytest.raises(ValueError, match="different parameters"):
+        ann_lsh_indexed(spark, path, qv, k=5, n_planes=8, dim=64)
+    assert ann_lsh_indexed(spark, path, qv, k=5, n_planes=4, dim=64).count() == 5
+
+
+def test_lsh_empty_build_then_extend_bootstrap(spark, sf_dir, tmp_path):
+    """The create-empty-index-then-stream-vectors-in flow: an empty
+    build leaves a sidecar-only index (typed empty probes), and the
+    first extend takes the fresh partitioned-write path — previously
+    the mixed flat+partitioned layout bricked every later read."""
+    from politician_etl_project_spark.operators.similarity import (
+        ann_lsh_indexed,
+        build_lsh_index,
+        extend_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_boot")
+    build_lsh_index(emb.limit(0), path, n_planes=4, dim=64)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    assert ann_lsh_indexed(spark, path, qv, k=5, n_planes=4, dim=64).count() == 0
+    first = emb.filter(F.col("vec_id") < 100)
+    extend_lsh_index(spark, path, first, n_planes=4, dim=64)
+    got = ann_lsh_indexed(spark, path, qv, k=5, n_planes=4, dim=64)
+    assert got.count() == 5
+    extend_lsh_index(spark, path, emb.filter(F.col("vec_id") >= 100), n_planes=4, dim=64)
+    assert spark.read.parquet(path).count() == emb.count()

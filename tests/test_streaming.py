@@ -380,7 +380,10 @@ def test_dedup_ingest_stream(spark, tmp_path):
     total = {
         "in": sum(r.n_in for _, r in reports),
         "ingested": sum(r.n_ingested for _, r in reports),
-        "dropped": sum(r.n_exact_dup + r.n_near_dup + r.n_batch_dup for _, r in reports),
+        "dropped": sum(
+            r.n_exact_dup + r.n_near_dup + r.n_batch_dup + r.n_batch_near_dup
+            for _, r in reports
+        ),
     }
     assert total == {"in": 5, "ingested": 3, "dropped": 2}
 
