@@ -19,11 +19,19 @@ q_moments_mergeable / q_hll_mergeable), merge order never matters and
 the maintained store is bit-equal to a full recompute — which is exactly
 what the q_incremental_rollup oracle asserts.
 
-Idempotency: each merge records its batch_id as a marker file; replaying
-a batch (crash-retry, at-least-once upstream) is a no-op.  Derived
-measures (averages, ratios) are computed at SERVE time from the
-partials, never stored — storing a mean would make the store
-non-mergeable.
+Idempotency (WAL-style two-phase commit per batch): the merged hot
+buckets are STAGED first, then a ``<batch>.pending`` marker lands, then
+the dynamic partition overwrite applies the staged data, then one
+atomic rename flips the marker to done and the staging is GC'd.  A
+crash before the pending marker leaves the store untouched (replay
+recomputes); a crash after it — including MID-overwrite — is recovered
+by re-applying the retained staged data (idempotent: same content into
+the same partitions) and completing the marker; a crash after the done
+rename makes the replay a pure no-op.  So replaying a batch
+(crash-retry, at-least-once upstream) never double-counts, even across
+the overwrite window itself.  Derived measures (averages, ratios) are
+computed at SERVE time from the partials, never stored — storing a
+mean would make the store non-mergeable.
 """
 
 from __future__ import annotations
@@ -72,7 +80,17 @@ class RollupStore:
     # -- lifecycle ----------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+        """A root ``_SUCCESS`` only appears on static-overwrite builds;
+        DYNAMIC partition overwrite (every merge commit) writes its
+        markers inside the partition dirs — so presence is 'any bucket
+        partition OR a legacy static _SUCCESS'.  Checking _SUCCESS alone
+        made a bootstrap-by-merge store look absent to the NEXT merge,
+        which then silently dropped the existing partials."""
+        if os.path.exists(os.path.join(self.path, "_SUCCESS")):
+            return True
+        if not os.path.isdir(self.path):
+            return False
+        return any(fn.startswith("bucket=") for fn in os.listdir(self.path))
 
     def _schema_file(self) -> str:
         return os.path.join(self.path, "_partials_schema.json")
@@ -104,6 +122,35 @@ class RollupStore:
     def merged_already(self, batch_id: str) -> bool:
         return os.path.exists(self._marker(batch_id))
 
+    def _staging(self, batch_id: Optional[str]) -> str:
+        return f"{self.path}.staging-{batch_id or 'adhoc'}"
+
+    def _apply_staged(self, batch_id: Optional[str]) -> None:
+        """Phase 2 of the commit: dynamic-overwrite the touched buckets
+        from the staged merged data (per-write option — never the
+        session-global conf, which would flip concurrent writers'
+        overwrite semantics), flip the pending marker to done, GC the
+        staging.  Idempotent: re-applying the same staged content to the
+        same partitions converges, which is what makes crash recovery
+        MID-overwrite safe."""
+        import shutil
+
+        staging = self._staging(batch_id)
+        staged = self.spark.read.parquet(staging)
+        (
+            staged.write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(self.path)
+        )
+        if batch_id is not None:
+            os.rename(self._pending(batch_id), self._marker(batch_id))  # commit point
+        shutil.rmtree(staging, ignore_errors=True)
+        self.spark.catalog.refreshByPath(self.path)
+
+    def _pending(self, batch_id: str) -> str:
+        return self._marker(batch_id) + ".pending"
+
     def merge(
         self,
         delta: DataFrame,
@@ -114,13 +161,34 @@ class RollupStore:
         (all groups).  Reads only the buckets the delta touches.  With
         ``dry_run`` the merged frame is returned without mutating the
         store (pure — the driver-verified query path).  With a
-        ``batch_id`` an already-merged batch is skipped (idempotent
-        replay)."""
-        store = self._read_store()
+        ``batch_id`` replay is exactly-once via the two-phase commit in
+        the module docstring.  A store that does not exist yet is an
+        empty current state — streaming callers need no separate build
+        branch (and so no unguarded first-batch window)."""
+        import shutil
+
         if batch_id is not None and self.merged_already(batch_id):
-            return store.drop("bucket")
+            # done — GC a staging dir a crash-after-commit left behind
+            shutil.rmtree(self._staging(batch_id), ignore_errors=True)
+            return self._read_store().drop("bucket")
+        if batch_id is not None and os.path.exists(self._pending(batch_id)):
+            # crash between pending and done: the staged merge is the
+            # truth (the overwrite may have partially applied — a
+            # recompute from store+delta would double-count those
+            # buckets); re-apply it and complete the commit
+            if not os.path.exists(os.path.join(self._staging(batch_id), "_SUCCESS")):
+                raise RuntimeError(
+                    f"pending marker without staged data for {batch_id} at "
+                    f"{self.path} — staging was tampered with; rebuild the store"
+                )
+            self._apply_staged(batch_id)
+            return self._read_store().drop("bucket")
 
         d = self._with_bucket(self._partials(delta))
+        if self.exists():
+            store = self._read_store()
+        else:  # first batch: empty current state, schema from the delta
+            store = self.spark.createDataFrame([], d.schema)
         # O(n_buckets) driver list — same discipline as the
         # touched-partition MERGE in operators/upsert.py
         touched = [r["bucket"] for r in d.select("bucket").distinct().collect()]
@@ -132,18 +200,16 @@ class RollupStore:
             .agg(F.sum("n").cast("bigint").alias("n"), F.sum("s").cast("decimal(18,2)").alias("s"))
         )
         if not dry_run:
-            merged_hot.write.mode("overwrite").parquet(self.path + ".staging")
-            staged = self.spark.read.parquet(self.path + ".staging")
-            conf = "spark.sql.sources.partitionOverwriteMode"
-            prev = self.spark.conf.get(conf, "static")
-            try:
-                self.spark.conf.set(conf, "dynamic")
-                staged.write.partitionBy("bucket").mode("overwrite").parquet(self.path)
-            finally:
-                self.spark.conf.set(conf, prev)
+            first_build = not self.exists()
+            merged_hot.write.mode("overwrite").parquet(self._staging(batch_id))
             if batch_id is not None:
-                os.makedirs(self._marker(batch_id), exist_ok=True)
-            self.spark.catalog.refreshByPath(self.path)
+                os.makedirs(self._pending(batch_id), exist_ok=True)
+            self._apply_staged(batch_id)
+            if first_build and not os.path.exists(self._schema_file()):
+                import json
+
+                with open(self._schema_file(), "w") as fh:
+                    json.dump(self._with_bucket(self._partials(delta)).schema.jsonValue(), fh)
             return self._read_store().drop("bucket")
         return merged_hot.drop("bucket").unionByName(cold.drop("bucket"))
 

@@ -33,6 +33,18 @@ _INCOMING = 0
 _EXISTING = 1
 
 
+def _check_working_cols(*column_lists: list[str]) -> None:
+    """Reserved working columns (_prec precedence, _rn row_number) must
+    not collide with input columns — silently overwriting and dropping
+    them would change tie-break order AND delete the user's column from
+    the output (same contract as apply_changelog / write_zordered)."""
+    clash = sorted({"_prec", "_rn"} & {c for cols in column_lists for c in cols})
+    if clash:
+        raise ValueError(
+            f"merge/dedup reserves working columns {clash}; rename them in the inputs"
+        )
+
+
 def merge_keep(
     existing: DataFrame,
     incoming: DataFrame,
@@ -43,6 +55,7 @@ def merge_keep(
     ON CONFLICT DO UPDATE (S12); False replays DO NOTHING (S13).
     Deterministic for *any* partitioning: precedence is an explicit
     column, ties within a side are broken by all non-key columns."""
+    _check_working_cols(existing.columns, incoming.columns)
     inc = incoming.withColumn("_prec", F.lit(_INCOMING if update_wins else _EXISTING))
     exi = existing.withColumn("_prec", F.lit(_EXISTING if update_wins else _INCOMING))
     unioned = inc.unionByName(exi)
@@ -62,6 +75,7 @@ def dedup_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     the initial warehouse content would vary across runs/clusters.
     A pure key tuple (no value columns) orders by the keys themselves —
     duplicate rows are then identical, so any survivor is the same row."""
+    _check_working_cols(df.columns)
     value_cols = [c for c in df.columns if c not in keys] or list(keys)
     w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in value_cols])
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
@@ -69,8 +83,18 @@ def dedup_keys(df: DataFrame, keys: list[str]) -> DataFrame:
 
 def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
     """S13 as a set operation: append only keys not already present
-    (left-anti against existing), deduping incoming on the key first."""
-    fresh = dedup_keys(incoming, keys).join(existing.select(*keys).distinct(), keys, "left_anti")
+    (left-anti against existing), deduping incoming on the key first.
+    The anti-join is NULL-SAFE: a NULL key present in existing blocks a
+    NULL-key incoming row, the same grouping semantics merge_keep's
+    window applies — a plain equality anti-join would re-append the
+    NULL-key row on every run."""
+    fresh = dedup_keys(incoming, keys)
+    exist_keys = existing.select(*keys).distinct()
+    cond = None
+    for k in keys:
+        c = fresh[k].eqNullSafe(exist_keys[k])
+        cond = c if cond is None else (cond & c)
+    fresh = fresh.join(exist_keys, cond, "left_anti")
     return existing.unionByName(fresh)
 
 
@@ -302,7 +326,10 @@ def surrogate_ids(
             F.col("_sid_bucket").eqNullSafe(F.col("_sid_bucket2")),
         )
         .withColumn(
-            id_col, (F.col("_sid_off") + F.row_number().over(w_local)).cast("int")
+            # BIGINT: an int cast would silently wrap past 2^31-1 on the
+            # billion-row dimensions this function documents — colliding
+            # surrogate keys corrupt every persisted FK reference
+            id_col, (F.col("_sid_off") + F.row_number().over(w_local)).cast("bigint")
         )
         .drop("_sid_bucket", "_sid_bucket2", "_sid_off")
     )
@@ -330,10 +357,14 @@ def stable_ids(
     old = old_ids.select(*keys, id_col)
     max_id = old.agg(F.max(id_col).alias("m")).first()["m"] or 0
     joined = df.join(old, keys, "left")
-    kept = joined.filter(F.col(id_col).isNotNull())
+    # BIGINT on both branches (an old int-typed map widens on read):
+    # int ids wrap past 2^31-1 at the billion-row scale documented here
+    kept = joined.filter(F.col(id_col).isNotNull()).withColumn(
+        id_col, F.col(id_col).cast("bigint")
+    )
     fresh = surrogate_ids(
         joined.filter(F.col(id_col).isNull()).drop(id_col), keys, id_col
-    ).withColumn(id_col, (F.col(id_col) + F.lit(max_id)).cast("int"))
+    ).withColumn(id_col, (F.col(id_col) + F.lit(max_id)).cast("bigint"))
     return kept.unionByName(fresh)
 
 

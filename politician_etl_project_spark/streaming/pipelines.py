@@ -223,9 +223,15 @@ def incremental_upsert_stream(
     from politician_etl_project_spark.streaming.sources import run_foreach_batch
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
+        # records_updated = rows ACTUALLY written, via cheap footer-stat
+        # counts around the MERGE — not the batch size: a replayed batch
+        # whose first-wins upsert inserts nothing then logs 0, so
+        # consumers summing the log never double-count (the log row
+        # itself may duplicate across a replay; its counts stay honest)
+        before = table.read().count() if table.exists() else 0
         table.upsert(batch_df, update_wins=False)
         if update_log is not None:
+            n = table.read().count() - before
             log_update(batch_df.sparkSession, update_log, "events", n, notes=f"batch={batch_id}")
 
     run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)
@@ -316,15 +322,27 @@ def rollup_maintenance_stream(
     into a :class:`~politician_etl_project_spark.operators.rollup.RollupStore`
     of additive partials — the dashboard aggregate stays fresh at
     O(batch) cost instead of the reference's per-page-load full rescan
-    (app/app.py metric queries).  Batch ids double as the store's
-    idempotency markers, so checkpoint replay after a crash re-merges
-    nothing (exactly-once table semantics over at-least-once delivery —
-    the same discipline as incremental_upsert_stream).  Rows are mapped
-    to (group cols…, measure) before the merge; the merge itself reads
+    (app/app.py metric queries).  Exactly-once over at-least-once
+    delivery via the store's own two-phase batch commit (RollupStore.
+    merge — staged data + pending/done markers close the crash window
+    BETWEEN the overwrite and the marker, which a marker-after-write
+    scheme leaves open), with batch ids scoped by delivery lineage
+    (md5 of the checkpoint realpath, same scheme as
+    snapshot_append_stream): a rerun with a FRESH checkpoint restarts
+    batch ids at 0, and an unscoped ``b0`` marker from the old run
+    would silently swallow the new run's first batches.  The store also
+    absorbs the first batch through the same guarded merge (no separate
+    build branch, no unguarded first-batch window).  Rows are mapped to
+    (group cols…, measure) before the merge; the merge itself reads
     only the store buckets the batch touches."""
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from politician_etl_project_spark.streaming.sources import run_foreach_batch
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    lineage = _sink_lineage_id(ckpt)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.select(
@@ -332,15 +350,9 @@ def rollup_maintenance_stream(
             F.date_format("ts", "yyyy-MM-dd").alias("day"),
             F.col("value").cast("decimal(12,2)").alias("measure"),
         )
-        if not store.exists():
-            store.build(rows)
-            import os
+        store.merge(rows, batch_id=f"{lineage}-b{batch_id}")
 
-            os.makedirs(store._marker(f"b{batch_id}"), exist_ok=True)
-        else:
-            store.merge(rows, batch_id=f"b{batch_id}")
-
-    run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)
+    run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
 
 
 def _event_cms(events: DataFrame, depth: int = 3, width: int = 64) -> DataFrame:

@@ -1057,3 +1057,103 @@ def test_lsh_empty_build_then_extend_bootstrap(spark, sf_dir, tmp_path):
     assert got.count() == 5
     extend_lsh_index(spark, path, emb.filter(F.col("vec_id") >= 100), n_planes=4, dim=64)
     assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_rollup_merge_recovers_crash_between_overwrite_and_marker(spark, sf_dir, tmp_path, monkeypatch):
+    """The nasty replay window: the dynamic overwrite applied but the
+    crash hit before the done-marker rename.  Recovery must re-apply
+    the STAGED data (idempotent) — recomputing from store+delta would
+    double-count the already-overwritten buckets."""
+    import os as _os
+
+    from politician_etl_project_spark.operators.rollup import RollupStore
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("measure"),
+        "o_orderkey",
+    )
+    store = RollupStore(spark, str(tmp_path / "rollup"), ["o_orderpriority", "month"])
+    store.merge(orders.filter(F.col("o_orderkey") % 10 != 0).drop("o_orderkey"), batch_id="b0")
+    delta = orders.filter(F.col("o_orderkey") % 10 == 0).drop("o_orderkey")
+
+    real_rename = _os.rename
+    def crash_rename(src, dst):
+        if src.endswith(".pending"):
+            raise OSError("simulated crash before marker commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("os.rename", crash_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        store.merge(delta, batch_id="b1")
+    monkeypatch.setattr("os.rename", real_rename)
+
+    store.merge(delta, batch_id="b1")  # replay -> recovery path
+    served = {
+        (r["o_orderpriority"], r["month"]): (r["n"], r["s"]) for r in store.serve().collect()
+    }
+    full = {
+        (r["o_orderpriority"], r["month"]): (r["n"], r["s"])
+        for r in orders.groupBy("o_orderpriority", "month")
+        .agg(F.count("*").alias("n"), F.sum("measure").cast("decimal(18,2)").alias("s"))
+        .collect()
+    }
+    assert served == full
+    # commit completed on recovery: marker done, staging GC'd
+    assert store.merged_already("b1")
+    assert not _os.path.exists(store._staging("b1"))
+
+
+def test_rollup_merge_bootstraps_without_build(spark, sf_dir, tmp_path):
+    """First batch through the SAME guarded merge path (no separate
+    build branch): a nonexistent store is an empty current state."""
+    from politician_etl_project_spark.operators.rollup import RollupStore
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("measure"),
+    )
+    store = RollupStore(spark, str(tmp_path / "rollup"), ["o_orderpriority", "month"])
+    store.merge(orders, batch_id="b0")
+    store.merge(orders, batch_id="b0")  # replay is a no-op
+    full = orders.groupBy("o_orderpriority", "month").agg(F.count("*").alias("n")).collect()
+    served = {tuple(r[:2]): r["n"] for r in store.serve().collect()}
+    assert served == {(r[0], r[1]): r["n"] for r in full}
+
+
+def test_insert_if_absent_null_key_not_reappended(spark):
+    """NULL-safe anti join: a NULL key already present must block the
+    incoming NULL-key row, same grouping semantics as merge_keep."""
+    from politician_etl_project_spark.operators.upsert import insert_if_absent
+
+    existing = spark.createDataFrame([(None, "old"), (1, "a")], "k int, v string")
+    incoming = spark.createDataFrame([(None, "new"), (2, "b")], "k int, v string")
+    out = insert_if_absent(existing, incoming, ["k"]).collect()
+    assert sorted(((r.k, r.v) for r in out), key=str) == sorted(
+        [(None, "old"), (1, "a"), (2, "b")], key=str
+    )
+
+
+def test_merge_keep_rejects_reserved_columns(spark):
+    from politician_etl_project_spark.operators.upsert import merge_keep
+
+    a = spark.createDataFrame([(1, "x", 0)], "k int, v string, _prec int")
+    b = spark.createDataFrame([(1, "y", 1)], "k int, v string, _prec int")
+    with pytest.raises(ValueError, match="reserves working columns"):
+        merge_keep(a, b, ["k"])
+
+
+def test_surrogate_ids_bigint(spark):
+    from politician_etl_project_spark.operators.upsert import stable_ids, surrogate_ids
+
+    df = spark.createDataFrame([("a",), ("b",)], "name string")
+    out = surrogate_ids(df, ["name"], "sid")
+    assert dict(out.dtypes)["sid"] == "bigint"
+    old = out.select("name", "sid")
+    grown = spark.createDataFrame([("a",), ("c",)], "name string")
+    out2 = stable_ids(grown, old, ["name"], "sid")
+    assert dict(out2.dtypes)["sid"] == "bigint"
+    m = {r.name: r.sid for r in out2.collect()}
+    assert m["a"] == {r.name: r.sid for r in old.collect()}["a"]  # stable

@@ -200,7 +200,9 @@ def test_incremental_upsert_foreachbatch(spark, staged_events, tmp_path):
     assert table.read().count() == n_unique
     log = wm_log.read()
     assert log.count() >= 2  # multiple micro-batches each logged
-    assert log.agg(F.sum("records_updated")).collect()[0][0] == 1000
+    # records_updated = rows ACTUALLY inserted (replay logs 0), so the
+    # log total equals the table's distinct rows, not raw batch sizes
+    assert log.agg(F.sum("records_updated")).collect()[0][0] == n_unique
     assert latest_watermark(log, "events") is not None
 
 
@@ -715,5 +717,51 @@ def test_sketch_maintenance_fresh_checkpoint_merges_not_skips(spark, staged_even
         for r in _event_cms(
             _batch_events(spark).select("event_id", "event_type").unionByName(extra)
         ).collect()
+    }
+    assert got == want
+
+
+def test_rollup_maintenance_fresh_checkpoint_merges_not_skips(spark, staged_events, tmp_path):
+    """Lineage-scoped batch markers: a rerun with a FRESH checkpoint
+    (batch ids restart at 0) must MERGE its batches into the existing
+    store — an unscoped b0 marker from the old run would silently
+    swallow the new run's first batch (data loss)."""
+    from politician_etl_project_spark.operators.rollup import RollupStore
+    from politician_etl_project_spark.streaming.pipelines import rollup_maintenance_stream
+
+    store = RollupStore(spark, str(tmp_path / "rollup"), ["event_type", "day"])
+    stream = events_stream(spark, staged_events, max_files_per_trigger=2)
+    rollup_maintenance_stream(stream, store, checkpoint_dir=str(tmp_path / "ckptA"))
+
+    src2 = str(tmp_path / "events2")
+    extra = spark.createDataFrame(
+        [(90_000 + i, i % 5, f"etype_extra_{i % 2}", float(i), "2031-01-0%d 00:00:00" % (1 + i % 3))
+         for i in range(60)],
+        "event_id long, user_id long, event_type string, value double, ts_s string",
+    ).select("event_id", "user_id", "event_type", "value", F.to_timestamp("ts_s").alias("ts"))
+    extra.coalesce(1).write.mode("overwrite").parquet(src2)
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src2).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    rollup_maintenance_stream(stream2, store, checkpoint_dir=str(tmp_path / "ckptB"))
+
+    all_events = _batch_events(spark).select("event_type", "ts", "value").unionByName(
+        extra.select("event_type", "ts", "value")
+    )
+    want = {
+        (r["event_type"], r["day"]): (r["n"], r["s"])
+        for r in all_events.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("value").cast("decimal(12,2)").alias("measure"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"), F.sum("measure").cast("decimal(18,2)").alias("s"))
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["day"]): (r["n"], r["s"]) for r in store.serve().collect()
     }
     assert got == want
