@@ -51,7 +51,13 @@ class Warehouse:
         "donations": ["fec_filing_id"],                       # natural filing id
         "bills": ["official_bill_number", "congress"],        # composite UNIQUE, models.py:82
         "bill_cosponsors": ["bill_id", "politician_id"],      # UNIQUE, models.py:97
-        "votes": ["politician_id", "bill_id", "date"],
+        # the reference has NO unique constraint on votes (autoincrement
+        # PK, models.py:105) and the House holds several roll calls on
+        # one bill in one day — keying on (politician, bill, date) would
+        # silently collapse an amendment vote into final passage.
+        # roll_key (per-roll-call source identity) keeps them distinct;
+        # a voter appears once per roll call, so this IS the natural key
+        "votes": ["politician_id", "roll_key"],
         "committees": ["committee_id"],                       # PK, models.py:119
         "committee_assignments": ["politician_id", "committee_id", "congress"],  # models.py:147
         "update_log": ["log_id"],
@@ -136,7 +142,11 @@ def load_politicians(wh: Warehouse, records: list[dict]) -> DataFrame:
         existing = prior.drop("politician_id")
         # schema evolution (S15 analog): later passes (link_fec_ids) widen
         # the dim; align fresh rows with typed nulls before the merge
-        for c in set(existing.columns) - set(fresh.columns):
+        # sorted(): set iteration order is hash-salted per process, and
+        # this order becomes the written schema order AND merge_keep's
+        # value-column tie-break order — the byte-identical-replay
+        # promise in the module docstring needs it deterministic
+        for c in sorted(set(existing.columns) - set(fresh.columns)):
             fresh = fresh.withColumn(c, F.lit(None).cast(existing.schema[c].dataType))
         merged = merge_keep(existing, fresh, ["congress_id"], update_wins=True)
         link_cols = [c for c in _POLITICIAN_LINK_COLS if c in existing.columns]
@@ -254,7 +264,11 @@ def load_donations(wh: Warehouse, itcont_path: str) -> tuple[DataFrame, DataFram
     # (ingest_bulk_donations.py:43-58,92) — the committee IN-set is the
     # push-down filter that makes the 100 TB itcont scan cheap
     target = pol.select(F.col("fec_committee_id").alias("CMTE_ID")).distinct()
-    raw = fec.transform_donations(fec.read_itcont(spark, itcont_path), target)
+    # persist: the transformed scan feeds BOTH the donors build and the
+    # facts build — uncached, the itcont CSV scan + coercions + committee
+    # semi-join (the 100 TB cost center this docstring names) would
+    # execute twice, once per table write
+    raw = fec.transform_donations(fec.read_itcont(spark, itcont_path), target).persist()
 
     donors_fresh = fec.build_donors(raw).drop("donor_id")
     dtbl = wh["donors"]
@@ -288,19 +302,28 @@ def load_donations(wh: Warehouse, itcont_path: str) -> tuple[DataFrame, DataFram
     )
     ftbl.overwrite(merged)
     wh.log("donations", ftbl.read().count())
+    raw.unpersist()
     return wh.read("donors"), wh.read("donations")
 
 
-def load_committees(wh: Warehouse, committee_docs: list[dict], membership_doc: dict) -> None:
+def load_committees(
+    wh: Warehouse, committee_docs: list[dict], membership_doc: dict, congress: int = 119
+) -> None:
     """Committee YAML hierarchy + assignments (ingest_committees.py:48-222):
-    update-wins on committee_id / (politician_id, committee_id, congress)."""
+    update-wins on committee_id / (politician_id, committee_id, congress).
+    ``congress`` stamps the membership snapshot — it is part of the
+    assignment key, so a hardcoded value would overwrite the prior
+    Congress's history instead of adding to it."""
     spark = wh.spark
     flat = committees_yaml.flatten_committees(committees_yaml.committees_df(spark, committee_docs))
     ctbl = wh["committees"]
+    # first load DEDUPS like every other loader: a joint committee in
+    # both chamber YAML feeds coalesces to one committee_id and must
+    # persist once (the one-row-per-key invariant upsert relies on)
     merged = (
         merge_keep(ctbl.read(), flat, ["committee_id"], update_wins=True)
         if ctbl.exists()
-        else flat
+        else dedup_keys(flat, ["committee_id"])
     )
     ctbl.overwrite(merged)
     wh.log("committees", ctbl.read().count())
@@ -313,7 +336,7 @@ def load_committees(wh: Warehouse, committee_docs: list[dict], membership_doc: d
         "rank",
         F.col("title").alias("role"),
         "party",
-        F.lit(119).alias("congress"),
+        F.lit(congress).alias("congress"),
     )
     atbl = wh["committee_assignments"]
     keys = Warehouse.KEYS["committee_assignments"]

@@ -32,13 +32,17 @@ def _filtered_donations(donations: DataFrame, filters: dict | None) -> DataFrame
     (app/app.py:94-117) — composed Columns, default everything."""
     pred = F.lit(True)
     f = filters or {}
-    if "politician_id" in f:
+    # .get(...) is not None, NOT key membership: an API layer forwarding
+    # optional params as explicit Nones would otherwise build
+    # `col >= NULL` and silently return empty metrics (same guard
+    # paginate_donations uses)
+    if f.get("politician_id") is not None:
         pred = pred & (F.col("politician_id") == f["politician_id"])
-    if "min_amount" in f:
+    if f.get("min_amount") is not None:
         pred = pred & (F.col("amount") >= f["min_amount"])
-    if "max_amount" in f:
+    if f.get("max_amount") is not None:
         pred = pred & (F.col("amount") <= f["max_amount"])
-    if "since" in f:
+    if f.get("since") is not None:
         pred = pred & (F.col("date") >= f["since"])
     return donations.filter(pred)
 
@@ -65,11 +69,15 @@ def financial_metrics(
         "pct",
         (F.col("total") * 100 / F.sum("total").over(Window.partitionBy())).cast("decimal(5,2)"),
     ).orderBy(F.desc("total"))
+    # group by donor_id (then drop it): donor identity is
+    # NAME|ZIP|EMPLOYER, so two distinct "JOHN SMITH"s must not merge
+    # into one inflated top-donor row (same discipline as scope_metrics)
     top_donors = (
-        base.groupBy("name", "donor_type")
+        base.groupBy("donor_id", "name", "donor_type")
         .agg(F.sum("amount").alias("total_donated"))
-        .orderBy(F.desc("total_donated"), F.asc("name"))
+        .orderBy(F.desc("total_donated"), F.asc("name"), F.asc("donor_id"))
         .limit(10)
+        .drop("donor_id")
     )
     timeline = (
         base.groupBy(

@@ -41,6 +41,18 @@ def members_df(spark: SparkSession, records: list[dict]) -> DataFrame:
     """API page records (driver-fetched, S5) → typed DataFrame.  At real
     scale the id-partitioned fetch would run via mapInPandas over an id
     DataFrame (SURVEY S5 note)."""
+    def _year(t: dict, year_key: str, date_key: str):
+        # terms carry either integer years (startYear/endYear) or ISO
+        # date strings (start/end); the schema is IntegerType, so the
+        # date form MUST be parsed to its year — passing the raw string
+        # through crashes createDataFrame on the first such record
+        y = t.get(year_key)
+        if y is None:
+            y = t.get(date_key)
+        if isinstance(y, str):
+            y = int(y[:4]) if y[:4].isdigit() else None
+        return y
+
     rows = [
         (
             r.get("bioguideId"),
@@ -49,7 +61,7 @@ def members_df(spark: SparkSession, records: list[dict]) -> DataFrame:
             r.get("state"),
             (
                 [
-                    (t.get("chamber"), t.get("startYear") or t.get("start"), t.get("endYear") or t.get("end"))
+                    (t.get("chamber"), _year(t, "startYear", "start"), _year(t, "endYear", "end"))
                     for t in (r.get("terms") or {}).get("item", [])
                 ],
             ),
@@ -77,7 +89,10 @@ def transform_members(members: DataFrame, states: DataFrame) -> DataFrame:
       (N5/F15, :147-188)
     """
     name = parse_last_first("name")
-    last_term = F.element_at("terms.item", -1)
+    # try_element_at: a member with an EMPTY terms list yields a null
+    # chamber instead of aborting the whole load under ANSI mode
+    # (element_at(-1) on an empty array raises INVALID_ARRAY_INDEX)
+    last_term = F.try_element_at("terms.item", F.lit(-1))
     start_years = F.expr("transform(terms.item, t -> t.startYear)")
     end_years = F.expr("filter(transform(terms.item, t -> t.endYear), y -> y is not null)")
     joined = members.join(

@@ -74,17 +74,37 @@ def explode_votes(raw: DataFrame) -> DataFrame:
     - composite bill key TYPE+NUMBER-CONGRESS for the bills join
       (J8, :118-119)
     """
-    valid = raw.filter((F.col("category") != "nomination") & F.col("bill").isNotNull())
+    # null-safe nomination guard: a vote file MISSING the category key
+    # parses to category=NULL, and a bare `category != 'nomination'`
+    # null-propagates to NULL → filter silently drops the whole roll
+    # call.  The reference only skips actual nominations.
+    valid = raw.filter(
+        (F.col("category").isNull() | (F.col("category") != "nomination"))
+        & F.col("bill").isNotNull()
+    )
+    # roll_key: stable per-roll-call identity from the source layout
+    # (each roll call is its own <dir>/data.json; the parent dir name is
+    # unique within a staging root and stable across respelled roots,
+    # unlike the absolute path).  Carried into the votes fact so two
+    # same-day roll calls on the same bill — amendment then passage —
+    # stay distinct rows (the reference inserts every row; a
+    # (politician, bill, date) key would silently collapse them).
+    roll_key = F.coalesce(
+        F.nullif(F.regexp_extract("src_file", r"([^/]+)/[^/]+$", 1), F.lit("")),
+        F.md5("src_file"),
+    )
     pos = valid.select(
         "category",
         F.try_to_date("date").alias("date"),
         "bill",
+        roll_key.alias("roll_key"),
         F.explode("votes").alias("vote_position", "voters"),
     )
     voters = pos.select(
         "category",
         "date",
         "vote_position",
+        "roll_key",
         F.concat(
             F.upper(F.col("bill.type")),
             F.col("bill.number").cast("string"),
@@ -99,6 +119,7 @@ def explode_votes(raw: DataFrame) -> DataFrame:
         "date",
         "vote_position",
         F.col("category").alias("vote_category"),
+        "roll_key",
     )
 
 
@@ -119,5 +140,7 @@ def resolve_vote_ids(exploded: DataFrame, politicians: DataFrame, bills: DataFra
     return (
         exploded.join(pol, "congress_id")
         .join(bill_keys, "bill_key")
-        .select("politician_id", "bill_id", "date", "vote_position", "vote_category")
+        .select(
+            "politician_id", "bill_id", "date", "vote_position", "vote_category", "roll_key"
+        )
     )

@@ -84,10 +84,11 @@ def test_financial_vs_duckdb(wh, duck):
     got = _rows(out["top_donors"], ["name", "donor_type", "total_donated"])
     want = _duck(
         duck,
-        f"""SELECT dn.name, dn.donor_type, SUM(d.amount) AS total
-            FROM donations d JOIN donors dn USING (donor_id)
-            WHERE d.politician_id = {king}
-            GROUP BY 1, 2 ORDER BY total DESC, dn.name LIMIT 10""",
+        f"""SELECT name, donor_type, total FROM (
+              SELECT dn.donor_id, dn.name, dn.donor_type, SUM(d.amount) AS total
+              FROM donations d JOIN donors dn USING (donor_id)
+              WHERE d.politician_id = {king}
+              GROUP BY 1, 2, 3 ORDER BY total DESC, dn.name, dn.donor_id LIMIT 10)""",
         3,
     )
     assert got == want
@@ -345,3 +346,15 @@ def test_scope_metrics_semi_joins_broadcast(wh):
         plan = buf.getvalue()
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, f"{frame}:\n{plan}"
         assert "SortMergeJoin" not in plan, f"{frame} shuffles the fact:\n{plan}"
+
+
+def test_filtered_donations_explicit_none_ignored(wh):
+    """An API layer forwarding optional params as explicit Nones must
+    behave like absent filters — `col >= NULL` silently returned empty
+    metrics before the is-not-None guard."""
+    donations = wh.read("donations")
+    all_rows = metrics._filtered_donations(donations, None).count()
+    with_nones = metrics._filtered_donations(
+        donations, {"politician_id": None, "min_amount": None, "since": None}
+    ).count()
+    assert with_nones == all_rows > 0

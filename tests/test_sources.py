@@ -450,3 +450,78 @@ def test_jdbc_scan_options_validation():
     # dim-table scan: no partitioning options emitted at all
     opts = jdbc_scan_options("jdbc:mysql://db/x", "region", driver="com.mysql.cj.jdbc.Driver")
     assert "partitionColumn" not in opts and opts["driver"] == "com.mysql.cj.jdbc.Driver"
+
+
+def test_member_empty_terms_does_not_crash(spark):
+    """A member record with no terms yields null chamber/years instead
+    of aborting the whole load under ANSI (element_at(-1) on an empty
+    array raises INVALID_ARRAY_INDEX; try_element_at does not)."""
+    recs = [
+        {"bioguideId": "X000001", "name": "Doe, Jane", "partyName": "D",
+         "state": "California", "terms": {"item": []}},
+    ]
+    out = members.transform_members(
+        members.members_df(spark, recs), members.state_lookup(spark)
+    ).collect()
+    assert len(out) == 1
+    assert out[0].chamber is None and out[0].start_year is None
+
+
+def test_member_terms_date_string_fallback(spark):
+    """Terms carrying ISO date keys (start/end) instead of integer years
+    parse to their year — previously the string hit the IntegerType
+    schema and crashed createDataFrame."""
+    recs = [
+        {"bioguideId": "X000002", "name": "Roe, Rick", "partyName": "R",
+         "state": "Texas",
+         "terms": {"item": [{"chamber": "Senate", "start": "2021-01-03", "end": "2027-01-03"}]}},
+    ]
+    out = members.transform_members(
+        members.members_df(spark, recs), members.state_lookup(spark)
+    ).collect()
+    assert (out[0].start_year, out[0].end_year, out[0].chamber) == (2021, 2027, "Senate")
+
+
+def test_vote_missing_category_not_dropped(spark, tmp_path):
+    """A vote file without a category key must still contribute rows —
+    `category != 'nomination'` alone null-propagates and silently drops
+    the whole roll call."""
+    import json as _json
+
+    doc = {"date": "2024-01-10",
+           "bill": {"type": "hr", "number": 77, "congress": 119},
+           "votes": {"Yea": [_json.dumps({"id": "A000009", "party": "D", "state": "CA"})]}}
+    d = tmp_path / "v9"
+    d.mkdir()
+    (d / "data.json").write_text(_json.dumps(doc))
+    raw = votes_json.read_vote_files(spark, str(tmp_path) + "/*/data.json")
+    rows = votes_json.explode_votes(raw).collect()
+    assert len(rows) == 1 and rows[0].congress_id == "A000009"
+
+
+def test_vote_same_day_roll_calls_stay_distinct(spark, tmp_path):
+    """Two roll calls on the same bill on the same day (amendment then
+    passage) carry distinct roll_keys, so the votes fact keeps both —
+    a (politician, bill, date) key silently collapsed them."""
+    import json as _json
+
+    def _doc(position):
+        return {"category": "passage", "date": "2024-01-10",
+                "bill": {"type": "hr", "number": 77, "congress": 119},
+                "votes": {position: [_json.dumps({"id": "A000009", "party": "D", "state": "CA"})]}}
+
+    for i, posn in enumerate(["Nay", "Yea"]):
+        d = tmp_path / f"roll{i}"
+        d.mkdir()
+        (d / "data.json").write_text(_json.dumps(_doc(posn)))
+    raw = votes_json.read_vote_files(spark, str(tmp_path) + "/*/data.json")
+    exploded = votes_json.explode_votes(raw)
+    assert exploded.count() == 2
+    assert exploded.select("roll_key").distinct().count() == 2
+    pols = spark.createDataFrame([(1, "A000009")], "politician_id int, congress_id string")
+    bills = spark.createDataFrame([(7, "HR77", 119)], "bill_id int, official_bill_number string, congress int")
+    resolved = votes_json.resolve_vote_ids(exploded, pols, bills)
+    from politician_etl_project_spark.operators.upsert import dedup_keys
+
+    kept = dedup_keys(resolved, ["politician_id", "roll_key"])
+    assert kept.count() == 2  # both roll calls survive the votes key
