@@ -157,7 +157,22 @@ def resize_images(media: DataFrame, out_h: int = 2, out_w: int = 2) -> DataFrame
             for mid, payload, width, height in zip(
                 pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
-                img = decode_fake(payload)[: width * height].reshape(height, width)
+                raw = decode_fake(payload)
+                # degenerate-payload guards (metadata can disagree with
+                # the bytes): pool only COMPLETE pixel rows, skip images
+                # with no complete row, and nearest-neighbor upsample an
+                # axis smaller than the target grid — array_split on such
+                # an axis yields empty cells and int(empty.mean()) would
+                # abort the whole job on one bad row
+                w = int(width) if width and width > 0 else 0
+                h = min(int(height), raw.size // w) if w else 0
+                if h < 1:
+                    continue
+                img = raw[: h * w].reshape(h, w)
+                if h < out_h:
+                    img = img[(np.arange(out_h) * h) // out_h, :]
+                if w < out_w:
+                    img = img[:, (np.arange(out_w) * w) // out_w]
                 rows = np.array_split(img, out_h, axis=0)
                 cells = [
                     int(cell.mean()) for row in rows for cell in np.array_split(row, out_w, axis=1)
@@ -193,9 +208,15 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             ids, idxs, sums = [], [], []
             for mid, payload, n_frames in zip(pdf["media_id"], pdf["payload"], pdf["n_frames"]):
-                arr = decode_fake(payload)[: n_frames * FRAME_BYTES]
-                frames = arr.reshape(-1, FRAME_BYTES) if n_frames else arr.reshape(0, FRAME_BYTES)
-                for i in range(0, int(n_frames), every):
+                arr = decode_fake(payload)
+                # clamp to COMPLETE frames actually present: metadata
+                # overstating the payload would otherwise abort reshape
+                # here while the UDTF tier silently sums a short slice —
+                # both tiers clamp identically so they can never drift
+                n = min(int(n_frames), arr.size // FRAME_BYTES)
+                arr = arr[: n * FRAME_BYTES]
+                frames = arr.reshape(-1, FRAME_BYTES) if n else arr.reshape(0, FRAME_BYTES)
+                for i in range(0, n, every):
                     ids.append(mid)
                     idxs.append(i)
                     sums.append(int(frames[i].sum()))
@@ -229,8 +250,11 @@ def sample_frames_udtf(media: DataFrame, every: int = 2) -> DataFrame:
     @udtf(returnType="media_id bigint, frame_idx int, frame_sum int")
     class _FrameSampler:
         def eval(self, media_id, payload, n_frames, step):
-            arr = decode_fake(payload)[: int(n_frames) * FRAME_BYTES]
-            for i in range(0, int(n_frames), int(step)):
+            arr = decode_fake(payload)
+            # same complete-frame clamp as sample_frames (drift guard)
+            n = min(int(n_frames), arr.size // FRAME_BYTES)
+            arr = arr[: n * FRAME_BYTES]
+            for i in range(0, n, int(step)):
                 frame = arr[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
                 yield int(media_id), int(i), int(frame.sum())
 

@@ -25,12 +25,15 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic per-row salt in [0, n_salts): hash of the whole row's
-    stable id is unavailable generically, so use a uniform spray via
-    crc32 of the row's partition-stable columns — callers pass facts
-    where any spread is valid because the aggregate is decomposable."""
+    """Per-row salt in [0, n_salts).  NOT a content hash: a hot key's
+    rows are often byte-identical (millions of equal $10 donations), and
+    hashing row content would send them all to ONE salt — the straggler
+    the salt exists to split survives untouched.  A row-position spray
+    (monotonic id mod n_salts) spreads unconditionally; callers pass
+    facts where ANY spread is valid because the aggregate is
+    decomposable, so the spread's run-to-run instability is harmless."""
     return df.withColumn(
-        salt_col, F.pmod(F.crc32(F.concat_ws("\x1f", *df.columns)), F.lit(n_salts)).cast("int")
+        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     )
 
 

@@ -42,24 +42,36 @@ def asof_join(
     row if given.  Right rows sort before left rows at equal timestamps,
     so ties resolve to at-or-before (DuckDB ASOF JOIN semantics)."""
     val_col = right_val or ts
-    l_tag = left.select(
-        key, ts, *[c for c in left.columns if c not in (key, ts)], F.lit(1).alias("_side")
-    )
+    out_col = f"{val_col}{suffix}"
+    l_cols = [c for c in left.columns if c not in (key, ts)]
+    clash = sorted(({"_rv", "_side", "_asof", out_col}) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves working/output columns {clash}; rename them "
+            "in the left input or pass a different suffix"
+        )
+    # the carried value is a one-field STRUCT, not the bare value: LOCF
+    # must pick the latest right ROW at-or-before, and a bare-value
+    # last(ignorenulls) would skip a right row whose value column is
+    # NULL and wrongly surface an OLDER row's value (DuckDB ASOF
+    # matches the row, then returns its — possibly NULL — value)
     r_tag = right.select(
+        key, ts, F.struct(F.col(val_col).alias("v")).alias("_rv"), F.lit(0).alias("_side")
+    )
+    null_rv = F.lit(None).cast(r_tag.schema["_rv"].dataType)
+    # single select per side (a withColumn-per-payload-column loop nests
+    # one projection each — quadratic analysis on wide frames)
+    l_u = left.select(
+        F.col(key), F.col(ts), F.lit(1).alias("_side"), null_rv.alias("_rv"), *l_cols
+    )
+    r_u = r_tag.select(
         key,
         ts,
-        F.col(val_col).alias("_rv"),
-        F.lit(0).alias("_side"),
+        "_side",
+        "_rv",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
     )
-    # align schemas for the union: left carries its payload, right carries _rv
-    l_cols = [c for c in left.columns if c not in (key, ts)]
-    l_u = l_tag.withColumn("_rv", F.lit(None).cast(r_tag.schema["_rv"].dataType))
-    r_u = r_tag
-    for c in l_cols:
-        r_u = r_u.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = l_u.select(key, ts, "_side", "_rv", *l_cols).unionByName(
-        r_u.select(key, ts, "_side", "_rv", *l_cols)
-    )
+    unioned = l_u.unionByName(r_u)
     w = (
         Window.partitionBy(key)
         .orderBy(F.asc(ts), F.asc("_side"))
@@ -68,8 +80,8 @@ def asof_join(
     carried = unioned.withColumn("_asof", F.last("_rv", ignorenulls=True).over(w))
     return (
         carried.filter(F.col("_side") == 1)
-        .drop("_side", "_rv")
-        .withColumnRenamed("_asof", f"{val_col}{suffix}")
+        .withColumn(out_col, F.col("_asof.v"))
+        .drop("_side", "_rv", "_asof")
     )
 
 

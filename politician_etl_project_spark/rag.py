@@ -50,9 +50,14 @@ def hash_embedding(col: str, dim: int = 64, max_chars: int = 10_000) -> Column:
     toks = f"array_distinct(split(trim(lower(substring({ident}, 1, {max_chars}))), '\\\\s+'))"
     bucket = "cast(conv(substring(md5(t), 1, 7), 16, 10) as int) % " + str(dim)
     sign = "(case when conv(substring(md5(t), 8, 1), 16, 10) % 2 = 0 then 1.0D else -1.0D end)"
+    # transform's lambda index i is 0-BASED (verified on Spark 4.1.2) —
+    # comparing i-1 here would shift every token up one slot, leave
+    # index 0 permanently zero, and silently DROP tokens hashing to
+    # bucket dim-1 (an all-such-token doc embeds as the zero vector and
+    # cosine NULLs out)
     raw = (
         f"aggregate({toks}, array_repeat(0.0D, {dim}), "
-        f"(acc, t) -> transform(acc, (v, i) -> v + (case when i - 1 = {bucket} then {sign} else 0.0D end)))"
+        f"(acc, t) -> transform(acc, (v, i) -> v + (case when i = {bucket} then {sign} else 0.0D end)))"
     )
     norm = f"sqrt(aggregate({raw}, 0.0D, (s, v) -> s + v * v))"
     return F.expr(
@@ -84,12 +89,20 @@ def semantic_search(
     question: str,
     k: int = 10,
     id_col: str = "doc_id",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """V2+V3: embed the query with the SAME expression family, top-k
     cosine, join hit metadata back from the corpus (no duplicated
-    metadata store, unlike Pinecone's per-vector payloads)."""
+    metadata store, unlike Pinecone's per-vector payloads).
+
+    ``dim`` defaults to the CORPUS embedding width (one size() probe of
+    a single row) — hardcoding a default would pad mismatched zip_with
+    lanes with NULLs and silently return arbitrary first-k-by-id hits
+    with score=None whenever the corpus was embedded at another dim."""
     spark = corpus_emb.sparkSession
+    if dim is None:
+        row = corpus_emb.select(F.size("embedding")).first()
+        dim = row[0] if row is not None else 64
     qdf = spark.createDataFrame([(question,)], "q_text string").select(
         hash_embedding("q_text", dim).alias("q")
     )

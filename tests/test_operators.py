@@ -1157,3 +1157,75 @@ def test_surrogate_ids_bigint(spark):
     assert dict(out2.dtypes)["sid"] == "bigint"
     m = {r.name: r.sid for r in out2.collect()}
     assert m["a"] == {r.name: r.sid for r in old.collect()}["a"]  # stable
+
+
+def test_asof_join_null_right_value_carried(spark):
+    """DuckDB ASOF semantics: match the latest at-or-before right ROW
+    and return its value even when that value is NULL — a bare-value
+    LOCF would skip it and surface an older row's value."""
+    from politician_etl_project_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k int, ts int")
+    right = spark.createDataFrame([(1, 1, 5), (1, 2, None)], "k int, ts int, val int")
+    out = asof_join(left, right, "k", "ts", right_val="val").collect()
+    assert len(out) == 1 and out[0]["val_right"] is None
+
+
+def test_asof_join_rejects_reserved_columns(spark):
+    from politician_etl_project_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 3, "x")], "k int, ts int, ts_right string")
+    right = spark.createDataFrame([(1, 1)], "k int, ts int")
+    with pytest.raises(ValueError, match="reserves working/output columns"):
+        asof_join(left, right, "k", "ts")
+
+
+def test_build_predicate_dunder_column_escape_hatch(spark, sf_dir):
+    """A column whose NAME contains '__' filters via the explicit __eq
+    op (the op is the suffix after the LAST '__')."""
+    df = spark.createDataFrame([(5, "a"), (7, "b")], "vote__count int, v string")
+    got = df.filter(build_predicate({"vote__count__eq": 5})).collect()
+    assert [r.v for r in got] == ["a"]
+
+
+def test_with_salt_spreads_identical_rows(spark):
+    """Byte-identical rows under one hot key must land on MANY salts —
+    a content hash sent them all to one, defeating the split."""
+    from politician_etl_project_spark.operators.skew import salted_agg, with_salt
+
+    hot = spark.createDataFrame([("k", 10)] * 400, "key string, x int")
+    n_salts = with_salt(hot, 8).select("_salt").distinct().count()
+    assert n_salts >= 4
+    out = salted_agg(
+        hot, ["key"], [F.sum("x").alias("sx")], [F.sum("sx").alias("sum_x")], n_salts=8
+    ).collect()
+    assert out == [("k", 4000)] or (out[0]["key"], out[0]["sum_x"]) == ("k", 4000)
+
+
+def test_resize_degenerate_payloads_skip_not_crash(spark):
+    """Images smaller than the pooling grid (or with truncated
+    payloads) must not abort the job: tiny images nearest-neighbor
+    upsample, empty ones are skipped."""
+    from politician_etl_project_spark.operators.multimodal import resize_images
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", StructType([
+            StructField("width", IntegerType()), StructField("height", IntegerType()),
+        ])),
+    ])
+    rows = [
+        (1, "image", bytes(range(8)), (8, 1)),    # 1 pixel row < out_h=2
+        (2, "image", b"", (4, 0)),                # empty: skipped
+        (3, "image", bytes(range(6)), (4, 4)),    # truncated: 1 complete row
+        (4, "image", bytes(range(16)), (4, 4)),   # normal
+    ]
+    media = spark.createDataFrame(rows, schema)
+    got = {r.media_id: r.pixels for r in resize_images(media, 2, 2).collect()}
+    assert set(got) == {1, 3, 4}
+    assert got[4] == "2,3,10,11" or len(got[4].split(",")) == 4
