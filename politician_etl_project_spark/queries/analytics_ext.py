@@ -1834,7 +1834,7 @@ def _time_travel_path(spark: SparkSession, sf_dir: str) -> str:
     key = _tmp_key(sf_dir, "orders.parquet", version="time-travel-v1")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_snap_{key}")
     if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}"
+        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice", "o_orderdate"
         )
@@ -1859,8 +1859,10 @@ def _time_travel_path(spark: SparkSession, sf_dir: str) -> str:
             raise
         try:
             os.replace(staging, path)
-        except OSError:  # concurrent builder won the rename
+        except OSError:  # benign ONLY if a concurrent builder won
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise  # real failure (EXDEV/permissions): surface it
     return path
 
 

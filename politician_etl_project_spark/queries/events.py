@@ -110,16 +110,19 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_windows",
     oracle="""
 WITH ordered AS (
-  SELECT user_id, ts, epoch_us(ts) AS ts_us,
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
   FROM events
 ), marked AS (
-  SELECT user_id, ts_us,
+  SELECT user_id, ts_us, event_id,
          CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ), sessions AS (
+  -- (ts_us, event_id) tie-break, matching the Spark window: without it
+  -- the ROWS-frame sum over tied microseconds is unspecified and a
+  -- same-instant pair could land in different sessions per engine
   SELECT user_id, ts_us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM marked
 )
@@ -151,7 +154,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = (
-        events.select("user_id", _ts_us().alias("ts_us"), "ts", "event_id")
+        events.select("user_id", _ts_us().alias("ts_us"), "event_id")
         .withColumn("prev_us", F.lag("ts_us").over(w_order))
         .withColumn(
             "is_new",
@@ -210,10 +213,10 @@ def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_high,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
 GROUP BY event_type
 ORDER BY event_type
 """,
@@ -521,7 +524,7 @@ def _merge_replay_path(spark: SparkSession, sf_dir: str) -> str:
     key = tmp_cache_key(sf_dir, "events.parquet", version="merge-replay-v1")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_merge_{key}")
     if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}"
+        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
         events = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
@@ -539,8 +542,10 @@ def _merge_replay_path(spark: SparkSession, sf_dir: str) -> str:
             raise
         try:
             os.rename(staging, path)
-        except OSError:  # another process won the race; theirs is identical
+        except OSError:  # benign ONLY if another process won the race
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise  # real failure (EXDEV/permissions/stale file): surface it
     return path
 
 
@@ -600,9 +605,10 @@ def q_merge_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ECMS_DUCK = (
-    "CAST('0x' || substr(md5(CAST({d} AS VARCHAR) || '|' || event_type), 1, 8) AS BIGINT) % 64"
-)
+from politician_etl_project_spark.queries.textops import CMS_DUCK_BUCKET_FMT as _CMS_FMT
+
+# the ONE count-min bucket formula (see textops), bound to event_type
+_ECMS_DUCK = _CMS_FMT.replace("{col}", "event_type").replace("{width}", "64")
 
 
 @declared_query(

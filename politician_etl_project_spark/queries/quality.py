@@ -177,7 +177,12 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orders_custkey_fk").alias("constraint_name"), "n_violations", "n_checked")
     )
     pk = (
-        orders.groupBy("o_orderkey")
+        # non-null keys only: the oracle's COUNT(DISTINCT) excludes NULLs
+        # and a NULL pk belongs to a not-null constraint, not uniqueness —
+        # without the filter one NULL-keyed dirty row makes n_checked
+        # diverge by exactly the group Spark counts and DuckDB doesn't
+        orders.filter(F.col("o_orderkey").isNotNull())
+        .groupBy("o_orderkey")
         .count()
         .agg(
             F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).cast("bigint").alias("n_violations"),
@@ -198,14 +203,24 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_date"),
         F.count("*").cast("bigint").alias("n_checked"),
     )
-    price = scalars.select(
-        F.lit("totalprice_positive").alias("constraint_name"),
-        F.col("v_price").alias("n_violations"),
-        "n_checked",
-    )
-    dates = scalars.select(
-        F.lit("orderdate_in_range").alias("constraint_name"),
-        F.col("v_date").alias("n_violations"),
-        "n_checked",
-    )
-    return fk.unionByName(pk).unionByName(price).unionByName(dates).orderBy("constraint_name")
+    # explode the ONE-row aggregate into both constraint rows inside a
+    # single plan: two selects over `scalars` would compile into two
+    # independent scan+aggregate subtrees over orders (no subplan reuse),
+    # doubling the scalar-check scans the docstring promises are single
+    scalar_rows = scalars.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("totalprice_positive").alias("constraint_name"),
+                    F.col("v_price").alias("n_violations"),
+                    F.col("n_checked"),
+                ),
+                F.struct(
+                    F.lit("orderdate_in_range").alias("constraint_name"),
+                    F.col("v_date").alias("n_violations"),
+                    F.col("n_checked"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return fk.unionByName(pk).unionByName(scalar_rows).orderBy("constraint_name")

@@ -443,7 +443,7 @@ def _ensure_drift_store(spark: SparkSession) -> str:
     rename, same discipline as the stored indexes) so the DuckDB oracle
     can DESCRIBE the identical files."""
     if not os.path.isdir(_DRIFT_DIR):
-        staging = f"{_DRIFT_DIR}.building-{os.getpid()}"
+        staging = f"{_DRIFT_DIR}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
         spark.sql(
             "SELECT CAST(1 AS BIGINT) AS doc_id, 'en' AS lang"
         ).write.mode("overwrite").parquet(os.path.join(staging, "gen1"))
@@ -452,10 +452,12 @@ def _ensure_drift_store(spark: SparkSession) -> str:
         ).write.mode("overwrite").parquet(os.path.join(staging, "gen2"))
         try:
             os.rename(staging, _DRIFT_DIR)
-        except OSError:
+        except OSError:  # benign ONLY if another process won the race
             import shutil
 
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.isdir(_DRIFT_DIR):
+                raise  # real failure (EXDEV/permissions): surface it
     return _DRIFT_DIR
 
 

@@ -1218,13 +1218,15 @@ def _ingest_index_path(spark, sf_dir: str) -> str:
     key = _hashlib.md5(f"{sf_dir}|ingest-v1|{fp}".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_{key}")
     if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}"
+        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
         corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
         DedupIngestTable(spark, staging).initialize(corpus.select("doc_id", "text"))
         try:
             os.rename(staging, path)
-        except OSError:  # another process won the race; theirs is identical
+        except OSError:  # benign ONLY if another process won the race
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise  # real failure (EXDEV/permissions/stale file): surface it
     return path
 
 
@@ -1455,12 +1457,21 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CMS_SPARK_BUCKET = (
-    "cast(conv(substring(md5(concat(cast({d} as string), '|', token)), 1, 8), 16, 10) as bigint) % 64"
+# THE count-min bucket formula, parameterized on the hashed column —
+# single definition shared by q_countmin_sketch (token), the event-
+# stream twin (queries/events.py, event_type) and the streaming
+# maintenance path (streaming/pipelines._event_cms), so the sketch a
+# stream maintains can never silently drift from the batch/oracle
+# formula ({d} = row index, left for per-depth .format).
+CMS_SPARK_BUCKET_FMT = (
+    "cast(conv(substring(md5(concat(cast({d} as string), '|', {col})), 1, 8), 16, 10)"
+    " as bigint) % {width}"
 )
-_CMS_DUCK_BUCKET = (
-    "CAST('0x' || substr(md5(CAST({d} AS VARCHAR) || '|' || token), 1, 8) AS BIGINT) % 64"
+CMS_DUCK_BUCKET_FMT = (
+    "CAST('0x' || substr(md5(CAST({d} AS VARCHAR) || '|' || {col}), 1, 8) AS BIGINT) % {width}"
 )
+_CMS_SPARK_BUCKET = CMS_SPARK_BUCKET_FMT.replace("{col}", "token").replace("{width}", "64")
+_CMS_DUCK_BUCKET = CMS_DUCK_BUCKET_FMT.replace("{col}", "token").replace("{width}", "64")
 
 
 @declared_query(

@@ -242,7 +242,7 @@ def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str,
     )
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
     if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}"
+        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
         try:
             builder(load_table(spark, sf_dir, "embeddings"), staging)
         except BaseException:
@@ -250,8 +250,10 @@ def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str,
             raise
         try:
             os.rename(staging, path)
-        except OSError:  # another process won the race; theirs is identical
+        except OSError:  # benign ONLY if another process won the race
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise  # real failure (EXDEV/permissions/stale file): surface it
     return path
 
 

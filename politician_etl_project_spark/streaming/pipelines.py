@@ -359,12 +359,17 @@ def _event_cms(events: DataFrame, depth: int = 3, width: int = 64) -> DataFrame:
     """3 x 64 count-min sketch of the event_type stream: exact BIGINT
     counters keyed by md5-derived row hashes (same family as
     queries/textops.q_countmin_sketch)."""
+    from politician_etl_project_spark.queries.textops import CMS_SPARK_BUCKET_FMT
+
     rows = None
     for d in range(depth):
+        # the ONE count-min bucket formula (queries/textops) — the
+        # incrementally maintained sketch must never drift from the
+        # batch/oracle formula it is proven equal to
         r = events.select(
             F.lit(d).alias("d"),
             F.expr(
-                f"cast(conv(substring(md5(concat('{d}', '|', event_type)), 1, 8), 16, 10) as bigint) % {width}"
+                CMS_SPARK_BUCKET_FMT.format(d=f"'{d}'", col="event_type", width=width)
             ).alias("bucket"),
         )
         rows = r if rows is None else rows.unionByName(r)

@@ -16,6 +16,7 @@ drop does not produce one giant batch (the reference's 500k-row chunking,
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,19 +66,29 @@ def run_to_memory(
     AvailableNow processes the entire backlog in watermark-respecting
     micro-batches then stops — the reference's "run_all_updates" batch
     semantics (scripts/run_all_updates.py:14-19) with streaming state.
+
+    Without ``checkpoint_dir`` each call gets a throwaway checkpoint
+    (removed after the run): exactly-once file tracking then holds only
+    WITHIN the run — a later call reprocesses the whole backlog.  Pass
+    a durable checkpoint_dir for resume-where-left-off semantics.
     """
     spark = sdf.sparkSession
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def run_foreach_batch(
@@ -86,13 +97,23 @@ def run_foreach_batch(
     checkpoint_dir: str | None = None,
 ) -> None:
     """Run a stream to completion through a foreachBatch sink (T5 stateful
-    upsert per micro-batch, scripts/update_donations.py:258-307)."""
+    upsert per micro-batch, scripts/update_donations.py:258-307).
+
+    Same checkpoint contract as :func:`run_to_memory`: no
+    ``checkpoint_dir`` means a throwaway checkpoint (cleaned up after
+    the run) and exactly-once tracking only WITHIN the run — callers
+    whose ``fn`` is not replay-idempotent must pass a durable one."""
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
-    q = (
-        sdf.writeStream.foreachBatch(fn)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(fn)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)

@@ -494,3 +494,15 @@ def test_segment_dedup_no_window_partial_agg(spark, specs):
     assert "Window" not in plan
     assert "partial_min" in plan or plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_dq_constraints_scalar_checks_share_one_scan(spark, specs):
+    """The two scalar constraint rows explode from ONE aggregate — the
+    plan scans orders exactly 3x (fk probe, pk groupBy, scalar agg),
+    not 4x (two selects over the one-row aggregate used to replan the
+    whole subtree per branch)."""
+    plan = plan_of(spark, specs, "q_dq_constraints")
+    import re
+
+    n_orders_scans = len(re.findall(r"Scan parquet[^\n]*orders", plan))
+    assert n_orders_scans <= 3, n_orders_scans
