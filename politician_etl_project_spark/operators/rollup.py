@@ -122,10 +122,17 @@ class RollupStore:
     def merged_already(self, batch_id: str) -> bool:
         return os.path.exists(self._marker(batch_id))
 
-    def _staging(self, batch_id: Optional[str]) -> str:
-        return f"{self.path}.staging-{batch_id or 'adhoc'}"
+    def _staging(self, batch_id: str) -> str:
+        """Staging dir for a KEYED batch — stable across crash recovery
+        (the pending-replay path must find the same staged data again).
+        Adhoc (batch_id-less) merges get a uuid-suffixed path minted per
+        call in :meth:`merge` instead: a fixed '.staging-adhoc' path let
+        two concurrent adhoc merges on the same store overwrite each
+        other's staged data mid-commit and apply each other's partials
+        (same discipline as SnapshotTable._stage_files)."""
+        return f"{self.path}.staging-{batch_id}"
 
-    def _apply_staged(self, batch_id: Optional[str]) -> None:
+    def _apply_staged(self, batch_id: Optional[str], staging: str) -> None:
         """Phase 2 of the commit: dynamic-overwrite the touched buckets
         from the staged merged data (per-write option — never the
         session-global conf, which would flip concurrent writers'
@@ -135,7 +142,6 @@ class RollupStore:
         MID-overwrite safe."""
         import shutil
 
-        staging = self._staging(batch_id)
         staged = self.spark.read.parquet(staging)
         (
             staged.write.partitionBy("bucket")
@@ -181,7 +187,7 @@ class RollupStore:
                     f"pending marker without staged data for {batch_id} at "
                     f"{self.path} — staging was tampered with; rebuild the store"
                 )
-            self._apply_staged(batch_id)
+            self._apply_staged(batch_id, self._staging(batch_id))
             return self._read_store().drop("bucket")
 
         d = self._with_bucket(self._partials(delta))
@@ -201,10 +207,16 @@ class RollupStore:
         )
         if not dry_run:
             first_build = not self.exists()
-            merged_hot.write.mode("overwrite").parquet(self._staging(batch_id))
+            if batch_id is not None:
+                staging = self._staging(batch_id)
+            else:
+                import uuid
+
+                staging = f"{self.path}.staging-adhoc-{uuid.uuid4().hex}"
+            merged_hot.write.mode("overwrite").parquet(staging)
             if batch_id is not None:
                 os.makedirs(self._pending(batch_id), exist_ok=True)
-            self._apply_staged(batch_id)
+            self._apply_staged(batch_id, staging)
             if first_build and not os.path.exists(self._schema_file()):
                 import json
 

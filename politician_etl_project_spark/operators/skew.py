@@ -25,15 +25,34 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Per-row salt in [0, n_salts).  NOT a content hash: a hot key's
-    rows are often byte-identical (millions of equal $10 donations), and
-    hashing row content would send them all to ONE salt — the straggler
-    the salt exists to split survives untouched.  A row-position spray
-    (monotonic id mod n_salts) spreads unconditionally; callers pass
-    facts where ANY spread is valid because the aggregate is
-    decomposable, so the spread's run-to-run instability is harmless."""
+    """Per-row salt in [0, n_salts): content hash mixed with the input
+    partition id.
+
+    Two constraints pull in opposite directions here and this is the
+    deterministic middle:
+
+    - A pure content hash would send a hot key's byte-identical rows
+      (millions of equal $10 donations) all to ONE salt — the straggler
+      the salt exists to split survives untouched.
+    - A pure row-position spray (monotonically_increasing_id % n) splits
+      them, but the expression is NONDETERMINISTIC as a shuffle key:
+      after a shuffle-fetch failure, recomputed map tasks can assign
+      rows to different salts than already-consumed reducers fetched —
+      silently wrong aggregates.
+
+    crc32(all columns) + spark_partition_id()*PRIME spreads identical
+    rows that live in different scan partitions (at scale a hot key
+    spans thousands of ~128 MB input splits, so the spread is uniform),
+    while a re-executed task attempt re-reads the same split and
+    reproduces the identical salts — the divergence window is closed.
+    The residual clustering (identical rows WITHIN one input partition
+    share a salt) is bounded by maxPartitionBytes, i.e. no worse than
+    any ordinary partition."""
+    content = F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
     return df.withColumn(
-        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+        salt_col,
+        F.pmod(content + F.spark_partition_id().cast("bigint") * F.lit(2654435761), F.lit(n_salts))
+        .cast("int"),
     )
 
 

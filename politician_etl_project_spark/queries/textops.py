@@ -1220,6 +1220,11 @@ def _ingest_index_path(spark, sf_dir: str) -> str:
     if not os.path.isdir(path):
         staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
         corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+        # an EMPTY corpus writes no files at all, so the staging dir must
+        # exist explicitly or the rename below fails — an empty dir is a
+        # valid empty index (DedupIngestTable probes fall back to typed
+        # empty frames for missing tables)
+        os.makedirs(staging, exist_ok=True)
         DedupIngestTable(spark, staging).initialize(corpus.select("doc_id", "text"))
         try:
             os.rename(staging, path)

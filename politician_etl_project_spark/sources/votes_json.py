@@ -83,14 +83,26 @@ def explode_votes(raw: DataFrame) -> DataFrame:
         & F.col("bill").isNotNull()
     )
     # roll_key: stable per-roll-call identity from the source layout
-    # (each roll call is its own <dir>/data.json; the parent dir name is
-    # unique within a staging root and stable across respelled roots,
-    # unlike the absolute path).  Carried into the votes fact so two
-    # same-day roll calls on the same bill — amendment then passage —
-    # stay distinct rows (the reference inserts every row; a
-    # (politician, bill, date) key would silently collapse them).
+    # (each roll call is its own <dir>/data.json).  The bare parent dir
+    # name is NOT enough context: govtrack roll ids like 'h1' reset
+    # every year, and the reference layout is
+    # data/{congress}/votes/{year}/{roll}/data.json — keying votes on
+    # (politician_id, roll_key) with only the leaf name would silently
+    # collapse distinct roll calls from different years into one row.
+    # So the key is the last FOUR path segments before the file name
+    # ({congress}/votes/{year}/{roll} in the reference layout), which is
+    # unique across years/congresses yet still stable when the staging
+    # root is respelled.  Shallower paths fall back to md5(src_file)
+    # (unique per file; such paths have no more context to take).
+    # Carried into the votes fact so two same-day roll calls on the
+    # same bill — amendment then passage — stay distinct rows (the
+    # reference inserts every row; a (politician, bill, date) key would
+    # silently collapse them).
     roll_key = F.coalesce(
-        F.nullif(F.regexp_extract("src_file", r"([^/]+)/[^/]+$", 1), F.lit("")),
+        F.nullif(
+            F.regexp_extract("src_file", r"(?:^|/)((?:[^/]+/){3}[^/]+)/[^/]+$", 1),
+            F.lit(""),
+        ),
         F.md5("src_file"),
     )
     pos = valid.select(

@@ -223,16 +223,28 @@ def incremental_upsert_stream(
     from politician_etl_project_spark.streaming.sources import run_foreach_batch
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        # records_updated = rows ACTUALLY written, via cheap footer-stat
-        # counts around the MERGE — not the batch size: a replayed batch
-        # whose first-wins upsert inserts nothing then logs 0, so
-        # consumers summing the log never double-count (the log row
-        # itself may duplicate across a replay; its counts stay honest)
-        before = table.read().count() if table.exists() else 0
-        table.upsert(batch_df, update_wins=False)
+        # logged n = rows ACTUALLY INSERTED, via cheap footer-stat counts
+        # around the MERGE — not the batch size: a replayed batch whose
+        # first-wins upsert inserts nothing then logs 0, so consumers
+        # summing the log never double-count (the log row itself may
+        # duplicate across a replay; its counts stay honest).  Under
+        # update_wins=False replacements never happen, so the metric is
+        # named records_inserted.  Both counts are gated on the log
+        # being wanted — an unmetered stream must not pay a full-table
+        # action per micro-batch.
         if update_log is not None:
+            before = table.read().count() if table.exists() else 0
+            table.upsert(batch_df, update_wins=False)
             n = table.read().count() - before
-            log_update(batch_df.sparkSession, update_log, "events", n, notes=f"batch={batch_id}")
+            log_update(
+                batch_df.sparkSession,
+                update_log,
+                "events",
+                n,
+                notes=f"batch={batch_id} records_inserted",
+            )
+        else:
+            table.upsert(batch_df, update_wins=False)
 
     run_foreach_batch(events, _apply, checkpoint_dir=checkpoint_dir)
 
@@ -341,6 +353,11 @@ def rollup_maintenance_stream(
 
     from politician_etl_project_spark.streaming.sources import run_foreach_batch
 
+    # the throwaway checkpoint is created HERE (not left to
+    # run_foreach_batch) because the lineage id must be derived from it;
+    # that makes cleanup ours too, or every anonymous run leaks one
+    # /tmp/ckpt-* directory
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
     lineage = _sink_lineage_id(ckpt)
 
@@ -352,7 +369,13 @@ def rollup_maintenance_stream(
         )
         store.merge(rows, batch_id=f"{lineage}-b{batch_id}")
 
-    run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
+    try:
+        run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
+    finally:
+        if own_ckpt:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _event_cms(events: DataFrame, depth: int = 3, width: int = 64) -> DataFrame:
@@ -434,6 +457,10 @@ def sketch_maintenance_stream(
 
     from politician_etl_project_spark.streaming.sources import run_foreach_batch
 
+    # created here (not in run_foreach_batch) because the lineage id is
+    # derived from it — so cleanup of an anonymous run's checkpoint is
+    # ours as well (see rollup_maintenance_stream)
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
     lineage = _sink_lineage_id(ckpt)
 
@@ -492,7 +519,13 @@ def sketch_maintenance_stream(
             if old not in keep:
                 shutil.rmtree(os.path.join(vdir, old), ignore_errors=True)
 
-    run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
+    try:
+        run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
+    finally:
+        if own_ckpt:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def snapshot_append_stream(
@@ -537,14 +570,22 @@ def snapshot_append_stream(
     # an anonymous run gets a throwaway checkpoint HERE so the sink id
     # still tracks the delivery lineage (deriving it from store_path
     # would collide a later fresh run's restarted batch ids with the
-    # committed markers — exactly the loss mode the scoping prevents)
+    # committed markers — exactly the loss mode the scoping prevents);
+    # creating it here makes its cleanup ours too
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         table = SnapshotTable(batch_df.sparkSession, store_path)
         snapshot_guarded_append(table, _sink_lineage_id(ckpt), batch_df, batch_id)
 
-    run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
+    try:
+        run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
+    finally:
+        if own_ckpt:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _sink_lineage_id(checkpoint_dir: str) -> str:

@@ -525,3 +525,30 @@ def test_vote_same_day_roll_calls_stay_distinct(spark, tmp_path):
 
     kept = dedup_keys(resolved, ["politician_id", "roll_key"])
     assert kept.count() == 2  # both roll calls survive the votes key
+
+
+def test_vote_same_roll_id_across_years_stays_distinct(spark, tmp_path):
+    """Govtrack roll ids like 'h1' reset every year: in the reference
+    layout data/{congress}/votes/{year}/{roll}/data.json the SAME leaf
+    dir name recurs across years and congresses.  roll_key must carry
+    enough path context that those are distinct roll calls — a
+    leaf-name-only key silently collapsed them under the
+    (politician_id, roll_key) votes key, losing votes."""
+    import json as _json
+
+    def _doc(date):
+        return {"category": "passage", "date": date,
+                "bill": {"type": "hr", "number": 77, "congress": 119},
+                "votes": {"Yea": [_json.dumps({"id": "A000009", "party": "D", "state": "CA"})]}}
+
+    for congress, year, date in [("118", "2023", "2023-01-10"), ("118", "2024", "2024-01-12")]:
+        d = tmp_path / congress / "votes" / year / "h1"
+        d.mkdir(parents=True)
+        (d / "data.json").write_text(_json.dumps(_doc(date)))
+    raw = votes_json.read_vote_files(spark, str(tmp_path) + "/*/votes/*/*/data.json")
+    exploded = votes_json.explode_votes(raw)
+    assert exploded.count() == 2
+    assert exploded.select("roll_key").distinct().count() == 2
+    keys = {r.roll_key for r in exploded.select("roll_key").collect()}
+    # the key is the last four path segments: {congress}/votes/{year}/{roll}
+    assert keys == {"118/votes/2023/h1", "118/votes/2024/h1"}
