@@ -129,6 +129,14 @@ BENCH_QUERIES = [
     "q_triangle_count",
     "q_time_travel",
     "q_segment_dedup",
+    # round-5 additions: web-corpus curation (URL canon + domain stats),
+    # bigram LM scoring, manifest min/max data skipping, minhash
+    # estimate-vs-exact calibration
+    "q_url_canonicalize",
+    "q_domain_stats",
+    "q_bigram_lm_score",
+    "q_stats_prune",
+    "q_minhash_calibration",
 ]
 
 

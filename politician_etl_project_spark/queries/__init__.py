@@ -27,24 +27,75 @@ import os
 from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, declared_query
 
 DRIVER_WINDOW = [
-    # --- ROUND-4 WINDOW (driver checks [:50]) ---
-    # Slots 1-37: every query that had never had a driver CORRECTNESS
-    # row after rounds 1-3 (r3 verdict item 1) — the analytics_ext /
-    # quality / pagerank / PQ / banded-simhash / countmin families.
-    # Nine slots: queries NEW this round — q_merge_batch_replay +
-    # q_sketch_merge_replay (T5 foreachBatch twins, r3 verdict item 6),
-    # q_bpe_train_merges + q_bpe_vocab_stats (iterative BPE training and
-    # its application), q_ann_index_extend (incremental LSH maintenance
-    # proven equal to the full rebuild), q_zorder_layout (Morton
-    # clustering key), q_cdc_apply (I/U/D changelog MERGE),
-    # q_bloom_prune (bloom semijoin pruning with measured FP rate),
-    # q_triangle_count (degree-oriented triangle enumeration), and
-    # q_segment_dedup (corpus-level C4/CCNet-style segment dedup).
-    # Remaining slots: sentinels from code REWRITTEN in round 4 (the
-    # banded SimHash pair generation in q_simhash_near_pairs and the
-    # simhash branch of q_dedup_multi_policy) — previously driver-green
-    # only in their pre-banding form.
+    # --- ROUND-5 WINDOW (driver checks [:50]) ---
+    # Slots 1-5: queries NEW this round — URL canonicalization +
+    # URL-level dedup, per-domain stats behind a blocklist, interpolated
+    # bigram LM scoring, manifest min/max data skipping
+    # (SnapshotTable stats_cols), and the MinHash estimate-vs-exact
+    # Jaccard calibration harness.
+    # Slots 6-12: sentinels for code REWRITTEN in round 5 — the
+    # cross-year roll_key derivation (sources/votes_json.py), the
+    # deterministic salt (operators/skew.py), the dedup-ingest staging
+    # fix (queries/textops.py), the RollupStore adhoc-staging uuid
+    # (operators/rollup.py), the foreachBatch twins behind the streaming
+    # hygiene fixes, and SnapshotTable (stats plumbed through every
+    # write path).
+    # Remaining slots: the 33 queries whose latest driver check is
+    # ROUND 1 (the stalest evidence in the registry) plus the five
+    # stalest round-2 names — freshness rotation now that all 181
+    # queries have at least one green driver row.
     # tests/test_window.py asserts this composition mechanically.
+    "q_url_canonicalize",
+    "q_domain_stats",
+    "q_bigram_lm_score",
+    "q_stats_prune",
+    "q_minhash_calibration",
+    "q_src_votes_json",
+    "q_salted_agg",
+    "q_dedup_incremental",
+    "q_incremental_rollup",
+    "q_merge_batch_replay",
+    "q_sketch_merge_replay",
+    "q_time_travel",
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q18_large_orders",
+    "q22_dormant_customers",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_asof_join",
+    "q_broadcast_lookup",
+    "q_composite_key_join",
+    "q_corpus_mixture",
+    "q_curation_funnel",
+    "q_date_roundtrip",
+    "q_dedup_exact",
+    "q_dup_clusters",
+    "q_embed_near_dup",
+    "q_event_dedup",
+    "q_fact_dim_rollup",
+    "q_filter_eq_range",
+    "q_frame_sample",
+    "q_hash_split",
+    "q_json_extract",
+    "q_junction_hierarchy",
+    "q_knn_bruteforce",
+    "q_knn_with_metadata",
+    "q_left_join_coalesce",
+    "q_limit1_probe",
+    "q_media_pixel_stats",
+    "q_minhash_signatures",
+    "q_monthly_timeline",
+    "q_multikey_sort",
+    "q_name_split_map",
+    "q_near_dup_pairs_capped",
+    "q_pagination",
+    # --- tail: prior-round order preserved (driver reads [:50] only) ---
     "q_gap_fill",
     "q_calendar_spine",
     "q_snapshot_diff",
@@ -57,7 +108,6 @@ DRIVER_WINDOW = [
     "q_orc_roundtrip",
     "q_abtest_lift",
     "q_pmi_terms",
-    "q_incremental_rollup",
     "q_event_transitions",
     "q_time_to_convert",
     "q_bucketed_join",
@@ -82,32 +132,21 @@ DRIVER_WINDOW = [
     "q_simhash_banded",
     "q_countmin_sketch",
     "q_weighted_sample_topk",
-    "q_merge_batch_replay",
     "q_simhash_near_pairs",
     "q_dedup_multi_policy",
-    "q_cdc_apply",  # NEW r4: I/U/D changelog MERGE (apply_changelog)
-    "q_zorder_layout",  # NEW r4: Morton clustering key
-    "q_time_travel",  # NEW r4: snapshot versioning, manifest time travel
-    "q_bloom_prune",  # NEW r4: bloom semijoin prune w/ measured FP rate
-    "q_ann_index_extend",  # NEW r4: incremental LSH maintenance
-    "q_bpe_vocab_stats",  # NEW r4: BPE train->apply closure
-    "q_triangle_count",  # NEW r4: degree-oriented triangle enumeration
-    "q_segment_dedup",  # NEW r4: C4/CCNet-style corpus segment dedup
-    "q_bpe_train_merges",  # NEW r4: iterative BPE training loop
-    "q_sketch_merge_replay",  # NEW r4: count-min monoid merge, T5 twin
-    # --- end of the 50-slot driver window; overflow order below ---
-    "q_curation_funnel",
-    "q_ann_lsh",
+    "q_cdc_apply",
+    "q_zorder_layout",
+    "q_bloom_prune",
+    "q_ann_index_extend",
+    "q_bpe_vocab_stats",
+    "q_triangle_count",
+    "q_segment_dedup",
+    "q_bpe_train_merges",
     "q_simhash",
-    "q_ann_ivf",
-    "q_dedup_incremental",
     "q_near_dup_pairs",
-    "q_knn_bruteforce",
     "q_ann_batch",
-    "q01_pricing_summary",
     "q_approx_sketches",
     "q_src_fec_csv",
-    "q_src_votes_json",
     "q_src_bills_xml",
     "q_src_committees_yaml",
     "q_window_rank",
@@ -150,49 +189,15 @@ DRIVER_WINDOW = [
     "q_pivot_status_matrix",
     "q_unpivot_measures",
     "q_hll_mergeable",
-    "q_dup_clusters",
-    "q_near_dup_pairs_capped",
-    "q_dedup_exact",
-    "q_asof_join",
-    "q_salted_agg",
-    "q_event_dedup",
-    "q_json_extract",
     "q_train_shuffle",
-    "q_media_pixel_stats",
-    "q06_forecast_revenue",
-    "q07_nation_volume",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q18_large_orders",
-    "q22_dormant_customers",
     "q_proj_concat",
-    "q_filter_eq_range",
-    "q_fact_dim_rollup",
-    "q_left_join_coalesce",
-    "q_composite_key_join",
-    "q_monthly_timeline",
     "q_pct_of_total",
-    "q_pagination",
-    "q_junction_hierarchy",
-    "q_broadcast_lookup",
-    "q_multikey_sort",
-    "q_limit1_probe",
-    "q_name_split_map",
-    "q_date_roundtrip",
     "q_surrogate_ids",
     "q_watermark_cutoff",
     "q_tumbling_window",
     "q_vector_norms",
-    "q_knn_with_metadata",
-    "q_frame_sample",
-    "q_minhash_signatures",
-    "q_embed_near_dup",
     "q_token_stats",
-    "q_hash_split",
     "q_sequence_packing",
-    "q_corpus_mixture",
     "q_range_join",
 ]
 
@@ -282,6 +287,7 @@ def load_all() -> dict[str, QuerySpec]:
         sources_decl,
         analytics_ext,
         quality,
+        webcorpus,
     )
 
     if _CANON_CACHE is None:

@@ -1927,3 +1927,92 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Manifest min/max data skipping (storage.SnapshotTable stats_cols)
+# ---------------------------------------------------------------------------
+
+_SP_RANGES = [(1, 1000, 2000), (2, 40000, 41000), (3, 1000000000, 1000000010)]
+
+
+def _stats_prune_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snapshot of orders laid out with repartitionByRange on
+    o_orderkey and per-file min/max stats in the manifest (stats_cols) —
+    the data-skipping layout a fact table carries at 100 TB."""
+    import os
+    import shutil
+    import tempfile
+
+    from politician_etl_project_spark.storage import SnapshotTable
+
+    key = _tmp_key(sf_dir, "orders.parquet", version="stats-prune-v1")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_statsnap_{key}")
+    if not os.path.isdir(path):
+        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        try:
+            SnapshotTable(spark, staging, stats_cols=["o_orderkey"]).overwrite(
+                orders.repartitionByRange(16, "o_orderkey")
+            )
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        try:
+            os.replace(staging, path)
+        except OSError:  # benign ONLY if a concurrent builder won
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise
+    return path
+
+
+_SP_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT {rid} AS range_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS total_price
+FROM orders WHERE o_orderkey BETWEEN {lo} AND {hi}"""
+    for rid, lo, hi in _SP_RANGES
+) + "\nORDER BY range_id"
+
+
+@declared_query(
+    "q_stats_prune",
+    oracle=_SP_ORACLE,
+    ops=("STORE-stats-skip", "P5", "A1"),
+    doc="Manifest min/max data skipping — the file-statistics half of "
+    "the lakehouse format (Delta/Iceberg data skipping), completing "
+    "the scan-elimination tier beside partition pruning (q_dpp_prune), "
+    "bloom semijoins (q_bloom_prune) and Morton clustering "
+    "(q_zorder_layout): SnapshotTable(stats_cols=['o_orderkey']) "
+    "records per-FILE min/max in each manifest at write time (one "
+    "O(new data) aggregate over the staged files, never a rescan), "
+    "and read_range plans from the manifest alone — a narrow key "
+    "probe over the range-clustered layout opens O(matching) files. "
+    "Three probes (dense range, sparse-at-small-SF range, and a "
+    "guaranteed-empty range exercising the zero-files read path) "
+    "aggregate count + revenue; the oracle filters the raw fact, so "
+    "the hash proves skipped files held no matching rows. "
+    "tests/test_storage.py asserts the actual file-count reduction "
+    "and the no-stats-conservative-scan fallback.",
+)
+def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.storage import SnapshotTable
+
+    t = SnapshotTable(spark, _stats_prune_path(spark, sf_dir))
+    outs = []
+    for rid, lo, hi in _SP_RANGES:
+        outs.append(
+            t.read_range("o_orderkey", lo, hi).agg(
+                F.lit(rid).cast("int").alias("range_id"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0)
+                )
+                .cast("decimal(18,2)")
+                .alias("total_price"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("range_id")

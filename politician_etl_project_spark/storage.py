@@ -128,11 +128,23 @@ class SnapshotTable:
     load auditable and revertible.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, stats_cols: list[str] | None = None):
+        """``stats_cols``: columns whose per-FILE min/max are recorded in
+        each manifest at write time — the data-skipping half of the
+        format (Delta/Iceberg file statistics).  ``read_range`` then
+        plans from the manifest alone and opens only the files whose
+        [min, max] intersect the predicate: on a table laid out with
+        ``repartitionByRange`` over the stats column, a narrow range
+        probe reads O(matching files), not O(table).  Costs one extra
+        Spark aggregate over the NEWLY staged files per write (O(new
+        data), never a table rescan).  Readers of manifests written
+        without stats (or by writers with different stats_cols) stay
+        correct: a file with no recorded stats is always scanned."""
         import os
 
         self.spark = spark
         self.path = path
+        self.stats_cols = list(stats_cols or [])
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "versions"), exist_ok=True)
 
@@ -263,13 +275,69 @@ class SnapshotTable:
         # table generations carry different schemas
         return self.spark.read.schema(schema).parquet(*files)
 
+    def files_in_range(self, col: str, lo, hi, version: int | None = None) -> tuple[list[str], int]:
+        """Data skipping: (files whose manifest [min, max] for ``col``
+        intersects [lo, hi] — inclusive — plus every file with no
+        recorded stats, total file count).  Pure manifest arithmetic on
+        the driver: no file is opened, which is the point — at 100 TB
+        the planning cost is O(n_files) JSON, not I/O.  A file whose
+        min or max is null (all-null column chunk) is kept: NULL rows
+        don't match a range predicate, but the file may hold non-null
+        rows in OTHER row groups only stats of finer grain could
+        exclude."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        v = cur if version is None else version
+        man = self._manifest(v)
+        stats = man.get("stats", {})
+        keep = []
+        for f in man["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None or s[0] is None or s[1] is None:
+                keep.append(f)  # no stats ⇒ must scan (correctness first)
+                continue
+            mn, mx = s
+            if not (mx < lo or mn > hi):
+                keep.append(f)
+        return keep, len(man["files"])
+
+    def read_range(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """The rows with ``lo <= col <= hi``, reading ONLY the files
+        whose stats admit a match (``files_in_range``).  The residual
+        filter is still applied — file stats are a superset bound, and
+        Spark additionally gets its own parquet row-group skipping
+        inside each admitted file."""
+        import os
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        cur = self.current_version()
+        v = cur if version is None else version
+        man = self._manifest(v)
+        schema = StructType.fromJson(man["schema"])
+        keep, _total = self.files_in_range(col, lo, hi, version=v)
+        if not keep:
+            empty = self.spark.createDataFrame([], schema)
+            return empty.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        paths = [os.path.join(self.path, "data", f) for f in keep]
+        return (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        )
+
     # -- writes --------------------------------------------------------------
 
-    def _stage_files(self, df: DataFrame) -> list[str]:
+    def _stage_files(self, df: DataFrame) -> tuple[list[str], dict]:
         """Write df's parquet files and move them into data/ under a
         commit-unique token prefix — collision-free even when several
         writers stage concurrently (the version number isn't known
-        until the commit lock is held, which is AFTER staging)."""
+        until the commit lock is held, which is AFTER staging).
+        Returns (file names, per-file min/max stats for stats_cols —
+        computed by ONE aggregate over the staged files before the
+        move, so the cost is O(new data))."""
         import os
         import shutil
         import tempfile
@@ -279,15 +347,52 @@ class SnapshotTable:
         staging = tempfile.mkdtemp(prefix="snap-", dir=self.path)
         try:
             df.write.mode("overwrite").parquet(staging)
+            staged_stats = self._collect_stats(staging, df) if self.stats_cols else {}
             names = []
+            stats: dict[str, dict] = {}
             for fn in sorted(os.listdir(staging)):
                 if fn.endswith(".parquet"):
                     dst = f"c{token}-{fn}"
                     os.replace(os.path.join(staging, fn), os.path.join(self.path, "data", dst))
                     names.append(dst)
-            return names
+                    if fn in staged_stats:
+                        stats[dst] = staged_stats[fn]
+            return names, stats
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+
+    def _collect_stats(self, staging: str, df: DataFrame) -> dict[str, dict]:
+        """Per-file [min, max] of each stats column, keyed by staged file
+        name.  Values are stored JSON-native: numbers and booleans as-is,
+        everything else (dates, timestamps, strings) via str() — ISO
+        renderings compare lexicographically in range order, so pruning
+        stays exact for them too."""
+        import os
+        from urllib.parse import urlparse
+
+        from pyspark.sql import functions as F
+
+        cols = [c for c in self.stats_cols if c in df.columns]
+        if not cols:
+            return {}
+
+        def _js(v):
+            return v if v is None or isinstance(v, (int, float, bool)) else str(v)
+
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        rows = (
+            self.spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()  # O(n_new_files) rows — bounded by the write's task count
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            fn = os.path.basename(urlparse(r["__f"]).path)
+            out[fn] = {c: [_js(r[f"__mn_{c}"]), _js(r[f"__mx_{c}"])] for c in cols}
+        return out
 
     def _unstage_files(self, files: list[str]) -> None:
         """Drop files staged by an abandoned optimistic attempt (they are
@@ -320,7 +425,9 @@ class SnapshotTable:
 
         return _lock()
 
-    def _publish_locked(self, parent, files: list[str], op: str, schema_json: dict) -> int:
+    def _publish_locked(
+        self, parent, files: list[str], op: str, schema_json: dict, stats: dict | None = None
+    ) -> int:
         """Allocate the next version and commit it: exclusive manifest
         create + atomic pointer flip.  MUST be called with the commit
         lock held; ``parent`` must equal ``current_version()`` (the
@@ -336,6 +443,10 @@ class SnapshotTable:
             "files": files,
             "schema": schema_json,
         }
+        if stats:
+            # only files in THIS manifest — an append caller passes the
+            # parent's surviving stats merged with the new files' own
+            man["stats"] = {f: s for f, s in stats.items() if f in set(files)}
         man_path = os.path.join(self.path, "versions", f"v{version:06d}.json")
         # A manifest already at this slot is EITHER a torn write
         # (manifest landed, pointer flip didn't — its writer died, or
@@ -369,10 +480,10 @@ class SnapshotTable:
         return version
 
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
-        files = self._stage_files(df)
+        files, stats = self._stage_files(df)
         with self._commit_lock():
             return self._publish_locked(
-                self.current_version(), files, op, df.schema.jsonValue()
+                self.current_version(), files, op, df.schema.jsonValue(), stats
             )
 
     def append(self, df: DataFrame, op: str = "append") -> int:
@@ -384,11 +495,11 @@ class SnapshotTable:
         The parent's file list is resolved UNDER the commit lock, so an
         append never loses rows committed by an interleaved writer."""
         got = [(f["name"], f["type"]) for f in df.schema.jsonValue()["fields"]]
-        new_files = self._stage_files(df)
+        new_files, new_stats = self._stage_files(df)
         with self._commit_lock():
             parent = self.current_version()
             if parent is None:
-                return self._publish_locked(None, new_files, op, df.schema.jsonValue())
+                return self._publish_locked(None, new_files, op, df.schema.jsonValue(), new_stats)
             pman = self._manifest(parent)
             want = [(f["name"], f["type"]) for f in pman["schema"]["fields"]]
             if want != got:
@@ -397,8 +508,14 @@ class SnapshotTable:
                     f"append schema {got} does not match snapshot schema {want}; "
                     "use overwrite() for schema changes"
                 )
+            # inherited files keep the parent's stats; file names are
+            # commit-unique so the dict merge cannot collide
             return self._publish_locked(
-                parent, pman["files"] + new_files, op, df.schema.jsonValue()
+                parent,
+                pman["files"] + new_files,
+                op,
+                df.schema.jsonValue(),
+                {**pman.get("stats", {}), **new_stats},
             )
 
     def upsert(self, df: DataFrame, keys: list[str], update_wins: bool = True) -> int:
@@ -417,11 +534,13 @@ class SnapshotTable:
                 merged = merge_keep(
                     self.read(base_version), df, keys, update_wins=update_wins
                 )
-            files = self._stage_files(merged)
+            files, stats = self._stage_files(merged)
             schema_json = merged.schema.jsonValue()
             with self._commit_lock():
                 if self.current_version() == base_version:
-                    return self._publish_locked(base_version, files, "upsert", schema_json)
+                    return self._publish_locked(
+                        base_version, files, "upsert", schema_json, stats
+                    )
             self._unstage_files(files)  # lost the race: re-merge on new base
         raise SnapshotConflictError(f"upsert lost 5 commit races at {self.path}")
 
@@ -441,11 +560,13 @@ class SnapshotTable:
         for _ in range(5):
             base_version = self.current_version()
             rewritten = self.read(base_version).coalesce(target_files)
-            files = self._stage_files(rewritten)
+            files, stats = self._stage_files(rewritten)
             schema_json = rewritten.schema.jsonValue()
             with self._commit_lock():
                 if self.current_version() == base_version:
-                    return self._publish_locked(base_version, files, "compact", schema_json)
+                    return self._publish_locked(
+                        base_version, files, "compact", schema_json, stats
+                    )
             self._unstage_files(files)
         raise SnapshotConflictError(f"compact lost 5 commit races at {self.path}")
 

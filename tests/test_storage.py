@@ -465,3 +465,75 @@ def test_snapshot_publish_refuses_committed_slot(spark, tmp_path):
         with t._commit_lock():
             t._publish_locked(1, [], "append", t._manifest(1)["schema"])
     assert t.read().count() == 2  # v2 intact
+
+
+# -- manifest min/max stats + data skipping ----------------------------------
+
+
+def test_snapshot_stats_prune_files(spark, tmp_path):
+    """A range-laid-out table with stats_cols records per-file min/max in
+    the manifest, and a narrow range probe opens only the intersecting
+    files — with results identical to the full-scan filter."""
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"), stats_cols=["k"])
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.overwrite(df.repartitionByRange(8, "k"))
+
+    man = t._manifest(t.current_version())
+    assert man["stats"], "stats must be recorded"
+    assert set(man["stats"]) == set(man["files"])
+
+    keep, total = t.files_in_range("k", 100, 140)
+    assert total == len(man["files"])
+    assert 0 < len(keep) < total, f"expected real pruning, got {len(keep)}/{total}"
+
+    got = sorted(tuple(r) for r in t.read_range("k", 100, 140).collect())
+    want = sorted(
+        tuple(r) for r in t.read().filter((F.col("k") >= 100) & (F.col("k") <= 140)).collect()
+    )
+    assert got == want and len(got) == 41
+
+
+def test_snapshot_stats_append_merges_and_unstatted_files_scan(spark, tmp_path):
+    """Append merges parent stats with the new files' own; files written
+    WITHOUT stats (older writer / no stats_cols) are always scanned."""
+    path = str(tmp_path / "snap")
+    plain = storage.SnapshotTable(spark, path)  # no stats_cols
+    plain.overwrite(spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1))
+
+    statted = storage.SnapshotTable(spark, path, stats_cols=["k"])
+    statted.append(
+        spark.range(1000, 2000)
+        .select(F.col("id").alias("k"))
+        .repartitionByRange(4, "k")
+    )
+
+    man = statted._manifest(statted.current_version())
+    # 1 unstatted parent file + 4 statted appended files
+    assert len(man["files"]) == 5 and len(man["stats"]) == 4
+
+    # probe far outside the unstatted file's actual range: it must STILL
+    # be scanned (no stats ⇒ conservative), while statted files prune
+    keep, total = statted.files_in_range("k", 1100, 1200)
+    assert total == 5
+    unstatted = [f for f in man["files"] if f not in man["stats"]]
+    assert unstatted[0] in keep
+    assert len(keep) < total
+    assert statted.read_range("k", 1100, 1200).count() == 101
+
+    # a probe hitting only the unstatted region still answers correctly
+    assert statted.read_range("k", 10, 20).count() == 11
+
+
+def test_snapshot_stats_string_column_lexicographic(spark, tmp_path):
+    """ISO-rendered date/string stats prune lexicographically."""
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"), stats_cols=["day"])
+    df = spark.createDataFrame(
+        [(f"2024-{m:02d}-{d:02d}",) for m in range(1, 13) for d in (1, 15)],
+        "day string",
+    )
+    t.overwrite(df.repartitionByRange(6, "day"))
+    keep, total = t.files_in_range("day", "2024-03-01", "2024-03-31")
+    assert 0 < len(keep) < total
+    assert t.read_range("day", "2024-03-01", "2024-03-31").count() == 2
