@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q_bigram_lm_score",
     "q_stats_prune",
     "q_minhash_calibration",
+    "q_bm25_topk",
 ]
 
 

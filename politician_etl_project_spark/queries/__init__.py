@@ -28,12 +28,12 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 
 DRIVER_WINDOW = [
     # --- ROUND-5 WINDOW (driver checks [:50]) ---
-    # Slots 1-5: queries NEW this round — URL canonicalization +
+    # Slots 1-6: queries NEW this round — URL canonicalization +
     # URL-level dedup, per-domain stats behind a blocklist, interpolated
     # bigram LM scoring, manifest min/max data skipping
-    # (SnapshotTable stats_cols), and the MinHash estimate-vs-exact
-    # Jaccard calibration harness.
-    # Slots 6-12: sentinels for code REWRITTEN in round 5 — the
+    # (SnapshotTable stats_cols), the MinHash estimate-vs-exact
+    # Jaccard calibration harness, and BM25 top-k retrieval.
+    # Slots 7-13: sentinels for code REWRITTEN in round 5 — the
     # cross-year roll_key derivation (sources/votes_json.py), the
     # deterministic salt (operators/skew.py), the dedup-ingest staging
     # fix (queries/textops.py), the RollupStore adhoc-staging uuid
@@ -50,6 +50,7 @@ DRIVER_WINDOW = [
     "q_bigram_lm_score",
     "q_stats_prune",
     "q_minhash_calibration",
+    "q_bm25_topk",
     "q_src_votes_json",
     "q_salted_agg",
     "q_dedup_incremental",
@@ -94,8 +95,8 @@ DRIVER_WINDOW = [
     "q_multikey_sort",
     "q_name_split_map",
     "q_near_dup_pairs_capped",
-    "q_pagination",
     # --- tail: prior-round order preserved (driver reads [:50] only) ---
+    "q_pagination",
     "q_gap_fill",
     "q_calendar_spine",
     "q_snapshot_diff",

@@ -443,3 +443,140 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_match")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+# (query_id, term) pairs — the keyword workload; terms come from the
+# corpus vocabulary so every query has matches at every SF
+_BM25_QUERIES = [(1, "spark"), (1, "join"), (2, "data"), (2, "stream"), (3, "hash"), (3, "table")]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), scalars AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), q AS (
+  SELECT * FROM (VALUES {", ".join(f"({qid}, '{t}')" for qid, t in _BM25_QUERIES)})
+    AS t(query_id, term)
+), tf AS (
+  SELECT tok.doc_id, tok.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok JOIN q ON tok.term = q.term
+  GROUP BY tok.doc_id, tok.term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(FLOOR(1000000 * (
+           ln((CAST(s.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE)
+              / (CAST(tf.tf AS DOUBLE)
+                 + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / s.avgdl))))
+         )) AS BIGINT) AS c
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN scalars s
+), scored AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_micro,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) <= {_BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@declared_query(
+    "q_bm25_topk",
+    oracle=_BM25_ORACLE,
+    ops=("WEB-bm25", "TXT-invindex", "A3", "J7", "O3"),
+    doc="BM25 top-k retrieval (k1=1.2, b=0.75) — the lexical ranking "
+    "function behind the keyword half of every RAG/hybrid stack, "
+    "upgrading q_hybrid_rrf's raw-tf keyword list to the real scoring "
+    "model (idf with +1 smoothing, tf saturation, document-length "
+    "normalization).  Cross-engine exact: each (doc, term) "
+    "contribution is fixed-pointed to micro-units (floor(1e6*x) of an "
+    "identically parenthesized double tree), so per-doc scores are "
+    "order-independent BIGINT sums; ranking breaks ties by doc_id.  "
+    "Scale: the query-term list broadcasts (semi-join prunes the "
+    "token stream before any aggregation), tf is one shuffle on "
+    "(doc, term), df/avgdl are tiny side aggregates — the same plan "
+    "serves a million-query batch by swapping the literal for a "
+    "query table.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    q = F.broadcast(
+        spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    )
+    tf = (
+        tok.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    contrib = (
+        tf.join(q, "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.lit(1_000_000)
+                * (
+                    F.log(
+                        ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
+                        / (F.col("df").cast("double") + F.lit(0.5))
+                        + F.lit(1.0)
+                    )
+                    * (
+                        F.col("tf").cast("double")
+                        / (
+                            F.col("tf").cast("double")
+                            + F.lit(_BM25_K1)
+                            * (
+                                F.lit(1.0)
+                                - F.lit(_BM25_B)
+                                + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+                            )
+                        )
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .orderBy("query_id", "rank")
+    )

@@ -144,6 +144,23 @@ def main() -> None:
                 missing.append(op)
                 lines.append(f"| {op} | **MISSING** | — |")
         lines.append("")
+    # every op id declared in the registry but absent from the curated
+    # SECTIONS above lands here automatically — the curated list went
+    # stale twice as rounds added operator families; auto-collection
+    # means a new family can never silently vanish from COVERAGE.md
+    listed = {op for _, ids in SECTIONS for op in ids}
+    extra = sorted(op for op in by_op if op not in listed)
+    if extra:
+        lines += [
+            "## Further extension ops (auto-collected from the registry)",
+            "",
+            "| Op | Check | Implementation |",
+            "|---|---|---|",
+        ]
+        for op in extra:
+            check = ", ".join(sorted(set(by_op[op])))
+            lines.append(f"| {op} | {check} | declared query (see check) |")
+        lines.append("")
     Path("COVERAGE.md").write_text("\n".join(lines) + "\n")
     n_q = len(specs)
     n_oracle = sum(1 for s in specs.values() if s.oracle)

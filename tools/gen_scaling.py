@@ -36,6 +36,10 @@ QUERIES = [
     "q_triangle_count",      # degree-oriented wedge joins
     "q_time_travel",         # manifest reads across three versions
     "q_segment_dedup",       # corpus keep-first segment aggregate
+    "q_url_canonicalize",    # regexp-chain map + canonical-key shuffle
+    "q_bigram_lm_score",     # in-row zip + model joins
+    "q_stats_prune",         # manifest min/max file skipping
+    "q_minhash_calibration", # band join + exact-verify stage
 ]
 
 
