@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q_stats_prune",
     "q_minhash_calibration",
     "q_bm25_topk",
+    "q_pq_rerank",
 ]
 
 

@@ -28,12 +28,13 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 
 DRIVER_WINDOW = [
     # --- ROUND-5 WINDOW (driver checks [:50]) ---
-    # Slots 1-6: queries NEW this round — URL canonicalization +
+    # Slots 1-7: queries NEW this round — URL canonicalization +
     # URL-level dedup, per-domain stats behind a blocklist, interpolated
     # bigram LM scoring, manifest min/max data skipping
     # (SnapshotTable stats_cols), the MinHash estimate-vs-exact
-    # Jaccard calibration harness, and BM25 top-k retrieval.
-    # Slots 7-13: sentinels for code REWRITTEN in round 5 — the
+    # Jaccard calibration harness, BM25 top-k retrieval, and two-stage
+    # PQ-candidates -> exact-re-rank serving.
+    # Slots 8-14: sentinels for code REWRITTEN in round 5 — the
     # cross-year roll_key derivation (sources/votes_json.py), the
     # deterministic salt (operators/skew.py), the dedup-ingest staging
     # fix (queries/textops.py), the RollupStore adhoc-staging uuid
@@ -51,6 +52,7 @@ DRIVER_WINDOW = [
     "q_stats_prune",
     "q_minhash_calibration",
     "q_bm25_topk",
+    "q_pq_rerank",
     "q_src_votes_json",
     "q_salted_agg",
     "q_dedup_incremental",
@@ -94,8 +96,8 @@ DRIVER_WINDOW = [
     "q_monthly_timeline",
     "q_multikey_sort",
     "q_name_split_map",
-    "q_near_dup_pairs_capped",
     # --- tail: prior-round order preserved (driver reads [:50] only) ---
+    "q_near_dup_pairs_capped",
     "q_pagination",
     "q_gap_fill",
     "q_calendar_spine",

@@ -954,3 +954,52 @@ def q_ann_index_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     index = _extended_lsh_index_path(spark, sf_dir)
     return ann_lsh_indexed(spark, index, qv, k=10, n_planes=4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: PQ candidates -> exact re-rank
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_pq_rerank",
+    oracle=f"""
+WITH cand AS (
+{_pq_oracle(k=50)}
+)
+SELECT b.vec_id, ROUND({_DUCK_DOT_AB} / ({_DUCK_NORM.format(t='a')} * {_DUCK_NORM.format(t='b')}), 4) AS score
+FROM cand
+JOIN embeddings b ON cand.vec_id = b.vec_id
+CROSS JOIN (SELECT * FROM embeddings WHERE vec_id = 0) a
+ORDER BY score DESC, b.vec_id
+LIMIT 10
+""",
+    ops=("V2", "TXT-ann-pq", "O3"),
+    doc="Two-stage retrieval — the standard billion-scale serving "
+    "pattern: stage 1 scans only the PQ CODE table (ADC over broadcast "
+    "lookup tables, corpus floats stay cold) for 50 candidates; stage 2 "
+    "re-ranks just those 50 with EXACT cosine against the full vectors "
+    "and returns the top 10.  This is what production vector stores "
+    "(FAISS IVFPQ + refine, Pinecone's re-ranking tier) actually run: "
+    "the compressed index bounds I/O, the exact pass removes "
+    "quantization error from the final ordering.  Cross-engine exact: "
+    "the oracle replays the per-subspace Lloyd training bit-for-bit "
+    "(the q_ann_pq contract) and the re-rank reuses the brute-force "
+    "cosine expression (ROUND(x, 4), ties by id).  Scale: stage-2 cost "
+    "is O(candidates), independent of corpus size; the candidate "
+    "id-join prunes the vector scan to 50 rows.",
+)
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.similarity import ann_pq_indexed, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    index = _pq_index_path(spark, sf_dir, m=4, ksub=4, n_iters=2)
+    cand = ann_pq_indexed(spark, index, qv, m=4, dim=64, k=50).select("vec_id")
+    return (
+        emb.join(cand, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(cosine("embedding", "q"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -455,24 +455,31 @@ _BM25_QUERIES = [(1, "spark"), (1, "join"), (2, "data"), (2, "stream"), (3, "has
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TOPK = 10
+_BM25_TERMS = sorted({t for _, t in _BM25_QUERIES})
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 _BM25_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-  FROM documents
-), dl AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), tok AS (
+  -- dl rides along with every token (functionally dependent on doc_id,
+  -- so carrying it through the tf GROUP BY key costs nothing and saves
+  -- the per-doc-length join); the token stream is filtered to query
+  -- terms IN-ROW before the unnest, so only matches are ever exploded
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         unnest(list_filter(toks, t -> t IN ({_BM25_TERMS_SQL}))) AS term
+  FROM arrs
 ), scalars AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-  FROM dl
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM arrs
 ), q AS (
   SELECT * FROM (VALUES {", ".join(f"({qid}, '{t}')" for qid, t in _BM25_QUERIES)})
     AS t(query_id, term)
 ), tf AS (
-  SELECT tok.doc_id, tok.term, CAST(COUNT(*) AS BIGINT) AS tf
+  SELECT tok.doc_id, tok.dl, tok.term, CAST(COUNT(*) AS BIGINT) AS tf
   FROM tok JOIN q ON tok.term = q.term
-  GROUP BY tok.doc_id, tok.term
+  GROUP BY tok.doc_id, tok.dl, tok.term
 ), df AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
 ), contrib AS (
@@ -481,12 +488,11 @@ WITH tok AS (
            ln((CAST(s.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
            * (CAST(tf.tf AS DOUBLE)
               / (CAST(tf.tf AS DOUBLE)
-                 + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / s.avgdl))))
+                 + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (CAST(tf.dl AS DOUBLE) / s.avgdl))))
          )) AS BIGINT) AS c
   FROM tf
   JOIN q ON tf.term = q.term
   JOIN df ON tf.term = df.term
-  JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN scalars s
 ), scored AS (
   SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
@@ -521,26 +527,37 @@ ORDER BY query_id, rank
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
-    scalars = dl.agg(
+    arrs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    # dl = size of the token array — a narrow per-row expression, NOT an
+    # explode+groupBy (saves a full token shuffle); it rides through the
+    # tf GROUP BY key (functionally dependent on doc_id, zero extra
+    # cardinality), which also eliminates the per-doc-length join.  The
+    # token stream is filtered to the query vocabulary IN-ROW (codegen
+    # `filter` over the array), so the explode emits only matches —
+    # ~vocabulary-hit-rate of the corpus tokens instead of all of them.
+    # A million-query workload would swap the literal for a broadcast
+    # semi-join; for a bounded term list the literal keeps the prune
+    # inside the scan stage.
+    terms_lit = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    tok = arrs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode(F.expr(f"filter(toks, t -> t IN ({terms_lit}))")).alias("term"),
+    )
+    scalars = arrs.agg(
         F.count("*").cast("bigint").alias("n"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
     )
     q = F.broadcast(
         spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     )
-    tf = (
-        tok.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count("*").cast("bigint").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     contrib = (
         tf.join(q, "term")
         .join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(scalars))
         .select(
             "query_id",
