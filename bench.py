@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_minhash_calibration",
     "q_bm25_topk",
     "q_pq_rerank",
+    "q_cdf_read",
 ]
 
 

@@ -2016,3 +2016,107 @@ def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("range_id")
+
+
+# ---------------------------------------------------------------------------
+# Change data feed (storage.SnapshotTable.changes)
+# ---------------------------------------------------------------------------
+
+
+def _cdf_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once two-version snapshot exercising all three change
+    classes: v1 = orders with key%3 != 0; v2 = overwrite with key%3 != 1
+    and price doubled where key%5 == 0 — so the v1->v2 feed contains
+    inserts (key%3=0), deletes (key%3=1) and updates (key%3=2, key%5=0),
+    with the rest unchanged and therefore ABSENT."""
+    import os
+    import shutil
+    import tempfile
+
+    from politician_etl_project_spark.storage import SnapshotTable
+
+    key = _tmp_key(sf_dir, "orders.parquet", version="cdf-v1")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_cdf_{key}")
+    if not os.path.isdir(path):
+        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        )
+        try:
+            t = SnapshotTable(spark, staging)
+            t.overwrite(orders.filter(F.col("k") % 3 != 0))
+            t.overwrite(
+                orders.filter(F.col("k") % 3 != 1).select(
+                    "k",
+                    F.when(F.col("k") % 5 == 0, (F.col("p") * 2).cast("decimal(12,2)"))
+                    .otherwise(F.col("p"))
+                    .alias("p"),
+                )
+            )
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        try:
+            os.replace(staging, path)
+        except OSError:  # benign ONLY if a concurrent builder won
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise
+    return path
+
+
+_CDF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+  FROM orders WHERE o_orderkey % 3 <> 0
+), v2 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2))
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p
+  FROM orders WHERE o_orderkey % 3 <> 1
+), feed AS (
+  SELECT 'insert' AS change_type, p FROM v2 WHERE k % 3 = 0
+  UNION ALL SELECT 'delete', p FROM v1 WHERE k % 3 = 1
+  UNION ALL SELECT 'update_preimage', p FROM v1 WHERE k % 3 = 2 AND k % 5 = 0
+  UNION ALL SELECT 'update_postimage', p FROM v2 WHERE k % 3 = 2 AND k % 5 = 0
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(p) AS DECIMAL(18,2)) AS total_price
+FROM feed GROUP BY change_type ORDER BY change_type
+"""
+
+
+@declared_query(
+    "q_cdf_read",
+    oracle=_CDF_ORACLE,
+    ops=("CDC-feed", "STORE-snapshot", "J6", "A2"),
+    doc="Change data feed between two published snapshot versions "
+    "(storage.SnapshotTable.changes — the Delta CDF read surface): one "
+    "typed row per change, updates emitting BOTH images, unchanged "
+    "rows absent, NULL-safe value comparison.  The plan is ONE "
+    "full-outer shuffle join on the key; the four change classes come "
+    "from a per-row CASE building 0-2 typed structs flattened by a "
+    "single explode (no four-branch union re-reading the join).  The "
+    "oracle reconstructs both versions from the raw fact by replaying "
+    "the version predicates, so the hash proves the feed is exactly "
+    "the set difference — nothing leaked, nothing dropped, images on "
+    "the right side.  Completes the lakehouse story: time travel "
+    "(q_time_travel) pins versions, CDC apply (q_cdc_apply) consumes "
+    "a changelog, this PRODUCES one from any two versions.  "
+    "tests/test_storage.py proves feed-apply round-trips v1 to v2.",
+)
+def q_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.storage import SnapshotTable
+
+    t = SnapshotTable(spark, _cdf_store_path(spark, sf_dir))
+    feed = t.changes(["k"], 1, 2)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("p").cast("decimal(18,2)").alias("total_price"),
+        )
+        .orderBy("change_type")
+    )

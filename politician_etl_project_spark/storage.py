@@ -328,6 +328,86 @@ class SnapshotTable:
             .filter((F.col(col) >= lo) & (F.col(col) <= hi))
         )
 
+    def changes(self, keys: list[str], from_version: int, to_version: int) -> DataFrame:
+        """Row-level change feed between two published versions — the
+        Delta CDF read surface: one typed row per change, ``_change_type``
+        ∈ insert / delete / update_preimage / update_postimage (updates
+        emit BOTH images, the contract downstream MERGE/audit consumers
+        expect).  Unchanged rows are dropped; value comparison is
+        NULL-safe (a NULL→value or value→NULL transition is an update,
+        NULL→NULL is not a change).
+
+        Plan shape: ONE full-outer shuffle join on the keys; the four
+        change classes come from a per-row CASE building an array of
+        0-2 typed structs that a single explode flattens — no
+        four-branch union re-reading the join, no second exchange.  At
+        100 TB this is the same cost as the upsert that produced the
+        target version.
+
+        Both versions must carry the same (name, type) schema — a
+        changed schema needs column-mapping rules this API does not
+        guess at."""
+        from pyspark.sql import functions as F
+
+        a_man = self._manifest(from_version)
+        b_man = self._manifest(to_version)
+        a_fields = [(f["name"], f["type"]) for f in a_man["schema"]["fields"]]
+        b_fields = [(f["name"], f["type"]) for f in b_man["schema"]["fields"]]
+        if a_fields != b_fields:
+            raise ValueError(
+                f"changes() needs matching schemas; v{from_version} has "
+                f"{a_fields}, v{to_version} has {b_fields}"
+            )
+        cols = [n for n, _ in a_fields]
+        vals = [c for c in cols if c not in keys]
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(f"key columns {missing} not in schema {cols}")
+        if not vals:
+            raise ValueError(
+                "changes() needs at least one non-key column (a key-only "
+                "table has no update semantics; diff key sets directly)"
+            )
+
+        before = self.read(from_version).select(
+            *keys, F.lit(True).alias("_a"), *[F.col(c).alias(f"_a_{c}") for c in vals]
+        )
+        after = self.read(to_version).select(
+            *keys, F.lit(True).alias("_b"), *[F.col(c).alias(f"_b_{c}") for c in vals]
+        )
+        changed = F.lit(False)
+        for c in vals:
+            changed = changed | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+        # unchanged rows leave the plan right after the join — the CASE
+        # below then needs no empty-array branch (and no hand-written
+        # struct DDL for its type)
+        j = before.join(after, keys, "full_outer").filter(
+            F.col("_a").isNull() | F.col("_b").isNull() | changed
+        )
+
+        def img(side: str) -> F.Column:
+            return F.struct(*[F.col(f"_{side}_{c}").alias(c) for c in vals])
+
+        arr = (
+            F.when(
+                F.col("_a").isNull(),
+                F.array(F.struct(F.lit("insert").alias("_change_type"), img("b").alias("v"))),
+            )
+            .when(
+                F.col("_b").isNull(),
+                F.array(F.struct(F.lit("delete").alias("_change_type"), img("a").alias("v"))),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(F.lit("update_preimage").alias("_change_type"), img("a").alias("v")),
+                    F.struct(F.lit("update_postimage").alias("_change_type"), img("b").alias("v")),
+                )
+            )
+        )
+        return j.select(*keys, F.explode(arr).alias("_chg")).select(
+            *keys, F.col("_chg._change_type").alias("_change_type"), "_chg.v.*"
+        )
+
     # -- writes --------------------------------------------------------------
 
     def _stage_files(self, df: DataFrame) -> tuple[list[str], dict]:

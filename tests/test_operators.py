@@ -1229,3 +1229,23 @@ def test_resize_degenerate_payloads_skip_not_crash(spark):
     got = {r.media_id: r.pixels for r in resize_images(media, 2, 2).collect()}
     assert set(got) == {1, 3, 4}
     assert got[4] == "2,3,10,11" or len(got[4].split(",")) == 4
+
+
+def test_with_salt_deterministic_across_actions(spark, tmp_path):
+    """The salt is a SHUFFLE KEY: re-materializing the same plan (as a
+    recomputed map task would after a shuffle-fetch failure) must assign
+    every row the identical salt — the monotonically_increasing_id spray
+    this replaced could diverge between attempts and silently corrupt
+    the salted aggregate."""
+    from politician_etl_project_spark.operators.skew import with_salt
+
+    path = str(tmp_path / "salt_src")
+    spark.range(0, 5000).selectExpr("id", "id % 7 AS k", "id * 2 AS x").write.parquet(path)
+    df = with_salt(spark.read.parquet(path), 8)
+    first = {r.id: r._salt for r in df.collect()}
+    second = {r.id: r._salt for r in df.collect()}
+    assert first == second
+    # and the spread property still holds: one hot key's identical rows
+    # land on several salts (here rows differ by id, but the crc32+pid
+    # mix must not collapse onto one salt either)
+    assert len(set(first.values())) >= 4

@@ -537,3 +537,81 @@ def test_snapshot_stats_string_column_lexicographic(spark, tmp_path):
     keep, total = t.files_in_range("day", "2024-03-01", "2024-03-31")
     assert 0 < len(keep) < total
     assert t.read_range("day", "2024-03-01", "2024-03-31").count() == 2
+
+
+# -- change data feed (SnapshotTable.changes) --------------------------------
+
+
+def test_snapshot_changes_typed_rows(spark, tmp_path):
+    """CDF between two versions: insert / delete / both update images;
+    unchanged rows absent; NULL-safe value comparison (NULL->value is an
+    update, NULL->NULL is not)."""
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"))
+    v1 = t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+            "k int, s string, v int",
+        )
+    )
+    v2 = t.overwrite(
+        spark.createDataFrame(
+            # k=1 unchanged; k=2 NULL->25 update; k=3 deleted; k=4 s stays
+            # NULL (no change); k=5 inserted
+            [(1, "a", 10), (2, "b", 25), (4, None, 40), (5, "e", 50)],
+            "k int, s string, v int",
+        )
+    )
+    rows = {
+        (r.k, r._change_type): (r.s, r.v)
+        for r in t.changes(["k"], v1, v2).collect()
+    }
+    assert rows == {
+        (2, "update_preimage"): ("b", None),
+        (2, "update_postimage"): ("b", 25),
+        (3, "delete"): ("c", 30),
+        (5, "insert"): ("e", 50),
+    }
+
+
+def test_snapshot_changes_guards(spark, tmp_path):
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"))
+    v1 = t.overwrite(spark.createDataFrame([(1, 10)], "k int, v int"))
+    v2 = t.overwrite(spark.createDataFrame([(1, "x")], "k int, v string"))
+    with pytest.raises(ValueError, match="matching schemas"):
+        t.changes(["k"], v1, v2)
+    with pytest.raises(ValueError, match="key columns"):
+        t.changes(["nope"], v1, v1)
+    with pytest.raises(ValueError, match="non-key column"):
+        t.changes(["k", "v"], v1, v1)
+
+
+def test_snapshot_changes_roundtrip_applies(spark, tmp_path):
+    """Applying the feed to the FROM version reproduces the TO version —
+    the property CDF consumers (downstream MERGE) rely on."""
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"))
+    v1 = t.overwrite(
+        spark.createDataFrame(
+            [(k, k % 7, f"s{k % 5}") for k in range(200)], "k int, v int, s string"
+        )
+    )
+    v2 = t.overwrite(
+        spark.createDataFrame(
+            [(k, (k * 3) % 7, f"s{k % 5}") for k in range(50, 230)],
+            "k int, v int, s string",
+        )
+    )
+    feed = t.changes(["k"], v1, v2)
+    base = t.read(v1)
+    dropped = base.join(
+        feed.filter(F.col("_change_type").isin("delete", "update_preimage")).select("k"),
+        "k",
+        "left_anti",
+    )
+    applied = dropped.unionByName(
+        feed.filter(F.col("_change_type").isin("insert", "update_postimage")).drop(
+            "_change_type"
+        )
+    )
+    got = sorted(tuple(r) for r in applied.collect())
+    want = sorted(tuple(r) for r in t.read(v2).collect())
+    assert got == want
