@@ -349,6 +349,12 @@ class SnapshotTable:
         guess at."""
         from pyspark.sql import functions as F
 
+        published = self.versions()
+        for v in (from_version, to_version):
+            if v not in published:
+                # a manifest ABOVE the pointer is a torn write awaiting
+                # vacuum — diffing against it would expose uncommitted data
+                raise ValueError(f"unknown version {v}; have {published}")
         a_man = self._manifest(from_version)
         b_man = self._manifest(to_version)
         a_fields = [(f["name"], f["type"]) for f in a_man["schema"]["fields"]]
@@ -370,31 +376,31 @@ class SnapshotTable:
             )
 
         before = self.read(from_version).select(
-            *keys, F.lit(True).alias("_a"), *[F.col(c).alias(f"_a_{c}") for c in vals]
+            *keys, F.lit(True).alias("_cdf_a"), *[F.col(c).alias(f"_cdf_a_{c}") for c in vals]
         )
         after = self.read(to_version).select(
-            *keys, F.lit(True).alias("_b"), *[F.col(c).alias(f"_b_{c}") for c in vals]
+            *keys, F.lit(True).alias("_cdf_b"), *[F.col(c).alias(f"_cdf_b_{c}") for c in vals]
         )
         changed = F.lit(False)
         for c in vals:
-            changed = changed | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+            changed = changed | ~F.col(f"_cdf_a_{c}").eqNullSafe(F.col(f"_cdf_b_{c}"))
         # unchanged rows leave the plan right after the join — the CASE
         # below then needs no empty-array branch (and no hand-written
         # struct DDL for its type)
         j = before.join(after, keys, "full_outer").filter(
-            F.col("_a").isNull() | F.col("_b").isNull() | changed
+            F.col("_cdf_a").isNull() | F.col("_cdf_b").isNull() | changed
         )
 
         def img(side: str) -> F.Column:
-            return F.struct(*[F.col(f"_{side}_{c}").alias(c) for c in vals])
+            return F.struct(*[F.col(f"_cdf_{side}_{c}").alias(c) for c in vals])
 
         arr = (
             F.when(
-                F.col("_a").isNull(),
+                F.col("_cdf_a").isNull(),
                 F.array(F.struct(F.lit("insert").alias("_change_type"), img("b").alias("v"))),
             )
             .when(
-                F.col("_b").isNull(),
+                F.col("_cdf_b").isNull(),
                 F.array(F.struct(F.lit("delete").alias("_change_type"), img("a").alias("v"))),
             )
             .otherwise(
