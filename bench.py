@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q_bm25_topk",
     "q_pq_rerank",
     "q_cdf_read",
+    "q_k_anonymity",
 ]
 
 

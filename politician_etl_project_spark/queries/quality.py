@@ -224,3 +224,42 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return fk.unionByName(pk).unionByName(scalar_rows).orderBy("constraint_name")
+
+
+@declared_query(
+    "q_k_anonymity",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source, n_chars // 100
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS cells_below_k,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(MIN(n) AS BIGINT) AS min_cell
+FROM cells
+""",
+    ops=("DQ-kanon", "A2", "A6"),
+    doc="k-anonymity audit (k=5) over the quasi-identifier cell "
+    "(lang, source, coarse size bucket): the privacy gate release "
+    "pipelines run AFTER PII scrubbing (q_pii_scrub removes direct "
+    "identifiers; this measures whether the remaining quasi-identifier "
+    "combinations still isolate individuals — cells smaller than k are "
+    "re-identification risks that need suppression or wider "
+    "generalization).  Output is the audit summary: cell count, "
+    "under-k cells, rows at risk, smallest cell.  Scale: one "
+    "hash-aggregate on the quasi-identifier tuple + a 4-value rollup — "
+    "the cell cardinality, not the corpus, bounds state.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "lang", "source", F.floor(F.col("n_chars") / 100).cast("bigint").alias("size_bucket")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).cast("bigint").alias("cells_below_k"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).cast("bigint").alias("rows_at_risk"),
+        F.min("n").cast("bigint").alias("min_cell"),
+    )

@@ -765,3 +765,26 @@ def test_rollup_maintenance_fresh_checkpoint_merges_not_skips(spark, staged_even
         (r["event_type"], r["day"]): (r["n"], r["s"]) for r in store.serve().collect()
     }
     assert got == want
+
+
+def test_snapshot_append_stream_cdf_per_batch(spark, staged_events, tmp_path):
+    """The change feed between consecutive STREAMED versions is exactly
+    that micro-batch's rows, all typed 'insert' — CDF composes with
+    versioned streaming ingestion, giving consumers an incremental read
+    of any append-only stream without their own bookkeeping."""
+    from politician_etl_project_spark.storage import SnapshotTable
+    from politician_etl_project_spark.streaming.pipelines import snapshot_append_stream
+
+    store = str(tmp_path / "snap_store")
+    stream = events_stream(spark, staged_events, max_files_per_trigger=1)
+    snapshot_append_stream(stream, store, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    t = SnapshotTable(spark, store)
+    vs = t.versions()
+    assert len(vs) >= 2
+    for v_prev, v_next in zip(vs, vs[1:]):
+        feed = t.changes(["event_id"], v_prev, v_next)
+        types = {r._change_type for r in feed.select("_change_type").distinct().collect()}
+        assert types == {"insert"}
+        batch_rows = t.read(v_next).count() - t.read(v_prev).count()
+        assert feed.count() == batch_rows
