@@ -60,6 +60,46 @@ def tmp_cache_key(sf_dir: str, *rel_files: str, version: str = "") -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
+def ensure_built_dir(path: str, build) -> str:
+    """Build-once /tmp artifact discipline, shared by every stored-index /
+    tmp-store cache in the repo: if ``path`` exists it is served as-is;
+    otherwise ``build(staging_path)`` populates a process-unique staging
+    dir that is atomically renamed into place.
+
+    The protocol (previously copy-pasted at five call sites with
+    drifting error handling):
+
+    - staging is suffixed with pid + random hex, so concurrent builders
+      never share a half-written dir;
+    - the staging dir is PRE-CREATED — a builder whose write emits no
+      files (empty corpus) still publishes a valid empty artifact
+      instead of failing the rename;
+    - a failed build removes its staging (no /tmp litter);
+    - a lost publish race (another process renamed first) is benign —
+      ONLY if the destination actually exists; a real rename failure
+      (EXDEV, permissions, stale parent) surfaces."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.isdir(path):
+        return path
+    staging = f"{path}.building-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    os.makedirs(staging, exist_ok=True)
+    try:
+        build(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    try:
+        os.replace(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(path):
+            raise
+    return path
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)

@@ -31,13 +31,26 @@ from pyspark.sql import functions as F
 
 # (pattern, replacement) pairs in application order — Java regex on the
 # Spark side; the DuckDB oracle mirrors them with RE2 syntax ("\\1"
-# backrefs, explicit 'g' flag) in queries/webcorpus.py.
+# backrefs, explicit 'g' flag) in queries/webcorpus.py.  Both engines
+# must stay inside the RE2-supported subset (NO lookarounds), which
+# shapes two rules:
+#
+# - the utm strip anchors on a CAPTURED ?/& separator and puts it back
+#   ("$1"), so 'xutm_source=1' (a legitimate param whose name merely
+#   contains the substring) and 'a=utm_b' (a value) are untouched;
+#   consecutive utm params leave doubled separators ('?&', '&&') that
+#   the two collapse rules sweep before the dangling-separator rule;
+# - the default-port strip captures the port's FOLLOWER (end, '/', or
+#   '?') instead of using a lookahead, so path-less 'https://h:443'
+#   collapses with 'https://h' too.
 CANON_RULES: list[tuple[str, str]] = [
     (r"#.*$", ""),
-    (r"utm_[a-z0-9_]+=[^&]*&?", ""),
+    (r"([?&])utm_[a-z0-9_]+=[^&]*", "$1"),
+    (r"&&+", "&"),
+    (r"\?&", "?"),
     (r"[?&]$", ""),
-    (r"^https://([^/:]+):443/", "https://$1/"),
-    (r"^http://([^/:]+):80/", "http://$1/"),
+    (r"^https://([^/:]+):443($|[/?])", "https://$1$2"),
+    (r"^http://([^/:]+):80($|[/?])", "http://$1$2"),
     (r"^(https?://)www\.", "$1"),
 ]
 

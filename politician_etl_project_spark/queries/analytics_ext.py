@@ -1826,44 +1826,35 @@ def _time_travel_path(spark: SparkSession, sf_dir: str) -> str:
     upsert doubling o_totalprice for pre-1997 keys divisible by 5.
     Readers time-travel to any of the three."""
     import os
-    import shutil
     import tempfile
 
+    from politician_etl_project_spark.catalog import ensure_built_dir
     from politician_etl_project_spark.storage import SnapshotTable
 
     key = _tmp_key(sf_dir, "orders.parquet", version="time-travel-v1")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_snap_{key}")
-    if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
+
+    def _build(staging: str) -> None:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice", "o_orderdate"
         )
         v2_cut = F.lit(_TT_V2_CUT).cast("timestamp")
         v3_cut = F.lit(_TT_V3_CUT).cast("timestamp")
-        try:
-            t = SnapshotTable(spark, staging)
-            t.overwrite(orders.filter(F.col("o_orderdate") < v2_cut))
-            t.append(
-                orders.filter(
-                    (F.col("o_orderdate") >= v2_cut) & (F.col("o_orderdate") < v3_cut)
-                )
+        t = SnapshotTable(spark, staging)
+        t.overwrite(orders.filter(F.col("o_orderdate") < v2_cut))
+        t.append(
+            orders.filter(
+                (F.col("o_orderdate") >= v2_cut) & (F.col("o_orderdate") < v3_cut)
             )
-            t.upsert(
-                orders.filter(
-                    (F.col("o_orderdate") < v2_cut) & (F.col("o_orderkey") % 5 == 0)
-                ).withColumn("o_totalprice", F.col("o_totalprice") * 2),
-                keys=["o_orderkey"],
-            )
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        try:
-            os.replace(staging, path)
-        except OSError:  # benign ONLY if a concurrent builder won
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.isdir(path):
-                raise  # real failure (EXDEV/permissions): surface it
-    return path
+        )
+        t.upsert(
+            orders.filter(
+                (F.col("o_orderdate") < v2_cut) & (F.col("o_orderkey") % 5 == 0)
+            ).withColumn("o_totalprice", F.col("o_totalprice") * 2),
+            keys=["o_orderkey"],
+        )
+
+    return ensure_built_dir(path, _build)
 
 
 _TT_ORACLE = f"""
@@ -1941,30 +1932,21 @@ def _stats_prune_path(spark: SparkSession, sf_dir: str) -> str:
     o_orderkey and per-file min/max stats in the manifest (stats_cols) —
     the data-skipping layout a fact table carries at 100 TB."""
     import os
-    import shutil
     import tempfile
 
+    from politician_etl_project_spark.catalog import ensure_built_dir
     from politician_etl_project_spark.storage import SnapshotTable
 
     key = _tmp_key(sf_dir, "orders.parquet", version="stats-prune-v1")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_statsnap_{key}")
-    if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
+
+    def _build(staging: str) -> None:
         orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-        try:
-            SnapshotTable(spark, staging, stats_cols=["o_orderkey"]).overwrite(
-                orders.repartitionByRange(16, "o_orderkey")
-            )
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        try:
-            os.replace(staging, path)
-        except OSError:  # benign ONLY if a concurrent builder won
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.isdir(path):
-                raise
-    return path
+        SnapshotTable(spark, staging, stats_cols=["o_orderkey"]).overwrite(
+            orders.repartitionByRange(16, "o_orderkey")
+        )
+
+    return ensure_built_dir(path, _build)
 
 
 _SP_ORACLE = "\nUNION ALL\n".join(
@@ -2030,40 +2012,31 @@ def _cdf_store_path(spark: SparkSession, sf_dir: str) -> str:
     inserts (key%3=0), deletes (key%3=1) and updates (key%3=2, key%5=0),
     with the rest unchanged and therefore ABSENT."""
     import os
-    import shutil
     import tempfile
 
+    from politician_etl_project_spark.catalog import ensure_built_dir
     from politician_etl_project_spark.storage import SnapshotTable
 
     key = _tmp_key(sf_dir, "orders.parquet", version="cdf-v1")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_cdf_{key}")
-    if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
+
+    def _build(staging: str) -> None:
         orders = load_table(spark, sf_dir, "orders").select(
             F.col("o_orderkey").alias("k"),
             F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
         )
-        try:
-            t = SnapshotTable(spark, staging)
-            t.overwrite(orders.filter(F.col("k") % 3 != 0))
-            t.overwrite(
-                orders.filter(F.col("k") % 3 != 1).select(
-                    "k",
-                    F.when(F.col("k") % 5 == 0, (F.col("p") * 2).cast("decimal(12,2)"))
-                    .otherwise(F.col("p"))
-                    .alias("p"),
-                )
+        t = SnapshotTable(spark, staging)
+        t.overwrite(orders.filter(F.col("k") % 3 != 0))
+        t.overwrite(
+            orders.filter(F.col("k") % 3 != 1).select(
+                "k",
+                F.when(F.col("k") % 5 == 0, (F.col("p") * 2).cast("decimal(12,2)"))
+                .otherwise(F.col("p"))
+                .alias("p"),
             )
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        try:
-            os.replace(staging, path)
-        except OSError:  # benign ONLY if a concurrent builder won
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.isdir(path):
-                raise
-    return path
+        )
+
+    return ensure_built_dir(path, _build)
 
 
 _CDF_ORACLE = """

@@ -515,38 +515,28 @@ def _merge_replay_path(spark: SparkSession, sf_dir: str) -> str:
     streaming.pipelines.incremental_upsert_stream's foreachBatch — this
     is the driver-checkable twin of that pytest-only path."""
     import os
-    import shutil
     import tempfile
 
-    from politician_etl_project_spark.catalog import tmp_cache_key
+    from politician_etl_project_spark.catalog import ensure_built_dir, tmp_cache_key
     from politician_etl_project_spark.operators.upsert import ParquetUpsertTable
 
     key = tmp_cache_key(sf_dir, "events.parquet", version="merge-replay-v1")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_merge_{key}")
-    if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
+
+    def _build(staging: str) -> None:
         events = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
-        try:
-            table = ParquetUpsertTable(spark, staging, keys=["event_id"])
-            table.upsert(events.filter(F.col("event_id") % 4 != 3), update_wins=False)
-            table.upsert(
-                events.filter(F.col("event_id") % 2 == 1).withColumn(
-                    "value", F.col("value") + F.lit(100.0)
-                ),
-                update_wins=False,
-            )
-        except BaseException:  # failed build must not leak staging dirs
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        try:
-            os.rename(staging, path)
-        except OSError:  # benign ONLY if another process won the race
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.isdir(path):
-                raise  # real failure (EXDEV/permissions/stale file): surface it
-    return path
+        table = ParquetUpsertTable(spark, staging, keys=["event_id"])
+        table.upsert(events.filter(F.col("event_id") % 4 != 3), update_wins=False)
+        table.upsert(
+            events.filter(F.col("event_id") % 2 == 1).withColumn(
+                "value", F.col("value") + F.lit(100.0)
+            ),
+            update_wins=False,
+        )
+
+    return ensure_built_dir(path, _build)
 
 
 @declared_query(

@@ -442,23 +442,17 @@ def _ensure_drift_store(spark: SparkSession) -> str:
     gen2 adds a column — written once under a fixed path (staging +
     rename, same discipline as the stored indexes) so the DuckDB oracle
     can DESCRIBE the identical files."""
-    if not os.path.isdir(_DRIFT_DIR):
-        staging = f"{_DRIFT_DIR}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
+    from politician_etl_project_spark.catalog import ensure_built_dir
+
+    def _build(staging: str) -> None:
         spark.sql(
             "SELECT CAST(1 AS BIGINT) AS doc_id, 'en' AS lang"
         ).write.mode("overwrite").parquet(os.path.join(staging, "gen1"))
         spark.sql(
             "SELECT CAST(2 AS BIGINT) AS doc_id, 'de' AS lang, CAST(42 AS BIGINT) AS n_chars"
         ).write.mode("overwrite").parquet(os.path.join(staging, "gen2"))
-        try:
-            os.rename(staging, _DRIFT_DIR)
-        except OSError:  # benign ONLY if another process won the race
-            import shutil
 
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.isdir(_DRIFT_DIR):
-                raise  # real failure (EXDEV/permissions): surface it
-    return _DRIFT_DIR
+    return ensure_built_dir(_DRIFT_DIR, _build)
 
 
 @declared_query(

@@ -1204,7 +1204,6 @@ def _ingest_index_path(spark, sf_dir: str) -> str:
     read a half-written index."""
     import hashlib as _hashlib
     import os
-    import shutil
     import tempfile
 
     from politician_etl_project_spark.operators.ingest import DedupIngestTable
@@ -1217,22 +1216,14 @@ def _ingest_index_path(spark, sf_dir: str) -> str:
         fp = "unknown"
     key = _hashlib.md5(f"{sf_dir}|ingest-v1|{fp}".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_{key}")
-    if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
+
+    def _build(staging: str) -> None:
         corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
-        # an EMPTY corpus writes no files at all, so the staging dir must
-        # exist explicitly or the rename below fails — an empty dir is a
-        # valid empty index (DedupIngestTable probes fall back to typed
-        # empty frames for missing tables)
-        os.makedirs(staging, exist_ok=True)
         DedupIngestTable(spark, staging).initialize(corpus.select("doc_id", "text"))
-        try:
-            os.rename(staging, path)
-        except OSError:  # benign ONLY if another process won the race
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.isdir(path):
-                raise  # real failure (EXDEV/permissions/stale file): surface it
-    return path
+
+    from politician_etl_project_spark.catalog import ensure_built_dir
+
+    return ensure_built_dir(path, _build)
 
 
 _INGEST_ORACLE = f"""

@@ -230,10 +230,9 @@ def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str,
     and a FAILED build removes its staging dir instead of leaking one
     per attempt.  ``builder(emb, staging)`` performs the actual build."""
     import os
-    import shutil
     import tempfile
 
-    from politician_etl_project_spark.catalog import tmp_cache_key
+    from politician_etl_project_spark.catalog import ensure_built_dir, tmp_cache_key
 
     key = tmp_cache_key(
         sf_dir,
@@ -241,20 +240,9 @@ def _stored_index_path(spark: SparkSession, sf_dir: str, kind: str, params: str,
         version=f"{params}|{kind}-v{_INDEX_ALGO_VERSION[kind]}",
     )
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
-    if not os.path.isdir(path):
-        staging = f"{path}.building-{os.getpid()}-{__import__('uuid').uuid4().hex[:6]}"
-        try:
-            builder(load_table(spark, sf_dir, "embeddings"), staging)
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        try:
-            os.rename(staging, path)
-        except OSError:  # benign ONLY if another process won the race
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.isdir(path):
-                raise  # real failure (EXDEV/permissions/stale file): surface it
-    return path
+    return ensure_built_dir(
+        path, lambda staging: builder(load_table(spark, sf_dir, "embeddings"), staging)
+    )
 
 
 def _lsh_index_path(spark: SparkSession, sf_dir: str, n_planes: int, dim: int) -> str:

@@ -64,11 +64,15 @@ regexp_replace(
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(lower({u}), '#.*$', '', 'g'),
-          'utm_[a-z0-9_]+=[^&]*&?', '', 'g'),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower({u}), '#.*$', '', 'g'),
+              '([?&])utm_[a-z0-9_]+=[^&]*', '\\1', 'g'),
+            '&&+', '&', 'g'),
+          '\\?&', '?', 'g'),
         '[?&]$', '', 'g'),
-      '^https://([^/:]+):443/', 'https://\\1/', 'g'),
-    '^http://([^/:]+):80/', 'http://\\1/', 'g'),
+      '^https://([^/:]+):443($|[/?])', 'https://\\1\\2', 'g'),
+    '^http://([^/:]+):80($|[/?])', 'http://\\1\\2', 'g'),
   '^(https?://)www\\.', '\\1', 'g')
 """
 

@@ -89,16 +89,22 @@ def explode_votes(raw: DataFrame) -> DataFrame:
     # data/{congress}/votes/{year}/{roll}/data.json — keying votes on
     # (politician_id, roll_key) with only the leaf name would silently
     # collapse distinct roll calls from different years into one row.
-    # So the key is the last FOUR path segments before the file name
-    # ({congress}/votes/{year}/{roll} in the reference layout), which is
-    # unique across years/congresses yet still stable when the staging
-    # root is respelled.  Shallower paths fall back to md5(src_file)
-    # (unique per file; such paths have no more context to take).
-    # Carried into the votes fact so two same-day roll calls on the
-    # same bill — amendment then passage — stay distinct rows (the
-    # reference inserts every row; a (politician, bill, date) key would
-    # silently collapse them).
+    # The key anchors on the layout's own 'votes' segment when present
+    # ({congress}/votes/{year}/{roll} — root-independent at ANY staging
+    # depth), else takes the last four path segments (enough context for
+    # 4-deep custom layouts, though a SHALLOWER custom layout then
+    # embeds its staging-root dir in the key — re-ingesting from a
+    # respelled root duplicates instead of merging; anchor such layouts
+    # on their own marker segment), else md5(src_file).  Carried into
+    # the votes fact so two same-day roll calls on the same bill —
+    # amendment then passage — stay distinct rows (the reference
+    # inserts every row; a (politician, bill, date) key would silently
+    # collapse them).
     roll_key = F.coalesce(
+        F.nullif(
+            F.regexp_extract("src_file", r"(?:^|/)([^/]+/votes/[^/]+/[^/]+)/[^/]+$", 1),
+            F.lit(""),
+        ),
         F.nullif(
             F.regexp_extract("src_file", r"(?:^|/)((?:[^/]+/){3}[^/]+)/[^/]+$", 1),
             F.lit(""),

@@ -289,6 +289,11 @@ class SnapshotTable:
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         v = cur if version is None else version
+        if v not in self.versions():
+            # same guard as read()/changes(): a manifest above the
+            # pointer is a torn write — planning from it would expose
+            # uncommitted data
+            raise ValueError(f"unknown version {v}; have {self.versions()}")
         man = self._manifest(v)
         stats = man.get("stats", {})
         keep = []
@@ -313,11 +318,13 @@ class SnapshotTable:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
+        # files_in_range FIRST: it owns the no-snapshot and
+        # torn-version guards, so this path inherits them
+        keep, _total = self.files_in_range(col, lo, hi, version=version)
         cur = self.current_version()
         v = cur if version is None else version
         man = self._manifest(v)
         schema = StructType.fromJson(man["schema"])
-        keep, _total = self.files_in_range(col, lo, hi, version=v)
         if not keep:
             empty = self.spark.createDataFrame([], schema)
             return empty.filter((F.col(col) >= lo) & (F.col(col) <= hi))
@@ -375,20 +382,42 @@ class SnapshotTable:
                 "table has no update semantics; diff key sets directly)"
             )
 
+        # BOTH sides fully renamed, and the join condition is eqNullSafe
+        # per key: a plain `on=keys` equality join never matches NULL
+        # keys, so a NULL-keyed row present and unchanged in both
+        # versions would surface as a spurious delete + insert pair
         before = self.read(from_version).select(
-            *keys, F.lit(True).alias("_cdf_a"), *[F.col(c).alias(f"_cdf_a_{c}") for c in vals]
+            *[F.col(k).alias(f"_cdf_a_{k}") for k in keys],
+            F.lit(True).alias("_cdf_a"),
+            *[F.col(c).alias(f"_cdf_a_{c}") for c in vals],
         )
         after = self.read(to_version).select(
-            *keys, F.lit(True).alias("_cdf_b"), *[F.col(c).alias(f"_cdf_b_{c}") for c in vals]
+            *[F.col(k).alias(f"_cdf_b_{k}") for k in keys],
+            F.lit(True).alias("_cdf_b"),
+            *[F.col(c).alias(f"_cdf_b_{c}") for c in vals],
         )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(f"_cdf_a_{k}").eqNullSafe(F.col(f"_cdf_b_{k}"))
         changed = F.lit(False)
         for c in vals:
             changed = changed | ~F.col(f"_cdf_a_{c}").eqNullSafe(F.col(f"_cdf_b_{c}"))
         # unchanged rows leave the plan right after the join — the CASE
         # below then needs no empty-array branch (and no hand-written
         # struct DDL for its type)
-        j = before.join(after, keys, "full_outer").filter(
-            F.col("_cdf_a").isNull() | F.col("_cdf_b").isNull() | changed
+        j = (
+            before.join(after, cond, "full_outer")
+            .filter(F.col("_cdf_a").isNull() | F.col("_cdf_b").isNull() | changed)
+            .select(
+                *[
+                    F.coalesce(F.col(f"_cdf_a_{k}"), F.col(f"_cdf_b_{k}")).alias(k)
+                    for k in keys
+                ],
+                "_cdf_a",
+                "_cdf_b",
+                *[F.col(f"_cdf_a_{c}") for c in vals],
+                *[F.col(f"_cdf_b_{c}") for c in vals],
+            )
         )
 
         def img(side: str) -> F.Column:
@@ -463,6 +492,19 @@ class SnapshotTable:
             return {}
 
         def _js(v):
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                # str(Decimal) would range-compare LEXICOGRAPHICALLY in
+                # files_in_range ('900.00' > '1050.00'), silently pruning
+                # files that hold matching rows; float() would need
+                # ulp-widening to stay a conservative bound.  Refuse
+                # loudly — the caller should range-cluster on a DOUBLE
+                # or a scaled integer column instead.
+                raise ValueError(
+                    "stats_cols does not support DECIMAL columns: store a "
+                    "DOUBLE or scaled-integer twin for range clustering"
+                )
             return v if v is None or isinstance(v, (int, float, bool)) else str(v)
 
         aggs = []

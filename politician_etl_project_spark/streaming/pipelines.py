@@ -347,35 +347,28 @@ def rollup_maintenance_stream(
     build branch, no unguarded first-batch window).  Rows are mapped to
     (group cols…, measure) before the merge; the merge itself reads
     only the store buckets the batch touches."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    from politician_etl_project_spark.streaming.sources import run_foreach_batch
+    from politician_etl_project_spark.streaming.sources import (
+        owned_checkpoint,
+        run_foreach_batch,
+    )
 
-    # the throwaway checkpoint is created HERE (not left to
-    # run_foreach_batch) because the lineage id must be derived from it;
-    # that makes cleanup ours too, or every anonymous run leaks one
-    # /tmp/ckpt-* directory
-    own_ckpt = checkpoint_dir is None
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
-    lineage = _sink_lineage_id(ckpt)
+    # the checkpoint is resolved HERE (not left to run_foreach_batch)
+    # because the lineage id must be derived from it; owned_checkpoint
+    # also owns the cleanup of an anonymous run's throwaway dir
+    with owned_checkpoint(checkpoint_dir) as ckpt:
+        lineage = _sink_lineage_id(ckpt)
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select(
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd").alias("day"),
-            F.col("value").cast("decimal(12,2)").alias("measure"),
-        )
-        store.merge(rows, batch_id=f"{lineage}-b{batch_id}")
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            rows = batch_df.select(
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                F.col("value").cast("decimal(12,2)").alias("measure"),
+            )
+            store.merge(rows, batch_id=f"{lineage}-b{batch_id}")
 
-    try:
         run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
-    finally:
-        if own_ckpt:
-            import shutil
-
-            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _event_cms(events: DataFrame, depth: int = 3, width: int = 64) -> DataFrame:
@@ -452,16 +445,17 @@ def sketch_maintenance_stream(
     for a replay of the old run's ``b0`` and silently drop its counts.
     Under a new lineage the first batch MERGES into the existing sketch
     instead."""
+    from politician_etl_project_spark.streaming.sources import owned_checkpoint
+
+    with owned_checkpoint(checkpoint_dir) as ckpt:
+        _sketch_maintenance_run(events, store_path, ckpt)
+
+
+def _sketch_maintenance_run(events: DataFrame, store_path: str, ckpt: str) -> None:
     import os
-    import tempfile
 
     from politician_etl_project_spark.streaming.sources import run_foreach_batch
 
-    # created here (not in run_foreach_batch) because the lineage id is
-    # derived from it — so cleanup of an anonymous run's checkpoint is
-    # ours as well (see rollup_maintenance_stream)
-    own_ckpt = checkpoint_dir is None
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
     lineage = _sink_lineage_id(ckpt)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -519,13 +513,7 @@ def sketch_maintenance_stream(
             if old not in keep:
                 shutil.rmtree(os.path.join(vdir, old), ignore_errors=True)
 
-    try:
-        run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
-    finally:
-        if own_ckpt:
-            import shutil
-
-            shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
 
 
 def snapshot_append_stream(
@@ -562,30 +550,24 @@ def snapshot_append_stream(
     restart and regroup), so its batches append rather than being
     mistaken for replays — duplicates are possible then, data loss is
     not; dedup downstream or keep the checkpoint."""
-    import tempfile
-
     from politician_etl_project_spark.storage import SnapshotTable
-    from politician_etl_project_spark.streaming.sources import run_foreach_batch
+    from politician_etl_project_spark.streaming.sources import (
+        owned_checkpoint,
+        run_foreach_batch,
+    )
 
     # an anonymous run gets a throwaway checkpoint HERE so the sink id
     # still tracks the delivery lineage (deriving it from store_path
     # would collide a later fresh run's restarted batch ids with the
     # committed markers — exactly the loss mode the scoping prevents);
-    # creating it here makes its cleanup ours too
-    own_ckpt = checkpoint_dir is None
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    # owned_checkpoint also owns its cleanup
+    with owned_checkpoint(checkpoint_dir) as ckpt:
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        table = SnapshotTable(batch_df.sparkSession, store_path)
-        snapshot_guarded_append(table, _sink_lineage_id(ckpt), batch_df, batch_id)
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            table = SnapshotTable(batch_df.sparkSession, store_path)
+            snapshot_guarded_append(table, _sink_lineage_id(ckpt), batch_df, batch_id)
 
-    try:
         run_foreach_batch(events, _apply, checkpoint_dir=ckpt)
-    finally:
-        if own_ckpt:
-            import shutil
-
-            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _sink_lineage_id(checkpoint_dir: str) -> str:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -28,6 +29,23 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+@contextmanager
+def owned_checkpoint(checkpoint_dir: str | None):
+    """Yield a usable checkpoint path; a caller passing None gets a
+    throwaway one removed on exit.  For pipelines that must derive a
+    per-sink lineage id from the checkpoint path BEFORE starting the
+    stream (rollup/sketch/snapshot maintenance), which therefore cannot
+    rely on run_foreach_batch's internal fallback — without this, each
+    anonymous run leaked one /tmp/ckpt-* directory."""
+    own = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    try:
+        yield ckpt
+    finally:
+        if own:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
 
 EVENTS_SCHEMA = StructType(
     [

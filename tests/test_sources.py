@@ -552,3 +552,25 @@ def test_vote_same_roll_id_across_years_stays_distinct(spark, tmp_path):
     keys = {r.roll_key for r in exploded.select("roll_key").collect()}
     # the key is the last four path segments: {congress}/votes/{year}/{roll}
     assert keys == {"118/votes/2023/h1", "118/votes/2024/h1"}
+
+
+def test_vote_roll_key_root_independent_for_reference_layout(spark, tmp_path):
+    """The reference layout anchors on its own 'votes' segment, so the
+    SAME files re-ingested from a respelled staging root produce the
+    SAME roll_keys — re-ingest merges instead of duplicating."""
+    import json as _json
+
+    doc = {"category": "passage", "date": "2023-01-10",
+           "bill": {"type": "hr", "number": 77, "congress": 119},
+           "votes": {"Yea": [_json.dumps({"id": "A000009", "party": "D", "state": "CA"})]}}
+
+    keys = []
+    for root in ["stage-2024-01-01", "stage-2024-02-15"]:
+        d = tmp_path / root / "118" / "votes" / "2023" / "h1"
+        d.mkdir(parents=True)
+        (d / "data.json").write_text(_json.dumps(doc))
+        raw = votes_json.read_vote_files(
+            spark, str(tmp_path / root) + "/*/votes/*/*/data.json"
+        )
+        keys.append({r.roll_key for r in votes_json.explode_votes(raw).collect()})
+    assert keys[0] == keys[1] == {"118/votes/2023/h1"}

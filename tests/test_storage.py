@@ -615,3 +615,28 @@ def test_snapshot_changes_roundtrip_applies(spark, tmp_path):
     got = sorted(tuple(r) for r in applied.collect())
     want = sorted(tuple(r) for r in t.read(v2).collect())
     assert got == want
+
+
+def test_snapshot_changes_null_keys_null_safe(spark, tmp_path):
+    """A NULL-keyed row unchanged in both versions must NOT surface as a
+    delete + insert pair — the key join is eqNullSafe, like the value
+    comparison."""
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"))
+    v1 = t.overwrite(
+        spark.createDataFrame([(None, 10), (1, 11)], "k int, v int")
+    )
+    v2 = t.overwrite(
+        spark.createDataFrame([(None, 10), (1, 99)], "k int, v int")
+    )
+    rows = {(r.k, r._change_type): r.v for r in t.changes(["k"], v1, v2).collect()}
+    assert rows == {
+        (1, "update_preimage"): 11,
+        (1, "update_postimage"): 99,
+    }
+    # and a CHANGED null-keyed row is a normal update
+    v3 = t.overwrite(spark.createDataFrame([(None, 77), (1, 99)], "k int, v int"))
+    rows = {(r.k, r._change_type): r.v for r in t.changes(["k"], v2, v3).collect()}
+    assert rows == {
+        (None, "update_preimage"): 10,
+        (None, "update_postimage"): 77,
+    }

@@ -20,6 +20,19 @@ CASES = [
     ("https://site.com/a?utm_source=x&id=7", "https://site.com/a?id=7"),
     ("https://site.com/a?id=7&utm_source=x", "https://site.com/a?id=7"),
     ("https://site.com/a?ref=rss", "https://site.com/a?ref=rss"),  # kept
+    # anchored utm strip: a param NAME merely containing 'utm_' and a
+    # VALUE containing 'utm_x=' are legitimate and must survive
+    ("https://site.com/a?xutm_source=1", "https://site.com/a?xutm_source=1"),
+    ("https://site.com/a?a=utm_b=c", "https://site.com/a?a=utm_b=c"),
+    # three consecutive utm params collapse their separators cleanly
+    (
+        "https://site.com/a?utm_a=1&utm_b=2&utm_c=3&ref=4",
+        "https://site.com/a?ref=4",
+    ),
+    # default port strips with no path / before a query string too
+    ("https://site.com:443", "https://site.com"),
+    ("https://site.com:443?id=1", "https://site.com?id=1"),
+    ("http://site.com:80", "http://site.com"),
     ("https://www.site.com:443/a?utm_campaign=z#s2", "https://site.com/a"),
     # www in the PATH is untouched; only the leading host www. strips
     ("https://site.com/www.other.com", "https://site.com/www.other.com"),
