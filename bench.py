@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q_pq_rerank",
     "q_cdf_read",
     "q_k_anonymity",
+    "q_bm25_indexed",
 ]
 
 

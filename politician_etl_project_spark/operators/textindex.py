@@ -1,0 +1,174 @@
+"""Stored inverted text index with BM25 serving — the lexical twin of
+the stored ANN tiers (operators/similarity.build_lsh_index /
+build_ivf_index): train/build once offline, serve probes that read only
+the slice of the index the query touches.
+
+Layout (all plain parquet):
+
+- ``postings/`` partitioned by ``term_bucket`` (crc32(term) mod
+  n_buckets): one row per (term, doc_id) with the term frequency and
+  the document length — the Lucene-postings analog.  A probe computes
+  its query terms' buckets DRIVER-SIDE and scans only those partitions
+  (``PartitionFilters`` — plan-asserted in tests/test_plans.py), so
+  serving cost is O(matched postings), not O(corpus).
+- ``terms/``   partitioned the same way: one row per term with its
+  document frequency (df) — the tiny dictionary side of the index.
+- ``stats/``   one row: corpus document count and average doc length.
+
+The BM25 math is IDENTICAL to queries/webcorpus.q_bm25_topk (k1=1.2,
+b=0.75, per-(doc, term) contributions fixed-pointed to micro-units so
+per-doc scores are order-independent BIGINT sums) — q_bm25_indexed is
+therefore hash-verified against the SAME DuckDB oracle, proving the
+stored index loses nothing vs the scan-everything form.
+
+Reference analog: the reference's keyword search is a SQL LIKE per
+request (app/app_old.py donor search); this is what that becomes when
+the corpus is 100 TB and the query rate is real.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_K1 = 1.2
+_B = 0.75
+
+
+def _bucket_of(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the writer's crc32 bucket (zlib.crc32 and
+    Spark's F.crc32 agree on unsigned CRC-32)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Build the postings/terms/stats triple under ``path``.  One token
+    explode + one (doc, term) aggregate — the same single-shuffle cost
+    as any tf computation; df and the scalars fold from the postings."""
+    arrs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(text_col), r"\s+").alias("toks"),
+    )
+    tok = arrs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    postings = (
+        tok.groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn("term_bucket", F.pmod(F.crc32("term"), F.lit(n_buckets)).cast("int"))
+    )
+    postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
+        os.path.join(path, "postings")
+    )
+    # df folds from the in-memory postings frame (no read-back: a
+    # partitioned write of ZERO rows emits no files, so reading it back
+    # during the build would fail schema inference on an empty corpus)
+    postings.groupBy("term_bucket", "term").agg(
+        F.count("*").cast("bigint").alias("df")
+    ).write.partitionBy("term_bucket").mode("overwrite").parquet(
+        os.path.join(path, "terms")
+    )
+    arrs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    import json
+
+    with open(os.path.join(path, "_META.json"), "w") as fh:
+        json.dump({"kind": "bm25", "n_buckets": n_buckets}, fh)
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Serve BM25 top-k per query from the stored index.  The query
+    terms' buckets are computed driver-side and pushed as partition
+    predicates, so only the touched index slices are read; everything
+    else (df dictionary rows, corpus scalars) broadcasts."""
+    import json
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(index_path, "_META.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"not a bm25 index at {index_path}: {meta}")
+    n_buckets = meta["n_buckets"]
+    terms = sorted({t for _, t in queries})
+    buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
+
+    # schemas pinned explicitly: a partitioned write of an EMPTY corpus
+    # emits no data files, and schema inference over a file-less dir
+    # throws — the pinned schema makes an empty index a valid one
+    postings = (
+        spark.read.schema("doc_id bigint, dl bigint, term string, tf bigint, term_bucket int")
+        .parquet(os.path.join(index_path, "postings"))
+        .filter(F.col("term_bucket").isin(buckets))  # PartitionFilters prune
+        .filter(F.col("term").isin(terms))
+    )
+    df_ = (
+        spark.read.schema("term string, df bigint, term_bucket int")
+        .parquet(os.path.join(index_path, "terms"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    scalars = spark.read.parquet(os.path.join(index_path, "stats"))
+    q = F.broadcast(spark.createDataFrame(queries, "query_id int, term string"))
+
+    contrib = (
+        postings.join(q, "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.lit(1_000_000)
+                * (
+                    F.log(
+                        ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
+                        / (F.col("df").cast("double") + F.lit(0.5))
+                        + F.lit(1.0)
+                    )
+                    * (
+                        F.col("tf").cast("double")
+                        / (
+                            F.col("tf").cast("double")
+                            + F.lit(_K1)
+                            * (
+                                F.lit(1.0)
+                                - F.lit(_B)
+                                + F.lit(_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+                            )
+                        )
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -28,14 +28,15 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 
 DRIVER_WINDOW = [
     # --- ROUND-5 WINDOW (driver checks [:50]) ---
-    # Slots 1-9: queries NEW this round — URL canonicalization +
+    # Slots 1-10: queries NEW this round — URL canonicalization +
     # URL-level dedup, per-domain stats behind a blocklist, interpolated
     # bigram LM scoring, manifest min/max data skipping
     # (SnapshotTable stats_cols), the MinHash estimate-vs-exact
-    # Jaccard calibration harness, BM25 top-k retrieval, two-stage
+    # Jaccard calibration harness, BM25 top-k retrieval (scan form AND
+    # the stored partition-pruned inverted index), two-stage
     # PQ-candidates -> exact-re-rank serving, the change-data-feed
     # read (SnapshotTable.changes), and the k-anonymity release audit.
-    # Slots 10-16: sentinels for code REWRITTEN in round 5 — the
+    # Slots 11-17: sentinels for code REWRITTEN in round 5 — the
     # cross-year roll_key derivation (sources/votes_json.py), the
     # deterministic salt (operators/skew.py), the dedup-ingest staging
     # fix (queries/textops.py), the RollupStore adhoc-staging uuid
@@ -56,6 +57,7 @@ DRIVER_WINDOW = [
     "q_pq_rerank",
     "q_cdf_read",
     "q_k_anonymity",
+    "q_bm25_indexed",
     "q_src_votes_json",
     "q_salted_agg",
     "q_dedup_incremental",
@@ -96,8 +98,8 @@ DRIVER_WINDOW = [
     "q_limit1_probe",
     "q_media_pixel_stats",
     "q_minhash_signatures",
-    "q_monthly_timeline",
     # --- tail: prior-round order preserved (driver reads [:50] only) ---
+    "q_monthly_timeline",
     "q_multikey_sort",
     "q_name_split_map",
     "q_near_dup_pairs_capped",

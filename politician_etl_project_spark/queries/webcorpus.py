@@ -601,3 +601,47 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once stored BM25 inverted index over documents (postings
+    partitioned by term bucket + term dictionary + corpus scalars),
+    cached with the stored-ANN discipline."""
+    import os
+    import tempfile
+
+    from politician_etl_project_spark.catalog import ensure_built_dir, tmp_cache_key
+    from politician_etl_project_spark.operators.textindex import build_text_index
+
+    key = tmp_cache_key(sf_dir, "documents.parquet", version="bm25-idx-v1")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_{key}")
+    return ensure_built_dir(
+        path,
+        lambda staging: build_text_index(load_table(spark, sf_dir, "documents"), staging),
+    )
+
+
+@declared_query(
+    "q_bm25_indexed",
+    oracle=_BM25_ORACLE,
+    ops=("WEB-bm25", "TXT-invindex", "S16", "O3"),
+    doc="BM25 top-k served from a STORED inverted index "
+    "(operators/textindex.py): postings partitioned by "
+    "crc32(term) bucket, so the probe's driver-side bucket IN-list "
+    "prunes non-touched index partitions at planning time "
+    "(PartitionFilters — plan-asserted in tests/test_plans.py), the "
+    "same serve-from-index discipline as the stored LSH/IVF/PQ "
+    "vector tiers.  Runs the IDENTICAL math as q_bm25_topk and is "
+    "hash-verified against the SAME oracle — proof the index "
+    "round-trip loses nothing vs scanning the corpus.  At 100 TB the "
+    "corpus is cold: a probe reads O(matched postings), df rows and "
+    "corpus scalars broadcast, and the index builds with one token "
+    "shuffle offline (the Lucene-segment analog, maintained like any "
+    "other table).",
+)
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.textindex import bm25_topk_indexed
+
+    return bm25_topk_indexed(
+        spark, _text_index_path(spark, sf_dir), _BM25_QUERIES, k=_BM25_TOPK
+    )

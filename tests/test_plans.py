@@ -506,3 +506,37 @@ def test_dq_constraints_scalar_checks_share_one_scan(spark, specs):
 
     n_orders_scans = len(re.findall(r"Scan parquet[^\n]*orders", plan))
     assert n_orders_scans <= 3, n_orders_scans
+
+
+def test_bm25_index_prunes_partitions(spark, specs):
+    """The stored BM25 probe's term buckets must reach the postings scan
+    as PARTITION filters (directory pruning, the stored-LSH discipline) —
+    a probe that row-filters every posting re-reads the whole index."""
+    plan = plan_of(spark, specs, "q_bm25_indexed")
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert part_lines, f"no PartitionFilters in plan:\n{plan}"
+    assert any(
+        "term_bucket" in ln and ("IN" in ln or "in(" in ln.lower()) for ln in part_lines
+    ), part_lines
+
+
+def test_pq_rerank_no_shuffle(spark, specs):
+    """Two-stage retrieval serves entirely broadcast-side: the candidate
+    semi-join and the query crossJoin must not shuffle the corpus (the
+    stage-2 exact pass touches 50 rows, not the table)."""
+    plan = plan_of(spark, specs, "q_pq_rerank")
+    assert "CartesianProduct" not in plan
+    # TakeOrderedAndProject bounds the final top-k; no Exchange besides
+    # possibly the single-partition take is acceptable — assert none at all
+    tree = plan.split("\n\n", 1)[0]
+    import re
+
+    n_ex = len(re.findall(r"\bExchange\b", tree)) - len(re.findall(r"ReusedExchange", tree))
+    assert n_ex == 0, f"expected shuffle-free serving, got {n_ex} exchanges:\n{tree}"
+
+
+def test_domain_stats_blocklist_broadcasts(spark, specs):
+    """The blocklist anti-join must broadcast — shuffling the corpus to
+    remove 4 domains would be the N+1 of crawl filtering."""
+    plan = plan_of(spark, specs, "q_domain_stats")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
