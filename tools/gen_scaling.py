@@ -40,6 +40,10 @@ QUERIES = [
     "q_bigram_lm_score",     # in-row zip + model joins
     "q_stats_prune",         # manifest min/max file skipping
     "q_minhash_calibration", # band join + exact-verify stage
+    "q_bm25_topk",           # BM25 corpus-scan form
+    "q_bm25_indexed",        # BM25 stored index, partition-pruned probe
+    "q_pq_rerank",           # PQ candidates -> exact re-rank serving
+    "q_cdf_read",            # change feed: full-outer diff of versions
 ]
 
 
