@@ -640,3 +640,93 @@ def test_snapshot_changes_null_keys_null_safe(spark, tmp_path):
         (None, "update_preimage"): 10,
         (None, "update_postimage"): 77,
     }
+
+
+# -- catalog.ensure_built_dir (shared build-once cache protocol) -------------
+
+
+def test_ensure_built_dir_basic_and_empty_build(tmp_path):
+    from politician_etl_project_spark.catalog import ensure_built_dir
+
+    target = str(tmp_path / "artifact")
+
+    def build(staging):
+        with open(f"{staging}/data.txt", "w") as fh:
+            fh.write("x")
+
+    assert ensure_built_dir(target, build) == target
+    assert (tmp_path / "artifact" / "data.txt").exists()
+
+    # second call serves the cache without rebuilding
+    def explode(_):
+        raise AssertionError("must not rebuild an existing artifact")
+
+    assert ensure_built_dir(target, explode) == target
+
+    # a builder that writes NOTHING still publishes a valid empty dir
+    empty = str(tmp_path / "empty")
+    assert ensure_built_dir(empty, lambda s: None) == empty
+    assert (tmp_path / "empty").is_dir()
+
+
+def test_ensure_built_dir_failed_build_cleans_staging(tmp_path):
+    from politician_etl_project_spark.catalog import ensure_built_dir
+
+    target = str(tmp_path / "artifact")
+
+    def boom(staging):
+        raise RuntimeError("build failed")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="build failed"):
+        ensure_built_dir(target, boom)
+    leftovers = [p for p in tmp_path.iterdir()]
+    assert leftovers == [], f"staging leaked: {leftovers}"
+
+
+def test_ensure_built_dir_lost_race_is_benign(tmp_path):
+    """A builder that finds the destination ALREADY published when it
+    tries to rename (another process won) must succeed quietly and
+    leave no staging litter."""
+    from politician_etl_project_spark.catalog import ensure_built_dir
+
+    target = str(tmp_path / "artifact")
+
+    def build_and_lose(staging):
+        with open(f"{staging}/mine.txt", "w") as fh:
+            fh.write("loser")
+        # the winner publishes first
+        import os
+
+        os.makedirs(target)
+        with open(f"{target}/theirs.txt", "w") as fh:
+            fh.write("winner")
+
+    assert ensure_built_dir(target, build_and_lose) == target
+    assert (tmp_path / "artifact" / "theirs.txt").exists()
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "artifact"]
+    assert leftovers == [], f"staging leaked: {leftovers}"
+
+
+def test_snapshot_stats_survive_compact(spark, tmp_path):
+    """compact() on a stats_cols instance re-collects stats for the
+    rewritten files; on a plain instance the compacted files carry no
+    stats and are conservatively scanned (correct, never wrong)."""
+    path = str(tmp_path / "snap")
+    t = storage.SnapshotTable(spark, path, stats_cols=["k"])
+    t.overwrite(
+        spark.range(0, 1000).select(F.col("id").alias("k")).repartitionByRange(8, "k")
+    )
+    t.compact(target_files=2)
+    man = t._manifest(t.current_version())
+    assert len(man["files"]) == 2 and set(man["stats"]) == set(man["files"])
+    assert t.read_range("k", 10, 20).count() == 11
+
+    plain = storage.SnapshotTable(spark, path)  # no stats_cols
+    plain.compact(target_files=1)
+    man = plain._manifest(plain.current_version())
+    assert len(man["files"]) == 1 and not man.get("stats")
+    keep, total = plain.files_in_range("k", 10, 20)
+    assert keep == man["files"]  # no stats => scan everything (never skip wrongly)
+    assert plain.read_range("k", 10, 20).count() == 11
