@@ -40,15 +40,31 @@ def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame
       rows to different salts than already-consumed reducers fetched —
       silently wrong aggregates.
 
-    crc32(all columns) + spark_partition_id()*PRIME spreads identical
+    hash(all columns) + spark_partition_id()*PRIME spreads identical
     rows that live in different scan partitions (at scale a hot key
     spans thousands of ~128 MB input splits, so the spread is uniform),
     while a re-executed task attempt re-reads the same split and
     reproduces the identical salts — the divergence window is closed.
+    F.hash (Murmur3 over the native column values) rather than
+    crc32(concat_ws(...)): concat_ws SKIPS NULLs, so ('a', NULL, 'b')
+    and ('a', 'b', NULL) would collapse onto one salt (a spread loss,
+    not a correctness loss), and the string casts cost codegen width;
+    Murmur3 folds each column's bytes with its position, NULL included.
     The residual clustering (identical rows WITHIN one input partition
     share a salt) is bounded by maxPartitionBytes, i.e. no worse than
-    any ordinary partition."""
-    content = F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+    any ordinary partition.
+
+    PRECONDITION (deterministic lineage): spark_partition_id() is only
+    re-execution-stable when the partition's CONTENTS are — true for
+    file scans and hash-shuffle outputs, NOT downstream of
+    order-nondeterministic lineage (round-robin ``repartition(n)``
+    with no columns, ``sample``, ``coalesce`` after a shuffle).  There
+    a recomputed map task can legitimately see different rows under the
+    same partition id and the fetch-failure divergence window this
+    rewrite closes reopens.  Callers must salt directly over the scan
+    (or any deterministic transform of it), never after a round-robin
+    repartition — every in-repo caller salts over a parquet scan."""
+    content = F.hash(*[F.col(c) for c in df.columns]).cast("bigint")
     return df.withColumn(
         salt_col,
         F.pmod(content + F.spark_partition_id().cast("bigint") * F.lit(2654435761), F.lit(n_salts))

@@ -53,10 +53,18 @@ def build_text_index(
 ) -> None:
     """Build the postings/terms/stats triple under ``path``.  One token
     explode + one (doc, term) aggregate — the same single-shuffle cost
-    as any tf computation; df and the scalars fold from the postings."""
+    as any tf computation; df and the scalars fold from the postings.
+
+    Empty tokens are removed before any aggregation: split() on an
+    empty or whitespace-only document yields [''] — a single
+    empty-string token — which would index empty docs with dl=1 and an
+    '' posting, skewing avgdl and corpus df stats relative to treating
+    them as zero-length.  queries/webcorpus.q_bm25_topk (and its DuckDB
+    oracle) apply the identical rule, so the stored index stays
+    hash-equal to the scan form."""
     arrs = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(text_col), r"\s+").alias("toks"),
+        F.array_remove(F.split(F.trim(text_col), r"\s+"), "").alias("toks"),
     )
     tok = arrs.select(
         "doc_id",

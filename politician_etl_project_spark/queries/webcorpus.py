@@ -464,7 +464,11 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 _BM25_ORACLE = f"""
 WITH arrs AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  -- list_filter mirrors the Spark side's array_remove(toks, ''): empty
+  -- docs are zero-length, no phantom '' term
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '') AS toks
+  FROM documents
 ), tok AS (
   -- dl rides along with every token (functionally dependent on doc_id,
   -- so carrying it through the tf GROUP BY key costs nothing and saves
@@ -531,8 +535,12 @@ ORDER BY query_id, rank
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # array_remove drops the '' token split() yields on empty or
+    # whitespace-only docs — they count as zero-length for dl/avgdl/df
+    # instead of carrying a phantom '' term (identical rule in the
+    # stored index, operators/textindex.build_text_index, and the oracle)
     arrs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        "doc_id", F.array_remove(F.split(F.trim("text"), r"\s+"), "").alias("toks")
     )
     # dl = size of the token array — a narrow per-row expression, NOT an
     # explode+groupBy (saves a full token shuffle); it rides through the
@@ -613,7 +621,7 @@ def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
     from politician_etl_project_spark.catalog import ensure_built_dir, tmp_cache_key
     from politician_etl_project_spark.operators.textindex import build_text_index
 
-    key = tmp_cache_key(sf_dir, "documents.parquet", version="bm25-idx-v1")
+    key = tmp_cache_key(sf_dir, "documents.parquet", version="bm25-idx-v2")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_{key}")
     return ensure_built_dir(
         path,

@@ -25,6 +25,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _range_key(v):
+    """Canonical comparison rendering for file-stat range arithmetic.
+
+    Stats are stored JSON-native, so dates/timestamps become strings —
+    and string bounds only prune correctly when BOTH sides use one
+    rendering.  ISO-8601 with 'T' is that rendering: datetime/date
+    probes are converted via .isoformat(), and any string that looks
+    like a space-separated timestamp ('YYYY-MM-DD HH:MM…', the str()
+    rendering older manifests stored) is normalized to the 'T' form.
+    Without this, an ISO probe ('2024-03-01T00:00:00', 'T' > ' ')
+    compares after every space-rendered stat and silently prunes files
+    that hold matching rows."""
+    import datetime
+    import re
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        return re.sub(r"^(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2})", r"\1T\2", v)
+    return v
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """Directory-partitioned parquet; readers get partition pruning for
     free on `partition_cols` predicates."""
@@ -296,13 +320,22 @@ class SnapshotTable:
             raise ValueError(f"unknown version {v}; have {self.versions()}")
         man = self._manifest(v)
         stats = man.get("stats", {})
+        lo, hi = _range_key(lo), _range_key(hi)
         keep = []
         for f in man["files"]:
             s = stats.get(f, {}).get(col)
             if s is None or s[0] is None or s[1] is None:
                 keep.append(f)  # no stats ⇒ must scan (correctness first)
                 continue
-            mn, mx = s
+            mn, mx = _range_key(s[0]), _range_key(s[1])
+            if isinstance(mn, str) != isinstance(lo, str):
+                # a str probe against numeric stats (or vice versa) can
+                # never compare in range order — refuse loudly, the same
+                # failure class DECIMAL stats already refuse at write time
+                raise TypeError(
+                    f"range probe type {type(lo).__name__} does not match "
+                    f"stored stat type {type(mn).__name__} for column {col!r}"
+                )
             if not (mx < lo or mn > hi):
                 keep.append(f)
         return keep, len(man["files"])
@@ -318,11 +351,23 @@ class SnapshotTable:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        # files_in_range FIRST: it owns the no-snapshot and
-        # torn-version guards, so this path inherits them
-        keep, _total = self.files_in_range(col, lo, hi, version=version)
-        cur = self.current_version()
-        v = cur if version is None else version
+        # Resolve the version EXACTLY ONCE and pin it for both the file
+        # list and the schema manifest: resolving current_version()
+        # twice opens a TOCTOU window where a concurrent commit lands
+        # between the two reads and the files come from version N while
+        # the schema comes from N+1 — old files read under a new schema
+        # silently yield wrong/null columns, inside the very
+        # multi-writer model the commit lock defends against.
+        if version is None:
+            cur = self.current_version()
+            if cur is None:
+                raise FileNotFoundError(f"no committed snapshot at {self.path}")
+            v = cur
+        else:
+            v = version
+        # files_in_range with the pinned v still owns the torn-version
+        # guard (v must be a published version), so this path inherits it
+        keep, _total = self.files_in_range(col, lo, hi, version=v)
         man = self._manifest(v)
         schema = StructType.fromJson(man["schema"])
         if not keep:
@@ -335,7 +380,13 @@ class SnapshotTable:
             .filter((F.col(col) >= lo) & (F.col(col) <= hi))
         )
 
-    def changes(self, keys: list[str], from_version: int, to_version: int) -> DataFrame:
+    def changes(
+        self,
+        keys: list[str],
+        from_version: int,
+        to_version: int,
+        check_keys: bool = False,
+    ) -> DataFrame:
         """Row-level change feed between two published versions — the
         Delta CDF read surface: one typed row per change, ``_change_type``
         ∈ insert / delete / update_preimage / update_postimage (updates
@@ -343,6 +394,16 @@ class SnapshotTable:
         expect).  Unchanged rows are dropped; value comparison is
         NULL-safe (a NULL→value or value→NULL transition is an update,
         NULL→NULL is not a change).
+
+        PRECONDITION: ``keys`` must uniquely identify rows in BOTH
+        versions — the contract every upsert-maintained table satisfies
+        by construction.  On an append-produced table with duplicate
+        keys the full-outer join emits a per-key cross product, and the
+        spurious update_preimage/postimage pairs would be applied by a
+        downstream MERGE without complaint.  Pass ``check_keys=True``
+        to verify the precondition eagerly (one count-vs-distinct
+        aggregate per side — a second scan, so off by default for the
+        common upsert-maintained case).
 
         Plan shape: ONE full-outer shuffle join on the keys; the four
         change classes come from a per-row CASE building an array of
@@ -381,6 +442,25 @@ class SnapshotTable:
                 "changes() needs at least one non-key column (a key-only "
                 "table has no update semantics; diff key sets directly)"
             )
+        if check_keys:
+            # count vs NULL-safe distinct-key count per side; any gap
+            # means duplicate keys and the full-outer diff below would
+            # cross-product them into spurious update pairs
+            # a struct over the keys is never NULL itself, so
+            # countDistinct counts NULL-keyed rows distinctly too —
+            # consistent with the eqNullSafe join semantics below
+            key_struct = F.struct(*[F.col(k) for k in keys])
+            for v, label in ((from_version, "from"), (to_version, "to")):
+                r = self.read(v).agg(
+                    F.count("*").alias("n"),
+                    F.countDistinct(key_struct).alias("d"),
+                ).first()
+                if r["n"] != r["d"]:
+                    raise ValueError(
+                        f"changes() requires unique keys {keys}; "
+                        f"{label}-version v{v} has {r['n']} rows but only "
+                        f"{r['d']} distinct keys"
+                    )
 
         # BOTH sides fully renamed, and the join condition is eqNullSafe
         # per key: a plain `on=keys` equality join never matches NULL
@@ -505,7 +585,13 @@ class SnapshotTable:
                     "stats_cols does not support DECIMAL columns: store a "
                     "DOUBLE or scaled-integer twin for range clustering"
                 )
-            return v if v is None or isinstance(v, (int, float, bool)) else str(v)
+            if v is None or isinstance(v, (int, float, bool)):
+                return v
+            # dates/timestamps stored via the canonical ISO-8601 'T'
+            # rendering so files_in_range compares apples to apples
+            # against ISO probes (_range_key normalizes legacy
+            # space-rendered manifests on read)
+            return _range_key(str(v) if not isinstance(v, str) else v)
 
         aggs = []
         for c in cols:

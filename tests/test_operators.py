@@ -1249,3 +1249,27 @@ def test_with_salt_deterministic_across_actions(spark, tmp_path):
     # land on several salts (here rows differ by id, but the crc32+pid
     # mix must not collapse onto one salt either)
     assert len(set(first.values())) >= 4
+
+
+def test_text_index_empty_docs_zero_length(spark, tmp_path):
+    """Empty / whitespace-only documents contribute NO postings and
+    count as zero-length for avgdl — split() alone would index them
+    with a phantom '' term at dl=1 (round-6 ADVICE fix)."""
+    from politician_etl_project_spark.operators.textindex import build_text_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "   "), (4, "alpha")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path, n_buckets=4)
+
+    postings = spark.read.parquet(f"{path}/postings")
+    terms = [r["term"] for r in postings.select("term").distinct().collect()]
+    assert "" not in terms and sorted(terms) == ["alpha", "beta"]
+    assert postings.filter(F.col("doc_id").isin(2, 3)).count() == 0
+
+    stats = spark.read.parquet(f"{path}/stats").first()
+    # 4 docs, 3 total non-empty tokens -> avgdl = 0.75, not (3+2)/4
+    assert stats["n"] == 4
+    assert abs(stats["avgdl"] - 0.75) < 1e-12

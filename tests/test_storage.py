@@ -730,3 +730,109 @@ def test_snapshot_stats_survive_compact(spark, tmp_path):
     keep, total = plain.files_in_range("k", 10, 20)
     assert keep == man["files"]  # no stats => scan everything (never skip wrongly)
     assert plain.read_range("k", 10, 20).count() == 11
+
+
+def test_snapshot_stats_timestamp_iso_normalized(spark, tmp_path):
+    """Timestamp stats are stored in ISO-8601 'T' form, and probes in
+    EITHER rendering ('T' or space) — or as datetime objects — prune
+    identically.  Guards the lexicographic trap where 'T' > ' ' made an
+    ISO probe silently skip files holding matching rows."""
+    import datetime
+
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"), stats_cols=["ts"])
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, m, 1, 12, 0, 0),) for m in range(1, 13)],
+        "ts timestamp",
+    )
+    t.overwrite(df.repartitionByRange(4, "ts"))
+
+    man = t._manifest(t.current_version())
+    for s in man["stats"].values():
+        mn, mx = s["ts"]
+        assert "T" in mn and "T" in mx, f"stats must be ISO-'T' rendered: {s}"
+
+    probes = [
+        ("2024-03-01T00:00:00", "2024-04-30T23:59:59"),  # ISO 'T'
+        ("2024-03-01 00:00:00", "2024-04-30 23:59:59"),  # legacy space
+        (datetime.datetime(2024, 3, 1), datetime.datetime(2024, 4, 30, 23, 59, 59)),
+    ]
+    results = []
+    for lo, hi in probes:
+        keep, total = t.files_in_range("ts", lo, hi)
+        assert 0 < len(keep) < total, f"probe {lo!r}..{hi!r} kept {len(keep)}/{total}"
+        results.append(sorted(keep))
+    assert results[0] == results[1] == results[2]
+    assert (
+        t.read_range("ts", "2024-03-01T00:00:00", "2024-04-30T23:59:59").count() == 2
+    )
+
+
+def test_snapshot_stats_probe_type_mismatch_refused(spark, tmp_path):
+    """A string probe over numeric stats (or vice versa) can never
+    range-compare correctly — it must raise, not silently prune."""
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"), stats_cols=["k"])
+    t.overwrite(spark.range(0, 100).select(F.col("id").alias("k")).coalesce(2))
+    with pytest.raises(TypeError, match="does not match"):
+        t.files_in_range("k", "10", "20")
+
+
+def test_snapshot_read_range_pins_version_once(spark, tmp_path, monkeypatch):
+    """read_range resolves current_version() EXACTLY once and pins it
+    for both the file list and the schema manifest — a concurrent
+    commit between two resolutions must not mix version N's files with
+    version N+1's schema (the TOCTOU the round-6 fix closes).  Simulated
+    by advancing the table after the first current_version() call."""
+    path = str(tmp_path / "snap")
+    t = storage.SnapshotTable(spark, path, stats_cols=["k"])
+    t.overwrite(
+        spark.range(0, 100).select(F.col("id").alias("k"), F.lit("old").alias("tag"))
+    )
+    v0 = t.current_version()
+
+    real_current = storage.SnapshotTable.current_version
+    calls = {"n": 0}
+
+    def racing_current(self):
+        v = real_current(self)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # concurrent writer lands a new schema right after the
+            # first resolution — the old second resolution would now
+            # pick v+1's manifest for the schema
+            writer = storage.SnapshotTable(spark, path, stats_cols=["k"])
+            writer.overwrite(
+                spark.range(0, 50).select(
+                    F.col("id").alias("k"), F.lit(1).alias("renamed")
+                )
+            )
+        return v
+
+    monkeypatch.setattr(storage.SnapshotTable, "current_version", racing_current)
+    out = t.read_range("k", 10, 20)
+    monkeypatch.setattr(storage.SnapshotTable, "current_version", real_current)
+    # before the fix the file list came from v0 but the schema from the
+    # concurrent writer's v1 ({k, renamed}) — old files read under a new
+    # schema; the pinned resolution keeps both on v0
+    assert set(out.columns) == {"k", "tag"}, "schema must come from the pinned version"
+    assert out.count() == 11
+    assert t.read_range("k", 10, 20, version=v0).count() == 11
+
+
+def test_snapshot_changes_check_keys_guard(spark, tmp_path):
+    """changes(check_keys=True) refuses duplicate-key versions instead
+    of emitting the cross-product update pairs a downstream MERGE would
+    happily apply; unique-key versions pass the guard unchanged."""
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.append(spark.createDataFrame([(2, "dup")], "k int, v string"))
+    with pytest.raises(ValueError, match="unique keys"):
+        t.changes(["k"], 1, 2, check_keys=True)
+
+    u = storage.SnapshotTable(spark, str(tmp_path / "snap2"))
+    u.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    u.overwrite(spark.createDataFrame([(1, "a"), (2, "c")], "k int, v string"))
+    rows = u.changes(["k"], 1, 2, check_keys=True).collect()
+    assert sorted(r["_change_type"] for r in rows) == [
+        "update_postimage",
+        "update_preimage",
+    ]
