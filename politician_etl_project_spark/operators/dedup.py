@@ -369,6 +369,7 @@ def segment_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     seg_tokens: int = 3,
+    key: str = "direct",
 ) -> DataFrame:
     """Corpus-level EXACT segment deduplication — the line/paragraph
     dedup stage of public pretraining pipelines (C4 drops repeated
@@ -390,19 +391,35 @@ def segment_dedup(
     per map task before the exchange, where a window would sort the
     entire hot partition on one task.  Total cost: one agg shuffle on
     the segment value + one groupBy(doc) to reassemble + one join on
-    doc id.  No window, no self-join, no per-row Python.  The winner
-    exchange carries the raw segment text (the groupBy key); with LONG
-    segments (paragraph-level dedup at 100 TB) key the winner agg on a
-    16-byte digest instead and join the text back from the exploded
-    frame — same result, digest-width shuffle.  At the 3-token width
-    here the strings are digest-sized already, so the direct form wins
-    (measured 2.8x on the sweep's final 10x step — data-bound but
-    spread by the same exchange a cluster parallelizes).
+    doc id.  No window, no self-join, no per-row Python.
+
+    ``key`` picks what the winner exchange carries:
+
+    - ``'direct'`` (default): the raw segment text is the groupBy key.
+      Right for SHORT segments (the 3-token width here is already
+      digest-sized; measured 2.8x on the sweep's final 10x step —
+      data-bound but spread by the same exchange a cluster
+      parallelizes).
+    - ``'digest'``: the winner agg keys on a 16-byte MD5 of the
+      segment, so the hot exchange carries digests + ids — never
+      segment text.  Survivor text is then RE-DERIVED ROW-LOCALLY by
+      re-slicing each doc's own token array at the surviving indices
+      (a winner is fully identified by (doc, seg_idx)), which also
+      replaces the direct form's text-carrying reassembly groupBy
+      with an ids-only one.  Right for LONG segments (paragraph-level
+      dedup at 100 TB): total shuffled bytes drop from O(corpus text)
+      to O(segments x 16B) + one doc-keyed join, and no segment-text
+      key can ever hot-spot an exchange.  128-bit digests make
+      collisions ignorable at any corpus size (~2^64 segments for a
+      50% birthday bound).  Hash-proven equal to the direct form
+      (tests + the shared DuckDB oracle of q_segment_dedup_digest).
 
     Reference analog: no dedup tier exists in the reference
     (documents are served verbatim, app/database.py); this is part of
     the LLM-data-pipeline surface the Spark engine adds.
     """
+    if key not in ("direct", "digest"):
+        raise ValueError(f"key must be 'direct' or 'digest', got {key!r}")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
     segs = docs.select(
@@ -414,6 +431,54 @@ def segment_dedup(
             )
         ).alias("seg_idx", "seg"),
     )
+    # per-doc totals from a NARROW projection, not a second pass over the
+    # corpus-wide explode: n_segs is derivable row-locally, and the
+    # where-clause mirrors posexplode's NULL-text row drop
+    per_doc = docs.select(
+        F.col(id_col),
+        F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("bigint").alias("n_segs"),
+    ).where(F.col("n_segs").isNotNull())
+
+    if key == "digest":
+        # hot exchange carries (16B digest, ids) — the segment text is
+        # dropped BEFORE the shuffle and re-derived row-locally at the end
+        winners = (
+            segs.select(F.unhex(F.md5("seg")).alias("dg"), id_col, "seg_idx")
+            .groupBy("dg")
+            .agg(F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("w"))
+        )
+        kept_idx_per_doc = (
+            winners.select(
+                F.col(f"w.{id_col}").alias(id_col), F.col("w.seg_idx").alias("seg_idx")
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count("*").cast("bigint").alias("n_kept"),
+                F.array_sort(F.collect_list("seg_idx")).alias("kept_idx"),
+            )
+        )
+        # survivor text re-derived from the doc's OWN token array — a
+        # winner is uniquely (doc, seg_idx), so re-slicing reproduces the
+        # exploded segment bit-for-bit with zero text ever shuffled on a
+        # segment key
+        doc_toks = docs.select(F.col(id_col), toks.alias("_toks"))
+        rebuilt = F.concat_ws(
+            " ",
+            F.transform(
+                F.col("kept_idx"),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_toks"), i * seg_tokens + 1, seg_tokens)
+                ),
+            ),
+        )
+        joined = per_doc.join(kept_idx_per_doc, id_col, "left").join(doc_toks, id_col)
+        return joined.select(
+            F.col(id_col),
+            "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+            F.when(F.col("kept_idx").isNotNull(), rebuilt).alias("kept_text"),
+        )
+
     winners = segs.groupBy("seg").agg(
         F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("w")
     )
@@ -432,13 +497,6 @@ def segment_dedup(
             ),
         ).alias("kept_text"),
     )
-    # per-doc totals from a NARROW projection, not a second pass over the
-    # corpus-wide explode: n_segs is derivable row-locally, and the
-    # where-clause mirrors posexplode's NULL-text row drop
-    per_doc = docs.select(
-        F.col(id_col),
-        F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("bigint").alias("n_segs"),
-    ).where(F.col("n_segs").isNotNull())
     return per_doc.join(kept_per_doc, id_col, "left").select(
         F.col(id_col),
         "n_segs",

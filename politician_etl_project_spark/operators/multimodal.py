@@ -92,14 +92,155 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes, kind: str) -> np.ndarray:
-    """STUB — real codec decode (PIL for images, soundfile/ffmpeg for
-    audio/video) is NOT available in this container.  The engine's decode
-    path uses :func:`decode_fake`; swap this in when codecs exist."""
-    raise NotImplementedError(
-        "codec decode requires PIL/soundfile/ffmpeg, not installed here; "
-        "use decode_fake (deterministic byte-identity decode) instead"
+# --- real byte-format codecs (pure numpy + struct, no external libs) -------
+#
+# BMP (24-bit uncompressed), PPM (binary P6) and WAV (PCM16 mono) need no
+# codec library — they are header + raw samples.  These parsers read the
+# REAL container formats (field offsets, bottom-up row order, 4-byte row
+# padding, chunk walking), so the D3 decode path exercises genuine byte
+# parsing end-to-end; PIL/soundfile would slot in only for compressed
+# formats (JPEG/FLAC), which stay out of scope in this container.
+
+
+def encode_bmp(vals: np.ndarray, width: int) -> bytes:
+    """Grayscale values -> 24-bit uncompressed BMP (BITMAPINFOHEADER).
+    Each value becomes a B=G=R pixel; rows are stored BOTTOM-UP and
+    padded to 4-byte boundaries per the format."""
+    import struct
+
+    vals = np.asarray(vals, dtype=np.uint8)
+    h = vals.size // width
+    if h < 1:
+        raise ValueError(f"need at least one complete row of {width}px, got {vals.size} vals")
+    img = vals[: h * width].reshape(h, width)
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = np.repeat(img[r], 3).tobytes()  # B=G=R triplets
+        body += row + b"\x00" * pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def encode_ppm(vals: np.ndarray, width: int) -> bytes:
+    """RGB byte triplets -> binary PPM (P6, maxval 255)."""
+    vals = np.asarray(vals, dtype=np.uint8)
+    h = vals.size // (width * 3)
+    if h < 1:
+        raise ValueError(f"need >= {width * 3} vals for one row, got {vals.size}")
+    body = vals[: h * width * 3].tobytes()
+    return f"P6\n{width} {h}\n255\n".encode("ascii") + body
+
+
+def encode_wav(vals: np.ndarray, rate: int = AUDIO_RATE) -> bytes:
+    """int16 samples -> RIFF/WAVE, PCM16 mono, little-endian."""
+    import struct
+
+    samples = np.asarray(vals, dtype=np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP into (h, w, 3) uint8 RGB, undoing
+    the stored BGR order, bottom-up rows (negative biHeight = top-down),
+    and per-row 4-byte padding."""
+    import struct
+
+    magic, _size, _r1, _r2, pixel_off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    hdr_size, w, h_signed, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
     )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: hdr={hdr_size} bpp={bpp} comp={compression}")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    need = pixel_off + stride * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: have {len(payload)} bytes, need {need}")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pixel_off)
+    bgr = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse binary PPM (P6) into (h, w, 3) uint8 RGB, handling the
+    whitespace-separated header with '#' comment lines."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM: bad magic")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    need = w * h * 3
+    if len(payload) - pos < need:
+        raise ValueError(f"truncated PPM: have {len(payload) - pos} sample bytes, need {need}")
+    return np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos).reshape(h, w, 3).copy()
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """Parse RIFF/WAVE PCM16 mono into an int16 sample array, walking
+    the chunk list (skipping LIST/fact/etc.) to find fmt and data."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, channels, _rate, _bps, _align, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(f"only PCM16 mono supported: fmt={audio_fmt} ch={channels} bits={bits}")
+    return np.frombuffer(data, dtype="<i2").astype(np.int16)
+
+
+def decode_real(payload: bytes, kind: str | None = None) -> np.ndarray:
+    """Decode a REAL container format by magic-byte dispatch: 24-bit BMP
+    -> (h, w, 3) uint8 RGB, binary PPM (P6) -> (h, w, 3) uint8 RGB,
+    RIFF/WAVE PCM16 mono -> int16 samples.  Pure numpy + struct — no
+    codec library.  ``kind`` is advisory (the magic decides); unknown
+    magics raise so corrupt payloads fail loudly instead of feeding
+    garbage features downstream.  Compressed formats (JPEG/FLAC/mp4)
+    would need PIL/soundfile/ffmpeg and stay out of scope here."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    raise ValueError(f"unrecognized container magic {payload[:4]!r} (kind hint: {kind})")
 
 
 def decode_fake(payload: bytes) -> np.ndarray:
@@ -271,3 +412,97 @@ def sample_frames_udtf(media: DataFrame, every: int = 2) -> DataFrame:
         f"FROM {{vids}} v, LATERAL frame_sampler(v.media_id, v.payload, v.n_frames, {int(every)}) s",
         vids=vids,
     )
+
+
+# --- real-container round trip (encode + decode through mapInPandas) --------
+
+BMP_WIDTH = 5  # odd width -> every row needs 4-byte padding (worst case)
+PPM_WIDTH = 4
+
+_REAL_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+_REAL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("n_values", IntegerType()),
+        StructField("sum_values", LongType()),
+    ]
+)
+
+
+def encode_media_real(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-container media table from ``documents``: the
+    text's byte values become pixel/sample values, packed into genuine
+    BMP (doc_id%3==0), WAV PCM16 (==1) or PPM P6 (==2) containers inside
+    Arrow-batched workers.  Docs too short for one complete image row
+    are dropped (the encoders refuse them loudly).  Payload bytes are
+    derived purely from (doc_id, text), so a SQL oracle can reason about
+    the decoded values via ascii() arithmetic."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, containers, payloads = [], [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                vals = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                m = int(mid) % 3
+                if m == 0:
+                    if vals.size < BMP_WIDTH:
+                        continue
+                    payload, container = encode_bmp(vals, BMP_WIDTH), "bmp"
+                elif m == 1:
+                    if vals.size < 1:
+                        continue
+                    payload, container = encode_wav(vals.astype(np.int16)), "wav"
+                else:
+                    if vals.size < PPM_WIDTH * 3:
+                        continue
+                    payload, container = encode_ppm(vals, PPM_WIDTH), "ppm"
+                ids.append(int(mid))
+                containers.append(container)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(ids, dtype=np.int64),
+                    "container": containers,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(_encode, _REAL_MEDIA_SCHEMA)
+
+
+def decode_real_stats(media: DataFrame) -> DataFrame:
+    """Parse real containers back (magic-dispatch ``decode_real``) and
+    emit per-media decoded-value stats: element count and sum.  For BMP
+    the grayscale source triples through B=G=R, so sum_values is exactly
+    3x the packed byte sum — the oracle asserts that relationship,
+    proving the parser really walked the padded bottom-up rows."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, containers, counts, sums = [], [], [], []
+            for mid, container, payload in zip(
+                pdf["media_id"], pdf["container"], pdf["payload"]
+            ):
+                arr = decode_real(bytes(payload))
+                ids.append(int(mid))
+                containers.append(container)
+                counts.append(int(arr.size))
+                sums.append(int(arr.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(ids, dtype=np.int64),
+                    "container": containers,
+                    "n_values": np.array(counts, dtype=np.int32),
+                    "sum_values": np.array(sums, dtype=np.int64),
+                }
+            )
+
+    return media.mapInPandas(_stats, _REAL_STATS_SCHEMA)

@@ -27,39 +27,92 @@ import os
 from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, declared_query
 
 DRIVER_WINDOW = [
-    # --- ROUND-5 WINDOW (driver checks [:50]) ---
-    # Slots 1-10: queries NEW this round — URL canonicalization +
-    # URL-level dedup, per-domain stats behind a blocklist, interpolated
-    # bigram LM scoring, manifest min/max data skipping
-    # (SnapshotTable stats_cols), the MinHash estimate-vs-exact
-    # Jaccard calibration harness, BM25 top-k retrieval (scan form AND
-    # the stored partition-pruned inverted index), two-stage
-    # PQ-candidates -> exact-re-rank serving, the change-data-feed
-    # read (SnapshotTable.changes), and the k-anonymity release audit.
-    # Slots 11-17: sentinels for code REWRITTEN in round 5 — the
-    # cross-year roll_key derivation (sources/votes_json.py), the
-    # deterministic salt (operators/skew.py), the dedup-ingest staging
-    # fix (queries/textops.py), the RollupStore adhoc-staging uuid
-    # (operators/rollup.py), the foreachBatch twins behind the streaming
-    # hygiene fixes, and SnapshotTable (stats plumbed through every
-    # write path).
-    # Remaining slots: the 33 queries whose latest driver check is
-    # ROUND 1 (the stalest evidence in the registry) plus the five
-    # stalest round-2 names — freshness rotation now that all 181
-    # queries have at least one green driver row.
-    # tests/test_window.py asserts this composition mechanically.
+    # --- ROUND-6 WINDOW (driver checks [:50]) ---
+    # Slots 1-3: queries NEW this round — the real-container multimodal
+    # round trip (BMP/WAV/PPM encode + pure-numpy parse, replacing the
+    # decode_real stub), the digest-keyed segment-dedup twin (16-byte
+    # winner exchange, hash-equal to the direct form), and the
+    # congress-member page transform promoted from pytest-only to the
+    # driver gate (F15/N5).
+    # Slots 4-7: sentinels for code REWRITTEN in round 6 — the BM25
+    # empty-token rule changed both the scan form and the stored index
+    # (operators/textindex.py), with_salt switched to Murmur3
+    # (operators/skew.py), and SnapshotTable range reads got the
+    # pinned-version + ISO-stat fixes (storage.py).  Their r5 greens
+    # predate those edits; WINDOW_SENTINELS below names them for the
+    # staleness test.
+    # Slots 8-40: the 33 queries whose latest driver check is ROUND 1 —
+    # the stalest evidence in the registry (r5 verdict item 1).
+    # Slots 41-50: the 10 alphabetically-first of the 15 round-2-stale
+    # names; the remaining 5 sit immediately after the head and rotate
+    # in next round.
+    # tests/test_window.py asserts this composition mechanically
+    # (never-checked ⊆ head; non-sentinel verified head slots are no
+    # fresher than any verified name left outside).
+    "q_media_decode_real",
+    "q_segment_dedup_digest",
+    "q_src_members",
+    "q_bm25_topk",
+    "q_bm25_indexed",
+    "q_salted_agg",
+    "q_stats_prune",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_volume",
+    "q11_important_value",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q_anti_join",
+    "q_avg_by_segment",
+    "q_conditional_split",
+    "q_count_distinct",
+    "q_dedup_keep_first",
+    "q_dedup_keep_last",
+    "q_dynamic_filters",
+    "q_except",
+    "q_exists_probe",
+    "q_fuzzy_match_topk",
+    "q_global_stats",
+    "q_in_list_dim",
+    "q_intersect",
+    "q_like_keyword",
+    "q_max_regex_extract",
+    "q_recent_n",
+    "q_scalar_kitchen",
+    "q_semi_join",
+    "q_topk_customers",
+    "q_union_distinct",
+    "q_monthly_timeline",
+    "q_multikey_sort",
+    "q_name_split_map",
+    "q_near_dup_pairs_capped",
+    "q_pagination",
+    "q_pct_of_total",
+    "q_proj_concat",
+    "q_range_join",
+    "q_sequence_packing",
+    "q_surrogate_ids",
+    # --- tail: next-stalest first (driver reads [:50] only) ---
+    "q_token_stats",
+    "q_train_shuffle",
+    "q_tumbling_window",
+    "q_vector_norms",
+    "q_watermark_cutoff",
     "q_url_canonicalize",
     "q_domain_stats",
     "q_bigram_lm_score",
-    "q_stats_prune",
     "q_minhash_calibration",
-    "q_bm25_topk",
     "q_pq_rerank",
     "q_cdf_read",
     "q_k_anonymity",
-    "q_bm25_indexed",
     "q_src_votes_json",
-    "q_salted_agg",
     "q_dedup_incremental",
     "q_incremental_rollup",
     "q_merge_batch_replay",
@@ -98,12 +151,6 @@ DRIVER_WINDOW = [
     "q_limit1_probe",
     "q_media_pixel_stats",
     "q_minhash_signatures",
-    # --- tail: prior-round order preserved (driver reads [:50] only) ---
-    "q_monthly_timeline",
-    "q_multikey_sort",
-    "q_name_split_map",
-    "q_near_dup_pairs_capped",
-    "q_pagination",
     "q_gap_fill",
     "q_calendar_spine",
     "q_snapshot_diff",
@@ -197,16 +244,16 @@ DRIVER_WINDOW = [
     "q_pivot_status_matrix",
     "q_unpivot_measures",
     "q_hll_mergeable",
-    "q_train_shuffle",
-    "q_proj_concat",
-    "q_pct_of_total",
-    "q_surrogate_ids",
-    "q_watermark_cutoff",
-    "q_tumbling_window",
-    "q_vector_norms",
-    "q_token_stats",
-    "q_sequence_packing",
-    "q_range_join",
+]
+
+# Sentinels: head slots re-verifying queries whose implementation changed
+# THIS round (their prior green predates the edit) — exempt from the
+# stalest-first head rule, bounded to keep rotation honest.
+WINDOW_SENTINELS = [
+    "q_bm25_topk",
+    "q_bm25_indexed",
+    "q_salted_agg",
+    "q_stats_prune",
 ]
 
 _ORACLE_TABLES = (
@@ -314,4 +361,11 @@ def load_all() -> dict[str, QuerySpec]:
     return dict(_CANON_CACHE)
 
 
-__all__ = ["REGISTRY", "QuerySpec", "declared_query", "load_all", "DRIVER_WINDOW"]
+__all__ = [
+    "REGISTRY",
+    "QuerySpec",
+    "declared_query",
+    "load_all",
+    "DRIVER_WINDOW",
+    "WINDOW_SENTINELS",
+]

@@ -156,6 +156,56 @@ _COMMITTEES_YAML = """\
 """
 
 
+# Congress-member API page (reference ingest_politicians.py:54-232):
+# every transform edge is present — comma name split (M001), no-comma
+# name (M002), suffix after a second comma kept in first_name (M003),
+# unknown state dropped (M004), EMPTY terms list (M005: null chamber,
+# sentinel years), and ISO-date term years instead of integers (M006).
+_MEMBERS_PAGE = [
+    {
+        "bioguideId": "M001", "name": "Smith, Alice", "partyName": "D",
+        "state": "Texas",
+        "terms": {"item": [
+            {"chamber": "House of Representatives", "startYear": 2019, "endYear": 2021},
+            {"chamber": "Senate", "startYear": 2021},
+        ]},
+    },
+    {
+        "bioguideId": "M002", "name": "Cher", "partyName": "I",
+        "state": "California",
+        "terms": {"item": [
+            {"chamber": "House of Representatives", "startYear": 2017, "endYear": 2019},
+        ]},
+    },
+    {
+        "bioguideId": "M003", "name": "Jones, Bob, Jr.", "partyName": "R",
+        "state": "New York",
+        "terms": {"item": [
+            {"chamber": "House of Representatives", "startYear": 2015, "endYear": 2017},
+            {"chamber": "House of Representatives", "startYear": 2017, "endYear": 2019},
+            {"chamber": "House of Representatives", "startYear": 2019},
+        ]},
+    },
+    {
+        "bioguideId": "M004", "name": "Doe, Jane", "partyName": "R",
+        "state": "Atlantis",
+        "terms": {"item": [{"chamber": "Senate", "startYear": 2011, "endYear": 2017}]},
+    },
+    {
+        "bioguideId": "M005", "name": "Term, Less", "partyName": "R",
+        "state": "Nevada",
+        "terms": {"item": []},
+    },
+    {
+        "bioguideId": "M006", "name": "Dates, Ann", "partyName": "D",
+        "state": "Guam",
+        "terms": {"item": [
+            {"chamber": "Senate", "start": "2020-01-03", "end": "2024-01-03"},
+        ]},
+    },
+]
+
+
 def _write(path: str, text: str) -> None:
     if os.path.exists(path):
         return
@@ -175,6 +225,7 @@ def ensure_fixtures() -> str:
     for i, xml in enumerate([_BILL_XML_1, _BILL_XML_2, _BILL_XML_3], start=1):
         _write(os.path.join(d, "bills", f"BILLSTATUS-{i}.xml"), xml)
     _write(os.path.join(d, "committees.yaml"), _COMMITTEES_YAML)
+    _write(os.path.join(d, "members.json"), json.dumps({"members": _MEMBERS_PAGE}, indent=1))
     return d
 
 
@@ -382,6 +433,54 @@ def q_src_committees_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select(
         "committee_id", "name", "chamber", "type", "parent_committee_id"
     ).orderBy("committee_id")
+
+
+@declared_query(
+    "q_src_members",
+    oracle="""
+SELECT * FROM (VALUES
+  ('M001', 'Alice',     'Smith', 'D', 'TX', 'Senate',            2019, 2021, true),
+  ('M002', CAST(NULL AS VARCHAR), 'Cher', 'I', 'CA', 'House',    2017, 2019, false),
+  ('M003', 'Bob, Jr.',  'Jones', 'R', 'NY', 'House',             2015, 2019, true),
+  ('M005', 'Less',      'Term',  'R', 'NV', CAST(NULL AS VARCHAR), -1, -1,   false),
+  ('M006', 'Ann',       'Dates', 'D', 'GU', 'Senate',            2020, 2024, false)
+) AS t(congress_id, first_name, last_name, party, state, chamber,
+       start_year, end_year, is_active)
+ORDER BY congress_id
+""",
+    ops=("S5", "N5", "F4", "F5", "F15", "J7"),
+    doc="Congress-member page transform (reference "
+    "ingest_politicians.py:115-188) against a deterministic API-page "
+    "fixture: first-comma name split (suffix stays in first_name), "
+    "broadcast state-name lookup dropping unknown states, last-term "
+    "chamber with the House rename, terms min/max year with the "
+    "ISO-date fallback, and the active flag from a missing endYear.  "
+    "An EMPTY terms list yields null chamber + sentinel years instead "
+    "of aborting under ANSI (try_element_at).  The oracle is the "
+    "hand-derived transform as literal VALUES — promotes F15/N5 from "
+    "pytest-only to the driver's hard gate.  Years are coalesced to "
+    "-1 on both sides (nullable-numeric driver hazard).",
+)
+def q_src_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.sources import members
+
+    ensure_fixtures()
+    with open(os.path.join(FIXTURE_DIR, "members.json")) as f:
+        page = json.load(f)
+    out = members.transform_members(
+        members.members_df(spark, page["members"]), members.state_lookup(spark)
+    )
+    return out.select(
+        "congress_id",
+        "first_name",
+        "last_name",
+        "party",
+        "state",
+        "chamber",
+        F.coalesce("start_year", F.lit(-1)).alias("start_year"),
+        F.coalesce("end_year", F.lit(-1)).alias("end_year"),
+        "is_active",
+    ).orderBy("congress_id")
 
 
 @declared_query(

@@ -21,7 +21,7 @@ from politician_etl_project_spark.operators.dedup import (
     token_hashes,
     tokens,
 )
-from politician_etl_project_spark.queries.registry import declared_query
+from politician_etl_project_spark.queries.registry import REGISTRY, declared_query
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _DUCK_DTOKS = f"list_distinct({_DUCK_TOKS})"
@@ -1762,3 +1762,31 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return segment_dedup(docs, "doc_id", "text", seg_tokens=3).orderBy("doc_id")
+
+
+_SEGMENT_DEDUP_ORACLE = REGISTRY["q_segment_dedup"].oracle
+
+
+@declared_query(
+    "q_segment_dedup_digest",
+    oracle=_SEGMENT_DEDUP_ORACLE,
+    ops=("DEDUP-segment", "A14", "U2"),
+    doc="q_segment_dedup's DIGEST-KEYED twin (segment_dedup(key="
+    "'digest')): the winner aggregate keys on a 16-byte MD5, so the "
+    "hot exchange carries digests + ids instead of segment text, and "
+    "survivor text is re-derived row-locally by re-slicing each doc's "
+    "own token array at the surviving indices.  Shares q_segment_dedup"
+    "'s oracle verbatim — a green hash here IS the proof the digest "
+    "path loses nothing vs the direct form.  This is the long-segment "
+    "scale lever: at paragraph width on 100 TB the direct form's "
+    "winner exchange is output-bound on segment text (the fattest "
+    "measured shuffle in the engine, SCALE.md), while the digest form "
+    "shuffles O(segments x 16B).",
+)
+def q_segment_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, "doc_id", "text", seg_tokens=3, key="digest").orderBy(
+        "doc_id"
+    )

@@ -24,9 +24,121 @@ def media(spark):
     return synthesize_media(load_table(spark, SF_SMALL, "documents")).cache()
 
 
-def test_decode_real_is_stub():
-    with pytest.raises(NotImplementedError):
-        decode_real(b"\x00\x01", "image")
+def test_decode_real_rejects_unknown_magic():
+    with pytest.raises(ValueError, match="unrecognized container magic"):
+        decode_real(b"\x00\x01\x02\x03", "image")
+
+
+def test_bmp_roundtrip_padded_bottom_up():
+    """Odd width forces per-row padding; values must come back in
+    top-down RGB order despite BGR bottom-up storage."""
+    from politician_etl_project_spark.operators.multimodal import encode_bmp
+
+    vals = np.arange(35, dtype=np.uint8)  # 7 rows x 5 px (15-byte rows, 1 pad)
+    payload = encode_bmp(vals, width=5)
+    assert payload[:2] == b"BM"
+    img = decode_real(payload)
+    assert img.shape == (7, 5, 3)
+    expect = np.repeat(vals.reshape(7, 5), 3).reshape(7, 5, 3)
+    np.testing.assert_array_equal(img, expect)
+    # partial trailing row is truncated by the encoder
+    img2 = decode_real(encode_bmp(np.arange(38, dtype=np.uint8), width=5))
+    assert img2.shape == (7, 5, 3)
+
+
+def test_bmp_top_down_variant_decodes():
+    """Real-world BMPs may store rows top-down (negative biHeight) —
+    the parser must honor the sign, not assume the encoder's layout."""
+    import struct
+
+    from politician_etl_project_spark.operators.multimodal import encode_bmp
+
+    vals = np.arange(20, dtype=np.uint8)
+    payload = bytearray(encode_bmp(vals, width=5))
+    # flip to top-down: negate biHeight and reorder the stored rows
+    w, h = 5, 4
+    stride = w * 3 + 1
+    struct.pack_into("<i", payload, 14 + 8, -h)
+    off = 54
+    rows = [bytes(payload[off + i * stride : off + (i + 1) * stride]) for i in range(h)]
+    payload[off:] = b"".join(reversed(rows))
+    img = decode_real(bytes(payload))
+    np.testing.assert_array_equal(img, np.repeat(vals.reshape(4, 5), 3).reshape(4, 5, 3))
+
+
+def test_ppm_roundtrip_and_comment_header():
+    from politician_etl_project_spark.operators.multimodal import encode_ppm
+
+    vals = np.arange(24, dtype=np.uint8)  # 2 rows x 4 px RGB
+    payload = encode_ppm(vals, width=4)
+    img = decode_real(payload)
+    assert img.shape == (2, 4, 3)
+    np.testing.assert_array_equal(img.reshape(-1), vals)
+    # a PPM written by other tools may carry '#' comments in the header
+    commented = b"P6\n# made by hand\n4 2\n255\n" + vals.tobytes()
+    np.testing.assert_array_equal(decode_real(commented), img)
+
+
+def test_wav_roundtrip_and_extra_chunks():
+    import struct
+
+    from politician_etl_project_spark.operators.multimodal import encode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 255], dtype=np.int16)
+    payload = encode_wav(samples)
+    np.testing.assert_array_equal(decode_real(payload), samples)
+    # chunk walk must skip unknown chunks (LIST metadata before data)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    odd = b"junk!"  # odd-length chunk exercises word-alignment padding
+    chunks = b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(samples.tobytes())) + samples.tobytes()
+    exotic = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    np.testing.assert_array_equal(decode_real(exotic), samples)
+
+
+def test_decode_real_refuses_malformed():
+    from politician_etl_project_spark.operators.multimodal import encode_bmp, encode_ppm
+
+    bmp = encode_bmp(np.arange(20, dtype=np.uint8), width=5)
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_real(bmp[:-8])
+    ppm = encode_ppm(np.arange(24, dtype=np.uint8), width=4)
+    with pytest.raises(ValueError, match="truncated PPM"):
+        decode_real(ppm[:-4])
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        decode_real(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_encode_decode_real_stats_spark_roundtrip(spark):
+    """The two-stage mapInPandas pipeline (encode real containers ->
+    parse them back) reproduces ascii-arithmetic ground truth."""
+    from politician_etl_project_spark.operators.multimodal import (
+        decode_real_stats,
+        encode_media_real,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world bmp!"),   # bmp: 16 bytes -> 3 rows x 5
+            (1, "wav sample text"),    # wav: 15 samples
+            (2, "ppm needs twelve+"),  # ppm: 17 bytes -> 1 row x 12
+            (3, "tiny"),               # bmp: 4 < 5 -> dropped
+            (5, "short ppm"),          # ppm: 9 < 12 -> dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["media_id"]: r for r in decode_real_stats(encode_media_real(docs)).collect()}
+    assert set(rows) == {0, 1, 2}
+    b = np.frombuffer(b"hello world bmp!", dtype=np.uint8)
+    assert rows[0]["container"] == "bmp"
+    assert rows[0]["n_values"] == 45 and rows[0]["sum_values"] == 3 * int(b[:15].sum())
+    w = np.frombuffer(b"wav sample text", dtype=np.uint8)
+    assert rows[1]["container"] == "wav"
+    assert rows[1]["n_values"] == 15 and rows[1]["sum_values"] == int(w.sum())
+    p = np.frombuffer(b"ppm needs twelve+", dtype=np.uint8)
+    assert rows[2]["container"] == "ppm"
+    assert rows[2]["n_values"] == 12 and rows[2]["sum_values"] == int(p[:12].sum())
 
 
 def test_media_schema_and_kinds(media):

@@ -1273,3 +1273,34 @@ def test_text_index_empty_docs_zero_length(spark, tmp_path):
     # 4 docs, 3 total non-empty tokens -> avgdl = 0.75, not (3+2)/4
     assert stats["n"] == 4
     assert abs(stats["avgdl"] - 0.75) < 1e-12
+
+
+def test_segment_dedup_digest_equals_direct(spark):
+    """segment_dedup(key='digest') must reproduce the direct form
+    bit-for-bit — including reassembled survivor text — on a corpus
+    with cross-doc duplicate segments, fully-duplicate docs (NULL
+    kept_text), and ragged tail segments."""
+    from politician_etl_project_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),          # ragged tail seg "g"
+            (2, "a b c x y z"),            # first seg duplicates doc 1's
+            (3, "a b c d e f"),            # BOTH segs seen earlier -> NULL
+            (4, "x y z a b c q"),          # segments in different alignment
+            (5, "lone doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    direct = {
+        r["doc_id"]: tuple(r)
+        for r in segment_dedup(docs, key="direct").collect()
+    }
+    digest = {
+        r["doc_id"]: tuple(r)
+        for r in segment_dedup(docs, key="digest").collect()
+    }
+    assert direct == digest
+    assert direct[3][3] is None  # fully-duplicate doc reassembles to NULL
+    with pytest.raises(ValueError, match="key must be"):
+        segment_dedup(docs, key="sha")

@@ -62,3 +62,44 @@ def test_every_never_checked_query_is_in_window_head():
             "window head wastes slots on already-checked queries while a "
             f"{len(never)}-query backlog exists"
         )
+
+
+def _latest_checked_round() -> dict[str, int]:
+    """Per query, the most recent round with a driver CORRECTNESS row."""
+    latest: dict[str, int] = {}
+    for fn in sorted(os.listdir(REPO_ROOT)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            rnd = int(fn[len("CORRECTNESS_r") : -len(".json")])
+            with open(os.path.join(REPO_ROOT, fn)) as fh:
+                for name in json.load(fh):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def test_window_head_prefers_stalest():
+    """The head must spend its slots on the STALEST driver evidence
+    (round-5 verdict item 1): aside from never-checked queries (covered
+    above) and the bounded sentinel list (code changed this round, so
+    their prior green is stale by definition), every verified head
+    slot must be no FRESHER than any verified query left outside the
+    head.  A fresh name occupying a slot while a staler one waits
+    means the rotation stopped working."""
+    from politician_etl_project_spark.queries import WINDOW_SENTINELS
+
+    assert len(WINDOW_SENTINELS) <= 10, "sentinel list must stay bounded"
+    latest = _latest_checked_round()
+    specs = load_all()
+    head = DRIVER_WINDOW[:WINDOW]
+    rotating = [
+        n for n in head if n in latest and n not in WINDOW_SENTINELS
+    ]
+    outside = [n for n in specs if n not in head and n in latest]
+    if not rotating or not outside:
+        return
+    freshest_in = max(latest[n] for n in rotating)
+    stalest_out = min(latest[n] for n in outside)
+    offenders = [n for n in rotating if latest[n] > stalest_out]
+    assert freshest_in <= stalest_out, (
+        f"head holds round-{freshest_in} evidence {offenders} while "
+        f"round-{stalest_out} names wait outside"
+    )
