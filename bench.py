@@ -27,122 +27,19 @@ from politician_etl_project_spark.queries import load_all
 # vector, and the Arrow/pandas path.  The pathological all-pairs queries
 # (near-dup verify at ~60% pair density) are excluded: their cost is the
 # output volume, not engine efficiency.
-BENCH_QUERIES = [
-    # TPC-H shapes
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_region_volume",
-    "q06_forecast_revenue",
-    "q02_min_cost_supplier",
-    "q08_market_share",
-    "q09_product_profit",
-    "q11_important_value",
-    "q12_late_shipments",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # relational aggregation / join family
-    "q_fact_dim_rollup",
-    "q_topk_customers",
-    "q_monthly_timeline",
-    "q_pct_of_total",
-    "q_pagination",
-    # window family
-    "q_window_rank",
-    "q_window_running_sum",
-    # event-time family
-    "q_retention_cohorts",
-    "q_tumbling_window",
-    "q_session_windows",
-    "q_event_dedup",
-    # text / dedup maps
-    "q_dedup_exact",
-    "q_minhash_signatures",
-    "q_simhash",
-    "q_near_dup_pairs_capped",
-    # training-data pipeline ops
-    "q_hash_split",
-    "q_sequence_packing",
-    "q_curation_funnel",
-    "q_decontamination",
-    "q_repetition_filter",
-    "q_boilerplate_shingles",
-    "q_context_windows",
-    "q_pii_scrub",
-    # serving-layer endpoint shape
-    "q_list_endpoint_page",
-    # stored-index ANN probe (partition-pruned) + batched serving
-    "q_ann_lsh",
-    "q_ann_batch",
-    "q_ann_pq",
-    "q_hybrid_rrf",
-    # temporal joins
-    "q_asof_join",
-    "q_range_join",
-    # grouping sets / quantiles
-    "q_rollup_hierarchy",
-    "q_percentiles",
-    # vector
-    "q_knn_bruteforce",
-    "q_label_centroid",
-    "q_embed_quantize",
-    # iterative graph (bounded-round rank propagation)
-    "q_pagerank",
-    # multimodal (Arrow-batched mapInPandas path)
-    "q_media_pixel_stats",
-    # warehouse analytics (round-3 additions)
-    "q_gap_fill",
-    "q_moments_mergeable",
-    "q_snapshot_diff",
-    "q_inverted_index",
-    "q_correlation",
-    "q_pmi_terms",
-    "q_dedup_multi_policy",
-    # round-3 late additions
-    "q_lm_quality_score",
-    "q_negative_sampling",
-    "q_event_paths",
-    "q_data_profile",
-    "q_dq_constraints",
-    "q_window_range_frame",
-    # round-4 additions: streaming twins, BPE training loop, layout,
-    # incremental index maintenance, embed near-dup (broadcast rewrite)
-    "q_merge_batch_replay",
-    "q_sketch_merge_replay",
-    "q_bpe_train_merges",
-    "q_bpe_vocab_stats",
-    "q_zorder_layout",
-    "q_ann_index_extend",
-    "q_embed_near_dup",
-    "q_simhash_near_pairs",
-    # round-4 late additions: CDC MERGE, bloom prune, triangle tier,
-    # snapshot time travel
-    "q_cdc_apply",
-    "q_bloom_prune",
-    "q_triangle_count",
-    "q_time_travel",
-    "q_segment_dedup",
-    # round-5 additions: web-corpus curation (URL canon + domain stats),
-    # bigram LM scoring, manifest min/max data skipping, minhash
-    # estimate-vs-exact calibration
-    "q_url_canonicalize",
-    "q_domain_stats",
-    "q_bigram_lm_score",
-    "q_stats_prune",
-    "q_minhash_calibration",
-    "q_bm25_topk",
-    "q_pq_rerank",
-    "q_cdf_read",
-    "q_k_anonymity",
-    "q_bm25_indexed",
-]
+# Round-6: the bench covers EVERY registry query (the r5 verdict flagged
+# the 92-of-191 sample as a silent cap) minus an explicit, reasoned
+# exclusion list; the summary line reports what was skipped and why, so
+# a regression in any benched family is visible and the skips are
+# documented rather than silent.
+BENCH_EXCLUDED = {
+    "q_near_dup_pairs": (
+        "output-bound all-pairs verification (~60% pair density in the "
+        "synthetic corpus at sf0.1, 65s single-pass): its cost is the "
+        "output volume, not engine efficiency; the capped twin "
+        "q_near_dup_pairs_capped IS benched"
+    ),
+}
 
 
 def _ensure_fec_bench_file(n_rows: int = 500_000) -> str:
@@ -234,7 +131,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
-    names = [n for n in BENCH_QUERIES if n in specs]
+    names = [n for n in specs if n not in BENCH_EXCLUDED]
 
     # Warm-up pass: JVM + whole-stage-codegen compilation per query shape
     # (one-time driver cost, not per-query latency — the reference's 1-2 s
@@ -319,6 +216,8 @@ def main() -> None:
         "etl_rows_out": etl_rows,
         "etl_rows_in": 500000,
         "timing_passes": 2,
+        "queries_benched": len(names),
+        "queries_not_benched": sorted(BENCH_EXCLUDED),
         # host contention context for round-over-round comparison: the
         # container shares its host, and a loaded neighbor inflates
         # every shape uniformly (~1.3x observed) — a delta map read

@@ -69,6 +69,64 @@ def paginate(
         offset += len(items)
 
 
+def paginate_partitioned(
+    spark,
+    fetch_page: Callable[[int], dict[str, Any]],
+    items_key: str,
+    total_items: int,
+    page_size: int,
+    n_partitions: int = 8,
+):
+    """S5 at scale: the ``mapInPandas``-over-id-partitions twin of
+    :func:`paginate` (SURVEY §2.1 S5's own at-scale mapping).  The
+    page-offset space is partitioned into a DataFrame and each WORKER
+    fetches its assigned offsets — a thousand executors pull a
+    million-page API in parallel instead of one driver walking
+    ``pagination.next`` sequentially.
+
+    Contract difference from the driver loop: the offset space must be
+    known up front (``total_items``, from the API's count field or a
+    HEAD probe) because next-links only exist after fetching the
+    previous page — that sequential dependency is exactly what this
+    layout removes.  ``fetch_page(offset)`` has the same signature as
+    in :func:`paginate` and is shipped to workers by closure pickling,
+    so it must stay self-contained (build its HTTP client lazily inside
+    the call, never capture a live connection).
+
+    Returns a DataFrame ``(offset BIGINT, item_json STRING)`` — one row
+    per item, JSON-encoded with sorted keys so downstream
+    ``from_json``/comparison is deterministic.  Rate limits shape this
+    path too: n_partitions bounds concurrent fetchers, and a 429
+    backoff belongs inside ``fetch_page`` exactly as on the driver."""
+    import json as _json
+
+    offsets = list(range(0, max(int(total_items), 0), page_size))
+    if not offsets:
+        return spark.createDataFrame([], "offset bigint, item_json string")
+    off_df = spark.createDataFrame([(o,) for o in offsets], "offset bigint").repartition(
+        min(n_partitions, len(offsets)), "offset"
+    )
+
+    def _fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            offs, items = [], []
+            for off in pdf["offset"]:
+                page = fetch_page(int(off))
+                for item in page.get(items_key) or []:
+                    offs.append(int(off))
+                    items.append(_json.dumps(item, sort_keys=True))
+            yield pd.DataFrame(
+                {
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "item_json": pd.Series(items, dtype=object),
+                }
+            )
+
+    return off_df.mapInPandas(_fetch, "offset bigint, item_json string")
+
+
 def probe_ids(
     fetch: Callable[[int], bool],
     start: int,

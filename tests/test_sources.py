@@ -385,6 +385,36 @@ def test_paginate_follows_next():
     assert [g["n"] for g in got] == [1, 2, 3]
 
 
+def test_paginate_partitioned_matches_driver_loop(spark):
+    """The mapInPandas partitioned fetch (S5 at-scale layout) must pull
+    the SAME item set as the sequential driver loop over next-links —
+    including a short final page and page_size larger than one
+    partition's share."""
+    import json
+
+    from politician_etl_project_spark.sources import staging
+
+    # 11 items, 3 per page -> offsets 0,3,6,9 (last page short)
+    items = [{"n": i, "tag": f"t{i}"} for i in range(11)]
+
+    def fetch_page(off):
+        chunk = items[off : off + 3]
+        nxt = "more" if off + 3 < len(items) else None
+        return {"bills": chunk, "pagination": {"next": nxt}}
+
+    driver_items = list(staging.paginate(fetch_page, "bills"))
+    dist = staging.paginate_partitioned(
+        spark, fetch_page, "bills", total_items=len(items), page_size=3, n_partitions=4
+    )
+    got = sorted(json.loads(r["item_json"])["n"] for r in dist.collect())
+    assert got == sorted(g["n"] for g in driver_items) == list(range(11))
+    # offsets recorded per item allow page-level provenance checks
+    offs = {r["offset"] for r in dist.collect()}
+    assert offs == {0, 3, 6, 9}
+    # empty id-space short-circuits without a Spark job
+    assert staging.paginate_partitioned(spark, fetch_page, "bills", 0, 3).count() == 0
+
+
 def test_probe_ids_stops_after_misses():
     from politician_etl_project_spark.sources import staging
 

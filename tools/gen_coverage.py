@@ -24,8 +24,11 @@ MANUAL = {
            "tests/test_sources.py::test_itcont_transform"),
     "S4": ("sources/staging.py:fetch_zip_to_staging / extract_zip",
            "tests/test_sources.py::test_extract_zip (extract; fetch gated behind urllib)"),
-    "S5": ("sources/staging.py:paginate + sources/members.py:members_df",
-           "tests/test_sources.py::test_paginate_follows_next, test_member_transform"),
+    "S5": ("sources/staging.py:paginate (driver loop) + paginate_partitioned "
+           "(mapInPandas over offset partitions — the at-scale layout) + "
+           "sources/members.py:members_df",
+           "tests/test_sources.py::test_paginate_follows_next, "
+           "test_paginate_partitioned_matches_driver_loop; q_src_members (oracle)"),
     "S6": ("sources/votes_json.py:read_vote_files (multiLine JSON glob + input_file_name)",
            "tests/test_sources.py::test_vote_explode"),
     "S7": ("sources/bills_xml.py:read_billstatus (wholetext + from_xml, nested arrays)",

@@ -36,6 +36,7 @@ QUERIES = [
     "q_triangle_count",      # degree-oriented wedge joins
     "q_time_travel",         # manifest reads across three versions
     "q_segment_dedup",       # corpus keep-first segment aggregate
+    "q_segment_dedup_digest",  # digest-keyed twin (16B winner exchange)
     "q_url_canonicalize",    # regexp-chain map + canonical-key shuffle
     "q_bigram_lm_score",     # in-row zip + model joins
     "q_stats_prune",         # manifest min/max file skipping
@@ -44,6 +45,24 @@ QUERIES = [
     "q_bm25_indexed",        # BM25 stored index, partition-pruned probe
     "q_pq_rerank",           # PQ candidates -> exact re-rank serving
     "q_cdf_read",            # change feed: full-outer diff of versions
+]
+
+# documents/embeddings-only queries measured on the extended 4-point axis
+# (sf0.001 / 0.01 / 0.1 / synthesized 0.5 — tools/gen_bigdocs.py): the
+# stored-index serving tiers whose 100-TB story is "probe cost flat in
+# corpus size", plus the brute-force baselines they are compared against
+# and the segment-dedup pair (digest vs direct growth).
+SERVING_QUERIES = [
+    "q_bm25_topk",             # BM25 corpus-scan baseline
+    "q_bm25_indexed",          # BM25 stored inverted index (should stay flat)
+    "q_knn_bruteforce",        # vector scan baseline
+    "q_ann_lsh",               # stored LSH index, bucket-pruned probe
+    "q_ann_ivf",               # stored IVF index, n_probe lists
+    "q_pq_rerank",             # PQ candidates -> exact re-rank serving
+    "q_dedup_exact",           # fingerprint groupBy (data-bound reference line)
+    "q_segment_dedup",         # direct form: winner exchange carries text
+    "q_segment_dedup_digest",  # digest form: 16B winner exchange
+    "q_url_canonicalize",      # pure-expression map + canonical-key shuffle
 ]
 
 
@@ -73,6 +92,35 @@ def main() -> None:
     for name, t in times.items():
         if t.get("sf0.01"):
             t["ratio_0.1/0.01"] = round(t["sf0.1"] / t["sf0.01"], 2)
+
+    # --- serving-tier sweep, 4th scale point (r5 verdict item 6) -----------
+    # The stored-index flatness claims rest on sf0.001->0.1; extend the
+    # axis to 5x sf0.1 with synthesized documents/embeddings (the ONLY
+    # tables these tiers read — tools/gen_bigdocs.py) and verify no tier
+    # regresses super-linearly on the extra step.
+    from tools.gen_bigdocs import ensure_bigdocs
+
+    sf05 = ensure_bigdocs()
+    serving_sfs = SFS + [sf05]
+    serving: dict[str, dict[str, float]] = {}
+    for sf in serving_sfs:
+        key = Path(sf).name.replace("spark_graft_", "")
+        for name in SERVING_QUERIES:
+            specs[name].fn(spark, sf).collect()  # warm + build stored indexes
+        spark.catalog.clearCache()
+        for name in SERVING_QUERIES:
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf).collect()
+                sec = time.perf_counter() - t0
+                best = sec if best is None else min(best, sec)
+                spark.catalog.clearCache()
+            serving.setdefault(name, {})[key] = round(best, 3)
+    for name, t in serving.items():
+        if t.get("sf0.1"):
+            t["ratio_0.5/0.1"] = round(t["sf0.5"] / t["sf0.1"], 2)
+    out["serving_tiers_4pt"] = serving
     print(json.dumps(out, indent=1))
     spark.stop()
 
