@@ -76,17 +76,25 @@ def build_text_index(
         .agg(F.count("*").cast("bigint").alias("tf"))
         .withColumn("term_bucket", F.pmod(F.crc32("term"), F.lit(n_buckets)).cast("int"))
     )
-    postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
-        os.path.join(path, "postings")
-    )
+    # repartition ON THE BUCKET before the partitioned write: without it
+    # every shuffle task holding rows of a bucket emits its own file —
+    # n_buckets x shuffle_partitions small files whose per-task scan
+    # overhead dominated probe latency (measured 345 files / ~4 s probe
+    # at the 25k-doc point; single-file buckets cut the probe to the
+    # actual matched-postings cost).  One file per bucket is the Lucene
+    # segment analog; at 100 TB the same layout holds with a target
+    # bucket size instead of a bucket count.
+    postings.repartition(n_buckets, "term_bucket").write.partitionBy(
+        "term_bucket"
+    ).mode("overwrite").parquet(os.path.join(path, "postings"))
     # df folds from the in-memory postings frame (no read-back: a
     # partitioned write of ZERO rows emits no files, so reading it back
     # during the build would fail schema inference on an empty corpus)
     postings.groupBy("term_bucket", "term").agg(
         F.count("*").cast("bigint").alias("df")
-    ).write.partitionBy("term_bucket").mode("overwrite").parquet(
-        os.path.join(path, "terms")
-    )
+    ).repartition(n_buckets, "term_bucket").write.partitionBy("term_bucket").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "terms"))
     arrs.agg(
         F.count("*").cast("bigint").alias("n"),
         (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),

@@ -483,6 +483,116 @@ def q_src_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("congress_id")
 
 
+# --- S9: live JDBC round trip over the bundled Derby engine ----------------
+# The reference reads Postgres through pooled SQLAlchemy sessions
+# (app/database.py:18-24) and psycopg2 batch inserts
+# (scripts/ingest_fec_links.py:63).  No Postgres exists in this container,
+# but Spark BUNDLES Apache Derby (its Hive-metastore store), whose
+# embedded JDBC driver is a real database engine — so the S9 path can
+# move real rows end-to-end: Spark JDBC WRITE into Derby, then the
+# partition-parallel JDBC READ (catalog.load_table_jdbc) back out, with
+# Catalyst pushing filters into the generated SQL (PushedFilters shows
+# in explain).  Derby embedded is single-JVM, so the database is built
+# once per PROCESS (an on-disk cache shared across processes would trip
+# Derby's db.lck boot lock).
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+_DERBY_DBS: dict[str, tuple[str, int, int]] = {}
+
+
+def _ensure_derby_orders(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Load orders into a process-local embedded Derby database (once);
+    returns (jdbc_url, min_orderkey, max_orderkey).  Money is stored as
+    BIGINT cents — DECIMAL(12,2)*100 is exact — so sums replay
+    bit-for-bit on every engine."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from politician_etl_project_spark.catalog import load_table
+
+    if sf_dir in _DERBY_DBS:
+        return _DERBY_DBS[sf_dir]
+    db = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_derby_{os.getpid()}_{uuid.uuid4().hex[:6]}", "db"
+    )
+    url = f"jdbc:derby:{db};create=true"
+    # floor(x*100 + 0.5), NOT a bare cast: o_totalprice is DOUBLE, so
+    # x*100 lands within ~1e-10 of the true cent count on either side —
+    # Spark's bigint cast TRUNCATES while DuckDB's ROUNDS, and the two
+    # disagree on every value that lands just below the integer.  The
+    # explicit identical expression is exact on both engines.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("o_totalcents"),
+        "o_orderdate",
+    )
+    orders.write.format("jdbc").option("url", url).option("dbtable", "ORDERS_J").option(
+        "driver", _DERBY_DRIVER
+    ).mode("overwrite").save()
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    _DERBY_DBS[sf_dir] = (url, int(lo), int(hi))
+    return _DERBY_DBS[sf_dir]
+
+
+@declared_query(
+    "q_src_jdbc",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS last_key,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    ops=("S9", "A2", "P2"),
+    doc="LIVE JDBC round trip (S9): orders loads into an embedded Derby "
+    "database (the JDBC engine Spark itself bundles) via the JDBC "
+    "writer, then reads BACK through catalog.load_table_jdbc's "
+    "partition-parallel scan (8 o_orderkey range slices, the exact "
+    "layout a Postgres fact extract uses) and aggregates per status.  "
+    "The oracle computes the same rollup from the parquet table "
+    "directly — a green hash proves the database round trip lost "
+    "nothing: types, money (stored as exact BIGINT cents), dates, "
+    "row multiplicity.  Filter pushdown into the database's SQL is "
+    "plan-asserted in tests/test_sources.py.  Replaces the previous "
+    "'no JDBC jar in this container' documentation gap — the reference "
+    "analog is its pooled-Postgres read path (app/database.py:18-24).",
+)
+def q_src_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.catalog import load_table_jdbc
+
+    url, lo, hi = _ensure_derby_orders(spark, sf_dir)
+    back = load_table_jdbc(
+        spark,
+        url,
+        "ORDERS_J",
+        partition_column="o_orderkey",
+        lower_bound=lo,
+        upper_bound=hi,
+        num_partitions=8,
+        driver=_DERBY_DRIVER,
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_totalcents").cast("bigint").alias("total_cents"),
+            F.min("o_orderkey").cast("bigint").alias("first_key"),
+            F.max("o_orderkey").cast("bigint").alias("last_key"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @declared_query(
     "q_provenance_audit",
     oracle="""

@@ -621,7 +621,7 @@ def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
     from politician_etl_project_spark.catalog import ensure_built_dir, tmp_cache_key
     from politician_etl_project_spark.operators.textindex import build_text_index
 
-    key = tmp_cache_key(sf_dir, "documents.parquet", version="bm25-idx-v2")
+    key = tmp_cache_key(sf_dir, "documents.parquet", version="bm25-idx-v3")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_{key}")
     return ensure_built_dir(
         path,

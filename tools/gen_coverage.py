@@ -35,8 +35,10 @@ MANUAL = {
            "tests/test_sources.py::test_bill_xml_extract"),
     "S8": ("sources/committees_yaml.py:committees_df (driver YAML -> typed DF)",
            "tests/test_sources.py::test_committee_flatten"),
-    "S9": ("catalog.py:load_table — same interface as spark.read.jdbc; no JDBC driver jar in this env",
-           "documented (SURVEY §2.1 S9); parquet scan path tested everywhere"),
+    "S9": ("catalog.py:load_table_jdbc (partition-parallel JDBC scan) — LIVE round trip "
+           "over the embedded Derby engine Spark bundles",
+           "q_src_jdbc (oracle); tests/test_sources.py::test_jdbc_roundtrip_derby "
+           "(pushdown + 4-way range slicing plan-asserted)"),
     "S10": ("out-of-engine per SURVEY: staging-dir contract; scanners are S6/S7",
             "documented (SURVEY §2.1 S10)"),
     "S11": ("operators/upsert.py:ParquetUpsertTable.append",

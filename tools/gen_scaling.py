@@ -121,6 +121,35 @@ def main() -> None:
         if t.get("sf0.1"):
             t["ratio_0.5/0.1"] = round(t["sf0.5"] / t["sf0.1"], 2)
     out["serving_tiers_4pt"] = serving
+
+    # --- wide-segment dedup: direct vs digest (r5 verdict item 3) ----------
+    # At the declared queries' 3-token width a segment is already
+    # digest-sized, so the two forms tie; the digest form's claim is for
+    # LONG segments (paragraph dedup), where the direct form's winner
+    # exchange carries the full segment text.  Measure both at 40-token
+    # segments on the two largest corpora.
+    from politician_etl_project_spark.catalog import load_table
+    from politician_etl_project_spark.operators.dedup import segment_dedup
+
+    wide: dict[str, dict[str, float]] = {}
+    for sf in [SFS[2], sf05]:
+        key = Path(sf).name.replace("spark_graft_", "")
+        docs = load_table(spark, sf, "documents")
+        for form in ("direct", "digest"):
+            segment_dedup(docs, seg_tokens=40, key=form).collect()  # warm
+            spark.catalog.clearCache()
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                segment_dedup(docs, seg_tokens=40, key=form).collect()
+                sec = time.perf_counter() - t0
+                best = sec if best is None else min(best, sec)
+                spark.catalog.clearCache()
+            wide.setdefault(f"segment_dedup_w40_{form}", {})[key] = round(best, 3)
+    for name, t in wide.items():
+        if t.get("sf0.1"):
+            t["ratio_0.5/0.1"] = round(t["sf0.5"] / t["sf0.1"], 2)
+    out["wide_segment_dedup_w40"] = wide
     print(json.dumps(out, indent=1))
     spark.stop()
 
