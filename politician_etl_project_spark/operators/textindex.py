@@ -95,14 +95,123 @@ def build_text_index(
     ).repartition(n_buckets, "term_bucket").write.partitionBy("term_bucket").mode(
         "overwrite"
     ).parquet(os.path.join(path, "terms"))
+    # total_dl is kept as an exact BIGINT beside the derived avgdl so
+    # extend_text_index can update the corpus scalars without float
+    # drift: (total_dl + new_dl) / (n + new_n) is the same two exact
+    # integers a full rebuild divides, hence bit-identical avgdl
     arrs.agg(
         F.count("*").cast("bigint").alias("n"),
+        F.sum(F.size("toks")).cast("bigint").alias("total_dl"),
         (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
     import json
 
     with open(os.path.join(path, "_META.json"), "w") as fh:
         json.dump({"kind": "bm25", "n_buckets": n_buckets}, fh)
+
+
+def extend_text_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[int]:
+    """Incrementally MERGE a batch of NEW documents into a stored BM25
+    index, rewriting ONLY the term buckets the batch touches — the
+    inverted-index twin of similarity.extend_lsh_index.  Returns the
+    touched bucket ids.
+
+    Cost contract (100 TB): new postings are one token shuffle over the
+    BATCH; each touched bucket is re-read, unioned and rewritten, so
+    maintenance I/O is O(batch + touched buckets), never O(corpus).
+    Corpus scalars update from exact integers (see build_text_index's
+    total_dl), so the extended index is BIT-IDENTICAL to a full rebuild
+    over base ∪ batch — asserted by tests and by q_bm25_index_extend's
+    shared oracle.
+
+    Preconditions: batch doc ids must be NEW (an update/delete needs a
+    delete-list tier this index does not carry), and like compact() on
+    the snapshot store this is a single-writer maintenance op — the
+    bucket-dir swaps are per-bucket atomic but not transactional across
+    buckets."""
+    import json
+    import shutil
+    import uuid
+
+    with open(os.path.join(path, "_META.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"not a bm25 index at {path}: {meta}")
+    n_buckets = meta["n_buckets"]
+
+    arrs = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_remove(F.split(F.trim(text_col), r"\s+"), "").alias("toks"),
+    )
+    tok = arrs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    new_postings = (
+        tok.groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn("term_bucket", F.pmod(F.crc32("term"), F.lit(n_buckets)).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    touched = sorted(
+        r["term_bucket"] for r in new_postings.select("term_bucket").distinct().collect()
+    )
+    batch_stats = arrs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).cast("bigint").alias("total_dl"),
+    ).first()
+    if not touched and batch_stats["n"] == 0:
+        return []
+
+    schema = "doc_id bigint, dl bigint, term string, tf bigint, term_bucket int"
+    old = (
+        spark.read.schema(schema)
+        .parquet(os.path.join(path, "postings"))
+        .filter(F.col("term_bucket").isin(touched))
+    )
+    merged = old.unionByName(new_postings)
+    staging = f"{path}-extend-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    merged.repartition(max(len(touched), 1), "term_bucket").write.partitionBy(
+        "term_bucket"
+    ).mode("overwrite").parquet(os.path.join(staging, "postings"))
+    # df re-derives from the merged postings of the touched buckets only
+    # — exact, and bounded by those buckets' size
+    merged.groupBy("term_bucket", "term").agg(
+        F.count("*").cast("bigint").alias("df")
+    ).repartition(max(len(touched), 1), "term_bucket").write.partitionBy(
+        "term_bucket"
+    ).mode("overwrite").parquet(os.path.join(staging, "terms"))
+
+    old_stats = spark.read.parquet(os.path.join(path, "stats")).first()
+    n2 = int(old_stats["n"]) + int(batch_stats["n"])
+    total2 = int(old_stats["total_dl"]) + int(batch_stats["total_dl"])
+    spark.createDataFrame(
+        [(n2, total2, (float(total2) / n2) if n2 else 0.0)],
+        "n bigint, total_dl bigint, avgdl double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "stats_new"))
+
+    # per-bucket dir swap: same-filesystem renames, one bucket at a time
+    for sub in ("postings", "terms"):
+        for b in touched:
+            src = os.path.join(staging, sub, f"term_bucket={b}")
+            dst = os.path.join(path, sub, f"term_bucket={b}")
+            if not os.path.isdir(src):
+                continue  # bucket present in batch ids but empty after agg
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.replace(src, dst)
+    stats_dst = os.path.join(path, "stats")
+    shutil.rmtree(stats_dst)
+    os.replace(os.path.join(staging, "stats_new"), stats_dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    return touched
 
 
 def bm25_topk_indexed(

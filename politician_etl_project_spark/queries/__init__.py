@@ -28,13 +28,14 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 
 DRIVER_WINDOW = [
     # --- ROUND-6 WINDOW (driver checks [:50]) ---
-    # Slots 1-4: queries NEW this round — the real-container multimodal
+    # Slots 1-5: queries NEW this round — the real-container multimodal
     # round trip (BMP/WAV/PPM encode + pure-numpy parse, replacing the
     # decode_real stub), the digest-keyed segment-dedup twin (16-byte
     # winner exchange, hash-equal to the direct form), the
     # congress-member page transform promoted from pytest-only to the
-    # driver gate (F15/N5), and the LIVE JDBC round trip over the
-    # bundled embedded Derby engine (S9 finally moves real rows).
+    # driver gate (F15/N5), the LIVE JDBC round trip over the bundled
+    # embedded Derby engine (S9 finally moves real rows), and the
+    # incremental BM25 index MERGE (extend == rebuild, hash-proven).
     # Slots 4-7: sentinels for code REWRITTEN in round 6 — the BM25
     # empty-token rule changed both the scan form and the stored index
     # (operators/textindex.py), with_salt switched to Murmur3
@@ -42,10 +43,10 @@ DRIVER_WINDOW = [
     # pinned-version + ISO-stat fixes (storage.py).  Their r5 greens
     # predate those edits; WINDOW_SENTINELS below names them for the
     # staleness test.
-    # Slots 9-41: the 33 queries whose latest driver check is ROUND 1 —
+    # Slots 10-42: the 33 queries whose latest driver check is ROUND 1 —
     # the stalest evidence in the registry (r5 verdict item 1).
-    # Slots 42-50: the 9 alphabetically-first of the 15 round-2-stale
-    # names; the remaining 6 sit immediately after the head and rotate
+    # Slots 43-50: the 8 alphabetically-first of the 15 round-2-stale
+    # names; the remaining 7 sit immediately after the head and rotate
     # in next round.
     # tests/test_window.py asserts this composition mechanically
     # (never-checked ⊆ head; non-sentinel verified head slots are no
@@ -54,6 +55,7 @@ DRIVER_WINDOW = [
     "q_segment_dedup_digest",
     "q_src_members",
     "q_src_jdbc",
+    "q_bm25_index_extend",
     "q_bm25_topk",
     "q_bm25_indexed",
     "q_salted_agg",
@@ -99,8 +101,8 @@ DRIVER_WINDOW = [
     "q_pct_of_total",
     "q_proj_concat",
     "q_range_join",
-    "q_sequence_packing",
     # --- tail: next-stalest first (driver reads [:50] only) ---
+    "q_sequence_packing",
     "q_surrogate_ids",
     "q_token_stats",
     "q_train_shuffle",

@@ -533,7 +533,9 @@ def _ensure_derby_orders(spark: SparkSession, sf_dir: str) -> tuple[str, int, in
         "driver", _DERBY_DRIVER
     ).mode("overwrite").save()
     lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
-    _DERBY_DBS[sf_dir] = (url, int(lo), int(hi))
+    # empty table: bounds are NULL — any (lo < hi) pair partitions an
+    # empty range correctly, so pin (0, 1) instead of crashing
+    _DERBY_DBS[sf_dir] = (url, int(lo) if lo is not None else 0, int(hi) if hi is not None else 1)
     return _DERBY_DBS[sf_dir]
 
 

@@ -621,7 +621,7 @@ def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
     from politician_etl_project_spark.catalog import ensure_built_dir, tmp_cache_key
     from politician_etl_project_spark.operators.textindex import build_text_index
 
-    key = tmp_cache_key(sf_dir, "documents.parquet", version="bm25-idx-v3")
+    key = tmp_cache_key(sf_dir, "documents.parquet", version="bm25-idx-v4")
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_{key}")
     return ensure_built_dir(
         path,
@@ -652,4 +652,53 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bm25_topk_indexed(
         spark, _text_index_path(spark, sf_dir), _BM25_QUERIES, k=_BM25_TOPK
+    )
+
+
+def _extended_text_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Base index over 90% of the corpus (doc_id % 10 != 0), then the
+    remaining 10% MERGED in via extend_text_index — cached as one
+    artifact, so the cache holds an index that PASSED through the
+    incremental-maintenance path."""
+    import os
+    import tempfile
+
+    from politician_etl_project_spark.catalog import ensure_built_dir, tmp_cache_key
+    from politician_etl_project_spark.operators.textindex import (
+        build_text_index,
+        extend_text_index,
+    )
+
+    key = tmp_cache_key(sf_dir, "documents.parquet", version="bm25-ext-v1")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25ext_{key}")
+
+    def _build(staging: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        build_text_index(docs.filter(F.col("doc_id") % 10 != 0), staging)
+        extend_text_index(spark, staging, docs.filter(F.col("doc_id") % 10 == 0))
+
+    return ensure_built_dir(path, _build)
+
+
+@declared_query(
+    "q_bm25_index_extend",
+    oracle=_BM25_ORACLE,
+    ops=("WEB-bm25", "TXT-invindex", "S16", "T5", "O3"),
+    doc="Incremental inverted-index maintenance: the stored BM25 index "
+    "is built over 90% of the corpus, then the remaining 10% is "
+    "MERGED in by operators/textindex.extend_text_index — only the "
+    "term buckets the batch touches are re-read and rewritten "
+    "(O(batch + touched buckets), never O(corpus)), and the corpus "
+    "scalars update from exact integer totals so avgdl is "
+    "bit-identical to a full rebuild.  Serves the SAME probe as "
+    "q_bm25_indexed against the SAME oracle — a green hash proves "
+    "extend-then-serve equals rebuild-then-serve, the inverted-index "
+    "twin of q_ann_index_extend's LSH-bucket MERGE.  At 100 TB this "
+    "is how the index follows daily ingest without nightly rebuilds.",
+)
+def q_bm25_index_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.textindex import bm25_topk_indexed
+
+    return bm25_topk_indexed(
+        spark, _extended_text_index_path(spark, sf_dir), _BM25_QUERIES, k=_BM25_TOPK
     )

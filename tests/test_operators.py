@@ -1304,3 +1304,38 @@ def test_segment_dedup_digest_equals_direct(spark):
     assert direct[3][3] is None  # fully-duplicate doc reassembles to NULL
     with pytest.raises(ValueError, match="key must be"):
         segment_dedup(docs, key="sha")
+
+
+def test_extend_text_index_equals_full_rebuild(spark, tmp_path):
+    """extend_text_index(base, batch) must be BIT-identical to
+    build_text_index(base ∪ batch): postings, term dictionary, and the
+    corpus scalars (n, total_dl, avgdl) — including a batch that adds
+    previously-unseen terms (new buckets) and empty-text docs (scalar
+    update with no postings)."""
+    from politician_etl_project_spark.operators.textindex import (
+        build_text_index,
+        extend_text_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "beta beta")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(4, "alpha zeta"), (5, "omega omega theta"), (6, "")],
+        "doc_id bigint, text string",
+    )
+    ext, full = str(tmp_path / "ext"), str(tmp_path / "full")
+    build_text_index(base, ext, n_buckets=8)
+    touched = extend_text_index(spark, ext, batch)
+    assert touched, "batch with new terms must touch buckets"
+    build_text_index(base.unionByName(batch), full, n_buckets=8)
+
+    for sub in ("postings", "terms"):
+        a = sorted(map(tuple, spark.read.parquet(f"{ext}/{sub}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{full}/{sub}").collect()))
+        assert a == b, f"{sub} diverged between extend and rebuild"
+    sa = spark.read.parquet(f"{ext}/stats").first()
+    sb = spark.read.parquet(f"{full}/stats").first()
+    assert (sa["n"], sa["total_dl"]) == (sb["n"], sb["total_dl"]) == (6, 12)
+    assert sa["avgdl"] == sb["avgdl"]  # exact-integer division — bit equal
