@@ -103,3 +103,16 @@ def test_window_head_prefers_stalest():
         f"head holds round-{freshest_in} evidence {offenders} while "
         f"round-{stalest_out} names wait outside"
     )
+
+
+def test_bench_exclusions_are_registered_and_reasoned():
+    """bench.py covers the registry minus BENCH_EXCLUDED; every
+    exclusion must name a real query and carry a non-trivial reason —
+    a stale name would silently shrink the no-silent-caps guarantee."""
+    import bench
+
+    specs = load_all()
+    for name, reason in bench.BENCH_EXCLUDED.items():
+        assert name in specs, f"BENCH_EXCLUDED names unknown query {name}"
+        assert len(reason) > 40, f"exclusion reason for {name} too thin"
+    assert len(bench.BENCH_EXCLUDED) <= 5, "exclusion list must stay short"
