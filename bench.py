@@ -133,42 +133,35 @@ def main() -> None:
     specs = load_all()
     names = [n for n in specs if n not in BENCH_EXCLUDED]
 
-    # Warm-up pass: JVM + whole-stage-codegen compilation per query shape
-    # (one-time driver cost, not per-query latency — the reference's 1-2 s
-    # BigQuery band is likewise steady-state service latency, BASELINE.md).
-    for name in names:
-        specs[name].fn(spark, sf_dir).collect()
-
-    # Queries that persist() intermediates (q_curation_funnel) must not
-    # get a free timed pass off warm-up cache blocks — every timed run
-    # rebuilds its own caches inside its single action.
-    spark.catalog.clearCache()
-
-    # Two timed passes, keep the min: single-pass numbers on a shared
-    # machine swing ±30% from scheduler/page-cache noise (measured 42 s vs
-    # 56 s suite totals minutes apart), flagging a different random set of
-    # false "regressions" each run.  Min-of-2 is the steady-state service
-    # latency the baseline band describes; recorded as timing_passes.
+    # Per-query timing block: warm-up run (JVM + whole-stage-codegen
+    # compilation + one-time stored-index builds), then two timed runs
+    # IMMEDIATELY after, then an adaptive third when the two disagree by
+    # >25%.  Round-6 lesson: the previous layout (one warm-up pass over
+    # the whole suite, then two full timed passes) put ~190 other
+    # queries between a query's warm-up and its timed runs at full
+    # registry coverage — JIT code-cache and page-cache eviction
+    # inflated EVERY number ~1.1-1.5x and read as a blanket fake
+    # regression.  Adjacent runs measure what the baseline band
+    # measures: steady-state service latency of a warm shape.
+    # clearCache() between runs keeps persist()-using queries
+    # (q_curation_funnel) from getting a free pass off cache blocks.
     times: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for _pass in range(2):
-        for name in names:
+    for name in names:
+        specs[name].fn(spark, sf_dir).collect()  # warm-up
+        spark.catalog.clearCache()
+        runs = []
+        for _ in range(2):
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).collect()
-            sec = round(time.perf_counter() - t0, 3)
-            if name in times:
-                spreads[name] = max(times[name], sec) / max(min(times[name], sec), 1e-9)
-            times[name] = min(times.get(name, sec), sec)
+            runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
-    # adaptive third pass ONLY for shapes whose two passes disagreed by
-    # >25% — a host-load spike mid-bench otherwise records as a fake
-    # per-query regression; targeted remeasure costs seconds, a blanket
-    # third pass would cost a third of the suite
-    for name in [n for n, r in spreads.items() if r > 1.25]:
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).collect()
-        times[name] = min(times[name], round(time.perf_counter() - t0, 3))
-        spark.catalog.clearCache()
+        if max(runs) / max(min(runs), 1e-9) > 1.25:
+            # load spike during one run — one targeted remeasure
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).collect()
+            runs.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        times[name] = min(runs)
 
     etl_sec, etl_rows = bench_etl(spark)
     etl_sec = min(etl_sec, bench_etl(spark)[0])

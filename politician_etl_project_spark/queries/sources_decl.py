@@ -465,10 +465,12 @@ def q_src_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     from politician_etl_project_spark.sources import members
 
     ensure_fixtures()
-    with open(os.path.join(FIXTURE_DIR, "members.json")) as f:
-        page = json.load(f)
+    # members_json_df: JVM file scan of the staged page, NOT the
+    # driver-side createDataFrame route (members_df) — row-equality of
+    # the two paths is pinned in tests/test_sources.py
     out = members.transform_members(
-        members.members_df(spark, page["members"]), members.state_lookup(spark)
+        members.members_json_df(spark, os.path.join(FIXTURE_DIR, "members.json")),
+        members.state_lookup(spark),
     )
     return out.select(
         "congress_id",

@@ -71,6 +71,45 @@ def members_df(spark: SparkSession, records: list[dict]) -> DataFrame:
     return spark.createDataFrame(rows, MEMBER)
 
 
+def members_json_df(spark: SparkSession, path: str) -> DataFrame:
+    """Engine-native twin of :func:`members_df`: a fetched member page
+    saved as JSON is SCANNED by the JVM JSON reader instead of being
+    flattened driver-side and shipped through ``createDataFrame`` — the
+    Python-RDD route launches a Python worker per partition just to
+    deserialize a handful of rows (measured seconds per action at 32
+    default slices), while a schema'd file scan is a plain JVM job.  At
+    scale the staged pages are many files and this is the only layout
+    that parallelizes.
+
+    The per-term year coercion (integer startYear/endYear OR ISO
+    start/end strings — the API emits both shapes) is the same rule as
+    members_df's ``_year``, expressed as a codegen `transform`:
+    ``coalesce(startYear, try_cast(substring(start, 1, 4)))``.  Returns
+    the same MEMBER-typed columns, proven row-equal in tests."""
+    from pyspark.sql import functions as F
+
+    read_schema = (
+        "members array<struct<bioguideId string, name string, partyName string,"
+        " state string, terms struct<item array<struct<chamber string,"
+        " startYear bigint, endYear bigint, start string, `end` string>>>>>"
+    )
+    raw = spark.read.schema(read_schema).option("multiLine", "true").json(path)
+    return raw.select(F.explode("members").alias("m")).select(
+        F.col("m.bioguideId").alias("bioguideId"),
+        F.col("m.name").alias("name"),
+        F.col("m.partyName").alias("partyName"),
+        F.col("m.state").alias("state"),
+        F.struct(
+            F.expr(
+                "transform(m.terms.item, t -> struct("
+                "t.chamber AS chamber, "
+                "cast(coalesce(t.startYear, try_cast(substring(t.start, 1, 4) AS bigint)) AS int) AS startYear, "
+                "cast(coalesce(t.endYear, try_cast(substring(t.`end`, 1, 4) AS bigint)) AS int) AS endYear))"
+            ).alias("item")
+        ).alias("terms"),
+    )
+
+
 def state_lookup(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(k, v) for k, v in STATE_ABBR.items()], "state_name string, state_abbr string"

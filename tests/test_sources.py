@@ -637,3 +637,26 @@ def test_vote_roll_key_root_independent_for_reference_layout(spark, tmp_path):
         )
         keys.append({r.roll_key for r in votes_json.explode_votes(raw).collect()})
     assert keys[0] == keys[1] == {"118/votes/2023/h1"}
+
+
+def test_members_json_scan_equals_driver_path(spark):
+    """members_json_df (JVM JSON scan) must reproduce members_df (the
+    driver createDataFrame route) row-for-row on the fixture page —
+    including the int-vs-ISO-date term-year coercion both express."""
+    import os
+
+    from politician_etl_project_spark.queries.sources_decl import (
+        FIXTURE_DIR,
+        _MEMBERS_PAGE,
+        ensure_fixtures,
+    )
+
+    ensure_fixtures()
+    via_scan = members.members_json_df(spark, os.path.join(FIXTURE_DIR, "members.json"))
+    via_driver = members.members_df(spark, _MEMBERS_PAGE)
+    # simpleString compares names + types; nullability legitimately
+    # differs (expression-derived structs are tighter than createDataFrame)
+    assert via_scan.schema.simpleString() == via_driver.schema.simpleString()
+    a = sorted(map(str, via_scan.collect()))
+    b = sorted(map(str, via_driver.collect()))
+    assert a == b
