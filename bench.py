@@ -22,11 +22,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from politician_etl_project_spark.session import get_spark
 from politician_etl_project_spark.queries import load_all
 
-# Headline set: one representative per operator family — scan-agg, join
-# top-k, star join, pushdown scalar, window, event-time, text/dedup map,
-# vector, and the Arrow/pandas path.  The pathological all-pairs queries
-# (near-dup verify at ~60% pair density) are excluded: their cost is the
-# output volume, not engine efficiency.
 # Round-6: the bench covers EVERY registry query (the r5 verdict flagged
 # the 92-of-191 sample as a silent cap) minus an explicit, reasoned
 # exclusion list; the summary line reports what was skipped and why, so

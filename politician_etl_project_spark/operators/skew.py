@@ -46,10 +46,15 @@ def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame
     while a re-executed task attempt re-reads the same split and
     reproduces the identical salts — the divergence window is closed.
     F.hash (Murmur3 over the native column values) rather than
-    crc32(concat_ws(...)): concat_ws SKIPS NULLs, so ('a', NULL, 'b')
-    and ('a', 'b', NULL) would collapse onto one salt (a spread loss,
-    not a correctness loss), and the string casts cost codegen width;
-    Murmur3 folds each column's bytes with its position, NULL included.
+    crc32(concat_ws(cast-to-string)): it drops the per-column string
+    casts and the concat from the codegen hot path.  NOTE the caveat
+    verified in round-6 review: Spark's Murmur3 also SKIPS NULL columns
+    (the seed passes through unchanged), so ('a', NULL, 'b') and
+    ('a', 'b', NULL) still land on one salt — a spread loss on
+    NULL-position-heavy data, never a correctness loss.  F.hash also
+    rejects MapType columns at analysis time where the old string-cast
+    accepted them; callers salting map-typed frames must project the
+    map away (or hash map_entries) first.
     The residual clustering (identical rows WITHIN one input partition
     share a salt) is bounded by maxPartitionBytes, i.e. no worse than
     any ordinary partition.

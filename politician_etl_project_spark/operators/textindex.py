@@ -44,24 +44,16 @@ def _bucket_of(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def build_text_index(
-    docs: DataFrame,
-    path: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_buckets: int = 64,
-) -> None:
-    """Build the postings/terms/stats triple under ``path``.  One token
-    explode + one (doc, term) aggregate — the same single-shuffle cost
-    as any tf computation; df and the scalars fold from the postings.
-
-    Empty tokens are removed before any aggregation: split() on an
-    empty or whitespace-only document yields [''] — a single
-    empty-string token — which would index empty docs with dl=1 and an
-    '' posting, skewing avgdl and corpus df stats relative to treating
-    them as zero-length.  queries/webcorpus.q_bm25_topk (and its DuckDB
-    oracle) apply the identical rule, so the stored index stays
-    hash-equal to the scan form."""
+def _postings_frame(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """The shared tokenize → per-(doc, term) postings construction used
+    by BOTH build_text_index and extend_text_index — one definition so
+    the extend==rebuild bit-identity is structural, not coincidental
+    (the empty-token rule below is correctness-critical and must never
+    drift between the two).  Returns (arrs, postings): arrs carries the
+    per-doc token arrays for the corpus scalars, postings is the
+    bucket-tagged (doc_id, dl, term, tf) frame."""
     arrs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_remove(F.split(F.trim(text_col), r"\s+"), "").alias("toks"),
@@ -76,6 +68,29 @@ def build_text_index(
         .agg(F.count("*").cast("bigint").alias("tf"))
         .withColumn("term_bucket", F.pmod(F.crc32("term"), F.lit(n_buckets)).cast("int"))
     )
+    return arrs, postings
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Build the postings/terms/stats triple under ``path``.  One token
+    explode + one (doc, term) aggregate — the same single-shuffle cost
+    as any tf computation; df and the scalars fold from the postings.
+
+    Empty tokens are removed before any aggregation (inside
+    ``_postings_frame``): split() on an empty or whitespace-only
+    document yields [''] — a single empty-string token — which would
+    index empty docs with dl=1 and an '' posting, skewing avgdl and
+    corpus df stats relative to treating them as zero-length.
+    queries/webcorpus.q_bm25_topk (and its DuckDB oracle) apply the
+    identical rule, so the stored index stays hash-equal to the scan
+    form."""
+    arrs, postings = _postings_frame(docs, text_col, id_col, n_buckets)
     # repartition ON THE BUCKET before the partitioned write: without it
     # every shuffle task holding rows of a bucket emits its own file —
     # n_buckets x shuffle_partitions small files whose per-task scan
@@ -98,10 +113,12 @@ def build_text_index(
     # total_dl is kept as an exact BIGINT beside the derived avgdl so
     # extend_text_index can update the corpus scalars without float
     # drift: (total_dl + new_dl) / (n + new_n) is the same two exact
-    # integers a full rebuild divides, hence bit-identical avgdl
+    # integers a full rebuild divides, hence bit-identical avgdl.
+    # coalesce(sum, 0): an EMPTY corpus sums to NULL, and a NULL
+    # total_dl would crash the first extend with int(None)
     arrs.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(F.size("toks")).cast("bigint").alias("total_dl"),
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).cast("bigint").alias("total_dl"),
         (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
     import json
@@ -132,9 +149,15 @@ def extend_text_index(
 
     Preconditions: batch doc ids must be NEW (an update/delete needs a
     delete-list tier this index does not carry), and like compact() on
-    the snapshot store this is a single-writer maintenance op — the
-    bucket-dir swaps are per-bucket atomic but not transactional across
-    buckets."""
+    the snapshot store this is a single-writer maintenance op.  Crash
+    safety: each bucket (and the stats dir) is swapped with a
+    two-rename move — old dir aside to a ``.old-*`` sibling, new dir
+    in — so at no point is the data deleted before its replacement
+    exists; a crash between the two renames leaves that one bucket
+    absent but its ``.old-*`` sibling intact for recovery, and a crash
+    anywhere else leaves either the old or the new state.  The swaps
+    are still not transactional ACROSS buckets — a reader racing the
+    maintenance op can see a mix, same as compact()."""
     import json
     import shutil
     import uuid
@@ -145,21 +168,8 @@ def extend_text_index(
         raise ValueError(f"not a bm25 index at {path}: {meta}")
     n_buckets = meta["n_buckets"]
 
-    arrs = new_docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_remove(F.split(F.trim(text_col), r"\s+"), "").alias("toks"),
-    )
-    tok = arrs.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("dl"),
-        F.explode("toks").alias("term"),
-    )
-    new_postings = (
-        tok.groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-        .withColumn("term_bucket", F.pmod(F.crc32("term"), F.lit(n_buckets)).cast("int"))
-        .localCheckpoint(eager=False)
-    )
+    arrs, raw_postings = _postings_frame(new_docs, text_col, id_col, n_buckets)
+    new_postings = raw_postings.localCheckpoint(eager=False)
     touched = sorted(
         r["term_bucket"] for r in new_postings.select("term_bucket").distinct().collect()
     )
@@ -197,19 +207,26 @@ def extend_text_index(
         "n bigint, total_dl bigint, avgdl double",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "stats_new"))
 
-    # per-bucket dir swap: same-filesystem renames, one bucket at a time
+    # two-rename swap per target dir: the old state moves ASIDE (not
+    # deleted) before the new state moves in, so the data is never gone
+    # without its replacement on disk; .old-* siblings are reaped only
+    # after a successful swap
+    def _swap(src: str, dst: str) -> None:
+        trash = f"{dst}.old-{uuid.uuid4().hex[:6]}"
+        had_old = os.path.isdir(dst)
+        if had_old:
+            os.replace(dst, trash)
+        os.replace(src, dst)
+        if had_old:
+            shutil.rmtree(trash, ignore_errors=True)
+
     for sub in ("postings", "terms"):
         for b in touched:
             src = os.path.join(staging, sub, f"term_bucket={b}")
-            dst = os.path.join(path, sub, f"term_bucket={b}")
             if not os.path.isdir(src):
                 continue  # bucket present in batch ids but empty after agg
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.replace(src, dst)
-    stats_dst = os.path.join(path, "stats")
-    shutil.rmtree(stats_dst)
-    os.replace(os.path.join(staging, "stats_new"), stats_dst)
+            _swap(src, os.path.join(path, sub, f"term_bucket={b}"))
+    _swap(os.path.join(staging, "stats_new"), os.path.join(path, "stats"))
     shutil.rmtree(staging, ignore_errors=True)
     return touched
 

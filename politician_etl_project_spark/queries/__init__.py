@@ -36,7 +36,7 @@ DRIVER_WINDOW = [
     # driver gate (F15/N5), the LIVE JDBC round trip over the bundled
     # embedded Derby engine (S9 finally moves real rows), and the
     # incremental BM25 index MERGE (extend == rebuild, hash-proven).
-    # Slots 4-7: sentinels for code REWRITTEN in round 6 — the BM25
+    # Slots 6-9: sentinels for code REWRITTEN in round 6 — the BM25
     # empty-token rule changed both the scan form and the stored index
     # (operators/textindex.py), with_salt switched to Murmur3
     # (operators/skew.py), and SnapshotTable range reads got the

@@ -110,10 +110,15 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_decode_real",
     oracle=f"""
 WITH px AS (
+  -- ASCII-only guard on BOTH engines: the Spark side packs UTF-8
+  -- BYTES while ascii()/length() here count codepoints/characters —
+  -- identical only when every char is one byte.  The filter makes the
+  -- contract explicit instead of relying on the corpus being ASCII.
   SELECT doc_id,
          list_transform(regexp_split_to_array(text, ''), c -> ascii(c)) AS p,
          CAST(length(text) AS INTEGER) AS n
   FROM documents
+  WHERE length(text) = strlen(text)
 )
 SELECT doc_id AS media_id, 'bmp' AS container,
        CAST((n // {BMP_WIDTH}) * {BMP_WIDTH} * 3 AS INTEGER) AS n_values,
@@ -144,5 +149,10 @@ ORDER BY media_id
     "PIL/soundfile where available.",
 )
 def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = encode_media_real(load_table(spark, sf_dir, "documents"))
-    return decode_real_stats(media).orderBy("media_id")
+    # char_length == octet_length keeps only ASCII docs, mirroring the
+    # oracle's guard: the encoder packs UTF-8 bytes, the oracle reasons
+    # in codepoints, and the two agree exactly on ASCII
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
+    return decode_real_stats(encode_media_real(docs)).orderBy("media_id")

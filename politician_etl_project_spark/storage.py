@@ -31,12 +31,20 @@ def _range_key(v):
     Stats are stored JSON-native, so dates/timestamps become strings —
     and string bounds only prune correctly when BOTH sides use one
     rendering.  ISO-8601 with 'T' is that rendering: datetime/date
-    probes are converted via .isoformat(), and any string that looks
-    like a space-separated timestamp ('YYYY-MM-DD HH:MM…', the str()
-    rendering older manifests stored) is normalized to the 'T' form.
-    Without this, an ISO probe ('2024-03-01T00:00:00', 'T' > ' ')
-    compares after every space-rendered stat and silently prunes files
-    that hold matching rows."""
+    probes are converted via .isoformat(), and a string that IS a
+    complete space-separated timestamp rendering ('YYYY-MM-DD
+    HH:MM:SS[.ffffff]', the str() form older manifests stored) is
+    normalized to the 'T' form.  Without this, an ISO probe
+    ('2024-03-01T00:00:00', 'T' > ' ') compares after every
+    space-rendered stat and silently prunes files that hold matching
+    rows.
+
+    The match is FULL-string, never a prefix: a genuine string column
+    can legitimately hold values like '2024-03-01 23:00 started', and
+    rewriting a prefix would store bounds that don't exist in the data
+    — flipping range order against probes and silently pruning files
+    that hold matching rows (the exact failure class this helper
+    exists to close)."""
     import datetime
     import re
 
@@ -44,8 +52,10 @@ def _range_key(v):
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, str):
-        return re.sub(r"^(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2})", r"\1T\2", v)
+    if isinstance(v, str) and re.fullmatch(
+        r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?", v
+    ):
+        return v.replace(" ", "T", 1)
     return v
 
 

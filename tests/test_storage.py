@@ -836,3 +836,24 @@ def test_snapshot_changes_check_keys_guard(spark, tmp_path):
         "update_postimage",
         "update_preimage",
     ]
+
+
+def test_snapshot_stats_string_prefix_not_rewritten(spark, tmp_path):
+    """_range_key must only normalize COMPLETE timestamp renderings: a
+    genuine string column whose values merely start with a date must
+    keep its stats verbatim, or the stored bounds would not exist in
+    the data and could flip range order against probes (round-6
+    review finding)."""
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"), stats_cols=["msg"])
+    df = spark.createDataFrame(
+        [("2024-03-01 23:00 started",), ("2024-03-01 09:15 stopped",), ("aaa",)],
+        "msg string",
+    )
+    t.overwrite(df.coalesce(1))
+    man = t._manifest(t.current_version())
+    (stats,) = man["stats"].values()
+    assert stats["msg"][0] == "2024-03-01 09:15 stopped"  # no 'T' injected
+    # probe covering the real min must keep the file
+    keep, total = t.files_in_range("msg", "2024-03-01", "2024-03-01B")
+    assert keep and total == 1
+    assert t.read_range("msg", "2024-03-01", "2024-03-01B").count() == 2
