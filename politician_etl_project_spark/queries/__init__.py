@@ -28,7 +28,7 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 
 DRIVER_WINDOW = [
     # --- ROUND-6 WINDOW (driver checks [:50]) ---
-    # Slots 1-5: queries NEW this round — the real-container multimodal
+    # Slots 1-6: queries NEW this round — the real-container multimodal
     # round trip (BMP/WAV/PPM encode + pure-numpy parse, replacing the
     # decode_real stub), the digest-keyed segment-dedup twin (16-byte
     # winner exchange, hash-equal to the direct form), the
@@ -36,17 +36,17 @@ DRIVER_WINDOW = [
     # driver gate (F15/N5), the LIVE JDBC round trip over the bundled
     # embedded Derby engine (S9 finally moves real rows), and the
     # incremental BM25 index MERGE (extend == rebuild, hash-proven).
-    # Slots 6-9: sentinels for code REWRITTEN in round 6 — the BM25
+    # Slots 7-10: sentinels for code REWRITTEN in round 6 — the BM25
     # empty-token rule changed both the scan form and the stored index
     # (operators/textindex.py), with_salt switched to Murmur3
     # (operators/skew.py), and SnapshotTable range reads got the
     # pinned-version + ISO-stat fixes (storage.py).  Their r5 greens
     # predate those edits; WINDOW_SENTINELS below names them for the
     # staleness test.
-    # Slots 10-42: the 33 queries whose latest driver check is ROUND 1 —
+    # Slots 11-43: the 33 queries whose latest driver check is ROUND 1 —
     # the stalest evidence in the registry (r5 verdict item 1).
-    # Slots 43-50: the 8 alphabetically-first of the 15 round-2-stale
-    # names; the remaining 7 sit immediately after the head and rotate
+    # Slots 44-50: the 7 alphabetically-first of the 15 round-2-stale
+    # names; the remaining 8 sit immediately after the head and rotate
     # in next round.
     # tests/test_window.py asserts this composition mechanically
     # (never-checked ⊆ head; non-sentinel verified head slots are no
@@ -56,6 +56,7 @@ DRIVER_WINDOW = [
     "q_src_members",
     "q_src_jdbc",
     "q_bm25_index_extend",
+    "q_pretrain_e2e",
     "q_bm25_topk",
     "q_bm25_indexed",
     "q_salted_agg",
@@ -100,8 +101,8 @@ DRIVER_WINDOW = [
     "q_pagination",
     "q_pct_of_total",
     "q_proj_concat",
-    "q_range_join",
     # --- tail: next-stalest first (driver reads [:50] only) ---
+    "q_range_join",
     "q_sequence_packing",
     "q_surrogate_ids",
     "q_token_stats",

@@ -69,6 +69,90 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_pretrain_e2e",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '') AS tk
+  FROM documents
+  WHERE lang = 'en'
+), quality AS (
+  SELECT doc_id, source, text, CAST(len(tk) AS BIGINT) AS n_toks
+  FROM toks
+  WHERE len(tk) BETWEEN 8 AND 400
+    AND len(list_distinct(tk)) * 10 >= len(tk) * 3
+), deduped AS (
+  SELECT doc_id, source, n_toks
+  FROM (
+    SELECT doc_id, source, n_toks,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality
+  )
+  WHERE rn = 1
+)
+SELECT CASE WHEN {_DUCK_HASH} % 100 < 80 THEN 'train'
+            WHEN {_DUCK_HASH} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM deduped
+GROUP BY 1
+ORDER BY split
+""",
+    ops=("PIPE-e2e", "PIPE-split", "DEDUP-exact", "TXT-quality", "A2"),
+    doc="The WHOLE pretraining preprocessing chain as ONE composed plan "
+    "— language filter, token-count + repetition quality gate (pure "
+    "integer cross-multiply, engine-exact), exact-text dedup "
+    "(keep-lowest-id per md5 fingerprint via a single min(struct) "
+    "aggregate, map-side combinable), content-stable 80/10/10 hash "
+    "split, and the per-split corpus report — demonstrating that the "
+    "verified stage families FUSE into a single DAG a user runs as one "
+    "job: one narrow scan pass, one dedup exchange, one report "
+    "aggregate.  At 100 TB this is the shape that matters: no "
+    "intermediate materialization between stages, Catalyst pipelines "
+    "the filters into the scan, and the only wide edges are the "
+    "fingerprint agg and the 3-group rollup.",
+)
+def q_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    # array_remove('') mirrors the oracle's list_filter exactly: empty
+    # docs are zero-length, not a phantom [''] (the >=8 gate would drop
+    # them either way, but the token count must match the oracle
+    # rendering for every row that SURVIVES)
+    tk = F.array_remove(tokens(), "")
+    quality = docs.select(
+        "doc_id", "source", "text", F.size(tk).cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct(tk)).alias("n_uniq"),
+    ).filter(
+        F.col("n_toks").between(8, 400) & (F.col("n_uniq") * 10 >= F.col("n_toks") * 3)
+    )
+    # exact dedup without a join-back: min(struct) carries every column
+    # the report needs through the one fingerprint exchange
+    deduped = (
+        quality.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min(F.struct("doc_id", "source", "n_toks")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), "w.source", "w.n_toks")
+    )
+    bucket = F.expr(_SPARK_HASH) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        deduped.select(split.alias("split"), "source", "n_toks", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@declared_query(
     "q_stratified_sample",
     oracle=f"""
 SELECT lang, source, doc_id
