@@ -625,3 +625,86 @@ def test_segment_dedup_matches_python_model(spark, texts, parts):
         for r in segment_dedup(docs, seg_tokens=3).collect()
     }
     assert got == _segment_dedup_model(texts, 3)
+
+
+# --- round-6: pure-numpy container codecs (no Spark jobs — pure python) -----
+
+_CODEC_SETTINGS = dict(max_examples=60, deadline=None)
+
+
+@given(
+    vals=st.lists(st.integers(0, 255), min_size=1, max_size=200),
+    width=st.integers(1, 17),
+)
+@settings(**_CODEC_SETTINGS)
+def test_bmp_roundtrip_property(vals, width):
+    """Any grayscale payload with >= one complete row survives the
+    24-bit BMP encode/parse round trip exactly — across every row
+    padding (width % 4) and truncated-tail case."""
+    import numpy as np
+
+    from politician_etl_project_spark.operators.multimodal import decode_real, encode_bmp
+
+    arr = np.array(vals, dtype=np.uint8)
+    h = arr.size // width
+    if h < 1:
+        return  # encoder refuses (tested separately); property needs a row
+    img = decode_real(encode_bmp(arr, width))
+    assert img.shape == (h, width, 3)
+    expect = np.repeat(arr[: h * width].reshape(h, width), 3).reshape(h, width, 3)
+    np.testing.assert_array_equal(img, expect)
+
+
+@given(vals=st.lists(st.integers(-32768, 32767), min_size=0, max_size=300))
+@settings(**_CODEC_SETTINGS)
+def test_wav_roundtrip_property(vals):
+    import numpy as np
+
+    from politician_etl_project_spark.operators.multimodal import decode_real, encode_wav
+
+    samples = np.array(vals, dtype=np.int16)
+    np.testing.assert_array_equal(decode_real(encode_wav(samples)), samples)
+
+
+@given(
+    vals=st.lists(st.integers(0, 255), min_size=3, max_size=240),
+    width=st.integers(1, 9),
+)
+@settings(**_CODEC_SETTINGS)
+def test_ppm_roundtrip_property(vals, width):
+    import numpy as np
+
+    from politician_etl_project_spark.operators.multimodal import decode_real, encode_ppm
+
+    arr = np.array(vals, dtype=np.uint8)
+    if arr.size // (width * 3) < 1:
+        return
+    img = decode_real(encode_ppm(arr, width))
+    h = arr.size // (width * 3)
+    assert img.shape == (h, width, 3)
+    np.testing.assert_array_equal(img.reshape(-1), arr[: h * width * 3])
+
+
+# --- round-6: digest-keyed segment dedup equals the direct form -------------
+
+_corpus_strategy = st.lists(
+    st.text(alphabet="ab x", min_size=0, max_size=24),  # tiny alphabet -> heavy dup rates
+    min_size=0,
+    max_size=14,
+)
+
+
+@given(texts=_corpus_strategy, seg=st.sampled_from([1, 2, 3]))
+@settings(**_SETTINGS)
+def test_segment_dedup_digest_equals_direct_property(spark, texts, seg):
+    """Hypothesis twin of the fixed-corpus equality test: on random
+    corpora with adversarial duplication/whitespace, the digest-keyed
+    winner exchange must reproduce the direct form bit-for-bit."""
+    from politician_etl_project_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, "")], "doc_id bigint, text string"
+    ).filter(F.lit(bool(texts)))
+    direct = sorted(map(tuple, segment_dedup(docs, seg_tokens=seg, key="direct").collect()))
+    digest = sorted(map(tuple, segment_dedup(docs, seg_tokens=seg, key="digest").collect()))
+    assert direct == digest
