@@ -150,18 +150,26 @@ def extend_text_index(
     Preconditions: batch doc ids must be NEW (an update/delete needs a
     delete-list tier this index does not carry), and like compact() on
     the snapshot store this is a single-writer maintenance op.  Crash
-    safety: each bucket (and the stats dir) is swapped with a
-    two-rename move — old dir aside to a ``.old-*`` sibling, new dir
-    in — so at no point is the data deleted before its replacement
-    exists; a crash between the two renames leaves that one bucket
-    absent but its ``.old-*`` sibling intact for recovery, and a crash
-    anywhere else leaves either the old or the new state.  The swaps
-    are still not transactional ACROSS buckets — a reader racing the
-    maintenance op can see a mix, same as compact()."""
+    safety (round-7 advice — the old per-bucket reap-as-you-go swap was
+    not transactional across buckets): the staged state is published
+    under a journal.  ``_EXTEND_INPROGRESS.json`` records the swap plan
+    (run token + which target dirs are replaced vs newly created) and
+    is written ATOMICALLY before the first rename; every replaced dir
+    moves aside to a ``.old-<token>`` sibling that is reaped only AFTER
+    the journal is removed.  A crash anywhere inside the swap window
+    therefore leaves a complete rollback recipe on disk:
+    ``recover_text_index`` (called automatically at the start of the
+    next extend) restores every ``.old-<token>`` sibling and removes
+    any half-created dirs, returning the index to the exact pre-extend
+    state — at which point the batch ids are still new and the extend
+    can simply be re-run.  Probes refuse a journaled index
+    (``bm25_topk_indexed`` raises) so merged postings are never scored
+    against stale n/total_dl/avgdl scalars."""
     import json
     import shutil
     import uuid
 
+    recover_text_index(path)  # roll back any torn prior extend first
     with open(os.path.join(path, "_META.json")) as fh:
         meta = json.load(fh)
     if meta.get("kind") != "bm25":
@@ -207,28 +215,77 @@ def extend_text_index(
         "n bigint, total_dl bigint, avgdl double",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "stats_new"))
 
-    # two-rename swap per target dir: the old state moves ASIDE (not
-    # deleted) before the new state moves in, so the data is never gone
-    # without its replacement on disk; .old-* siblings are reaped only
-    # after a successful swap
-    def _swap(src: str, dst: str) -> None:
-        trash = f"{dst}.old-{uuid.uuid4().hex[:6]}"
-        had_old = os.path.isdir(dst)
-        if had_old:
-            os.replace(dst, trash)
-        os.replace(src, dst)
-        if had_old:
-            shutil.rmtree(trash, ignore_errors=True)
-
+    # Journaled publish: enumerate the swap plan, write it atomically,
+    # THEN rename.  Old dirs move ASIDE to .old-<token> siblings (never
+    # deleted before their replacement is live) and are reaped only
+    # after the journal is gone — so a crash at ANY rename leaves a
+    # complete rollback recipe for recover_text_index.
+    swaps = []  # (staged src abs path, target path relative to index root)
     for sub in ("postings", "terms"):
         for b in touched:
             src = os.path.join(staging, sub, f"term_bucket={b}")
             if not os.path.isdir(src):
                 continue  # bucket present in batch ids but empty after agg
-            _swap(src, os.path.join(path, sub, f"term_bucket={b}"))
-    _swap(os.path.join(staging, "stats_new"), os.path.join(path, "stats"))
+            swaps.append((src, os.path.join(sub, f"term_bucket={b}")))
+    swaps.append((os.path.join(staging, "stats_new"), "stats"))
+
+    token = uuid.uuid4().hex[:8]
+    journal = {
+        "token": token,
+        "replaced": [rel for _, rel in swaps if os.path.isdir(os.path.join(path, rel))],
+        "created": [rel for _, rel in swaps if not os.path.isdir(os.path.join(path, rel))],
+    }
+    marker = os.path.join(path, "_EXTEND_INPROGRESS.json")
+    tmp_marker = f"{marker}.tmp-{token}"
+    with open(tmp_marker, "w") as fh:
+        json.dump(journal, fh)
+    os.replace(tmp_marker, marker)  # atomic: journal is all-or-nothing
+
+    for src, rel in swaps:
+        dst = os.path.join(path, rel)
+        if os.path.isdir(dst):
+            os.replace(dst, f"{dst}.old-{token}")
+        os.replace(src, dst)
+    os.remove(marker)  # commit point: after this the new state is final
+    for rel in journal["replaced"]:
+        shutil.rmtree(f"{os.path.join(path, rel)}.old-{token}", ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return touched
+
+
+def recover_text_index(path: str) -> bool:
+    """Roll back a torn ``extend_text_index`` publish (round-7 advice).
+
+    If ``_EXTEND_INPROGRESS.json`` is present the previous extend
+    crashed inside its swap window; this restores every ``.old-<token>``
+    sibling the journal names, removes any half-created target dirs,
+    and deletes the journal — returning the index to the exact
+    pre-extend state (the crashed batch's ids are then still new, so
+    the extend is safely re-runnable).  Idempotent: re-entrant crashes
+    during recovery just re-run it.  Returns True when a rollback was
+    performed."""
+    import json
+    import shutil
+
+    marker = os.path.join(path, "_EXTEND_INPROGRESS.json")
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as fh:
+        journal = json.load(fh)
+    token = journal["token"]
+    for rel in journal["replaced"]:
+        dst = os.path.join(path, rel)
+        trash = f"{dst}.old-{token}"
+        if os.path.isdir(trash):
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # drop the half-published merge
+            os.replace(trash, dst)
+    for rel in journal["created"]:
+        dst = os.path.join(path, rel)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+    os.remove(marker)
+    return True
 
 
 def bm25_topk_indexed(
@@ -249,6 +306,15 @@ def bm25_topk_indexed(
         meta = json.load(fh)
     if meta.get("kind") != "bm25":
         raise ValueError(f"not a bm25 index at {index_path}: {meta}")
+    if os.path.exists(os.path.join(index_path, "_EXTEND_INPROGRESS.json")):
+        # a torn extend left merged postings beside stale corpus scalars
+        # — scoring would be quietly wrong; fail loudly and point at the
+        # recovery path instead
+        raise RuntimeError(
+            f"bm25 index at {index_path} has an unfinished extend journal; "
+            "run recover_text_index(path) (or re-run extend_text_index, "
+            "which recovers automatically) before probing"
+        )
     n_buckets = meta["n_buckets"]
     terms = sorted({t for _, t in queries})
     buckets = sorted({_bucket_of(t, n_buckets) for t in terms})

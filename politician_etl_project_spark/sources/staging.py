@@ -114,6 +114,19 @@ def paginate_partitioned(
             offs, items = [], []
             for off in pdf["offset"]:
                 page = fetch_page(int(off))
+                if items_key not in page:
+                    # A page missing its items envelope is a transient
+                    # API failure, not an empty page — treating it as
+                    # zero items would ship a SILENT GAP in the fetched
+                    # set (round-7 advice; the driver loop at least
+                    # stops at its first empty page).  Raise so the
+                    # task retries / the job fails loudly; a fetcher
+                    # that wants partial results can catch upstream.
+                    raise ValueError(
+                        f"page at offset {int(off)} has no {items_key!r} key "
+                        f"(got keys {sorted(page)}): transient fetch failure, "
+                        "refusing to record it as an empty page"
+                    )
                 for item in page.get(items_key) or []:
                     offs.append(int(off))
                     items.append(_json.dumps(item, sort_keys=True))

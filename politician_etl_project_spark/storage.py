@@ -25,26 +25,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _range_key(v):
+#: Manifest-schema type names whose stats/probes live in ISO-8601 space.
+_TEMPORAL_TYPES = {"date", "timestamp", "timestamp_ntz", "timestamp_ltz"}
+
+
+def _col_is_temporal(man_schema: dict, col: str) -> bool:
+    """True when the MANIFEST SCHEMA types ``col`` as date/timestamp —
+    the authority for whether string-rendered stats/probes should be
+    normalized to ISO form.  Driving this off the declared type (not
+    value sniffing) is what keeps genuine STRING columns' stats and
+    probes verbatim (round-6 advice: a string column can legitimately
+    hold values like '2024-03-01 23:00 started'; rewriting a probe that
+    happens to LOOK like a timestamp while its stats stay raw would put
+    the two sides in different comparison spaces — 'T' > ' ' — and
+    silently prune files that hold matching rows)."""
+    for f in man_schema.get("fields", []):
+        if f.get("name") == col:
+            return isinstance(f.get("type"), str) and f["type"] in _TEMPORAL_TYPES
+    return False
+
+
+def _range_key(v, temporal: bool):
     """Canonical comparison rendering for file-stat range arithmetic.
 
     Stats are stored JSON-native, so dates/timestamps become strings —
     and string bounds only prune correctly when BOTH sides use one
     rendering.  ISO-8601 with 'T' is that rendering: datetime/date
-    probes are converted via .isoformat(), and a string that IS a
+    probes are converted via .isoformat() unconditionally (the caller
+    handed us a typed object), and — ONLY when the manifest schema says
+    the column is temporal (``temporal=True``) — a string that IS a
     complete space-separated timestamp rendering ('YYYY-MM-DD
     HH:MM:SS[.ffffff]', the str() form older manifests stored) is
-    normalized to the 'T' form.  Without this, an ISO probe
+    normalized to the 'T' form.  Without that, an ISO probe
     ('2024-03-01T00:00:00', 'T' > ' ') compares after every
-    space-rendered stat and silently prunes files that hold matching
-    rows.
+    space-rendered legacy stat and silently prunes files that hold
+    matching rows.
 
-    The match is FULL-string, never a prefix: a genuine string column
-    can legitimately hold values like '2024-03-01 23:00 started', and
-    rewriting a prefix would store bounds that don't exist in the data
-    — flipping range order against probes and silently pruning files
-    that hold matching rows (the exact failure class this helper
-    exists to close)."""
+    On a STRING-typed column nothing is ever rewritten: stats and
+    probes stay verbatim, so both sides share one comparison space by
+    construction (round-6 advice item — value sniffing could rewrite a
+    full-match probe while non-matching stored stats stayed raw)."""
     import datetime
     import re
 
@@ -52,8 +72,10 @@ def _range_key(v):
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, str) and re.fullmatch(
-        r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?", v
+    if (
+        temporal
+        and isinstance(v, str)
+        and re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?", v)
     ):
         return v.replace(" ", "T", 1)
     return v
@@ -330,14 +352,18 @@ class SnapshotTable:
             raise ValueError(f"unknown version {v}; have {self.versions()}")
         man = self._manifest(v)
         stats = man.get("stats", {})
-        lo, hi = _range_key(lo), _range_key(hi)
+        # normalization authority is the manifest schema's declared type,
+        # never the value's shape (round-6 advice: value sniffing can put
+        # probe and stored stats in different comparison spaces)
+        temporal = _col_is_temporal(man.get("schema", {}), col)
+        lo, hi = _range_key(lo, temporal), _range_key(hi, temporal)
         keep = []
         for f in man["files"]:
             s = stats.get(f, {}).get(col)
             if s is None or s[0] is None or s[1] is None:
                 keep.append(f)  # no stats ⇒ must scan (correctness first)
                 continue
-            mn, mx = _range_key(s[0]), _range_key(s[1])
+            mn, mx = _range_key(s[0], temporal), _range_key(s[1], temporal)
             if isinstance(mn, str) != isinstance(lo, str):
                 # a str probe against numeric stats (or vice versa) can
                 # never compare in range order — refuse loudly, the same
@@ -597,11 +623,20 @@ class SnapshotTable:
                 )
             if v is None or isinstance(v, (int, float, bool)):
                 return v
-            # dates/timestamps stored via the canonical ISO-8601 'T'
+            # dates/timestamps arrive from collect() as typed
+            # datetime/date objects — store the canonical ISO-8601 'T'
             # rendering so files_in_range compares apples to apples
-            # against ISO probes (_range_key normalizes legacy
-            # space-rendered manifests on read)
-            return _range_key(str(v) if not isinstance(v, str) else v)
+            # against ISO probes.  Genuine STRING column values are
+            # stored VERBATIM (type-driven, round-6 advice): rewriting a
+            # value that merely looks like a timestamp would store
+            # bounds that don't exist in the data.
+            import datetime
+
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat()
+            if isinstance(v, str):
+                return v
+            return str(v)
 
         aggs = []
         for c in cols:

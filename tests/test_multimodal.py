@@ -212,3 +212,54 @@ def test_udtf_frame_sampler_matches_mapinpandas(spark, sf_dir):
     a = sorted(map(tuple, sample_frames(media, every=2).collect()))
     b = sorted(map(tuple, sample_frames_udtf(media, every=2).collect()))
     assert a == b and len(a) > 0
+
+
+def test_wav_truncation_raises_not_short_decode():
+    """A data chunk whose declared length exceeds the remaining payload
+    must raise like the BMP/PPM truncation paths — the old parser
+    silently decoded fewer samples (round-7 advice); a short fmt chunk
+    must raise ValueError, not struct.error."""
+    import struct
+
+    from politician_etl_project_spark.operators.multimodal import encode_wav
+
+    samples = np.arange(-8, 8, dtype=np.int16)
+    payload = encode_wav(samples)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_real(payload[:-4])  # data chunk now short 4 bytes
+    # fmt chunk declaring fewer than the 16 PCM header bytes
+    short_fmt = struct.pack("<HHII", 1, 1, 16000, 32000)  # 12 bytes only
+    chunks = b"fmt " + struct.pack("<I", len(short_fmt)) + short_fmt
+    chunks += b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    bad = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="truncated WAV: fmt"):
+        decode_real(bad)
+
+
+_PIL_MISSING = __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None
+
+
+def test_jpeg_png_magic_without_pil_fails_descriptively():
+    """The compressed-image branch is import-guarded: in a PIL-free
+    container a JPEG/PNG magic must produce the 'install PIL' error,
+    not the generic unrecognized-magic one (and never ImportError)."""
+    if not _PIL_MISSING:
+        pytest.skip("PIL present: the guarded branch decodes instead")
+    with pytest.raises(ValueError, match="Pillow is not installed"):
+        decode_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="Pillow is not installed"):
+        decode_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+@pytest.mark.skipif(_PIL_MISSING, reason="Pillow not installed in this container")
+def test_png_decode_via_pil_roundtrip():
+    """Wherever Pillow exists, decode_real parses real PNG bytes into
+    (h, w, 3) uint8 RGB — same contract as the BMP/PPM parsers."""
+    import io
+
+    from PIL import Image
+
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, format="PNG")
+    np.testing.assert_array_equal(decode_real(buf.getvalue()), arr)

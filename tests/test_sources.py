@@ -660,3 +660,33 @@ def test_members_json_scan_equals_driver_path(spark):
     a = sorted(map(str, via_scan.collect()))
     b = sorted(map(str, via_driver.collect()))
     assert a == b
+
+
+def test_paginate_partitioned_missing_items_key_fails_loudly(spark):
+    """A page WITHOUT its items envelope is a transient API failure and
+    must fail the fetch (round-7 advice), never ship as a silent gap;
+    a page whose envelope is present but EMPTY is a legitimate zero-item
+    page and passes."""
+    import json
+
+    from politician_etl_project_spark.sources import staging
+
+    def flaky_fetch(off):
+        if off == 3:
+            return {"error": "rate limited"}  # no 'bills' key at all
+        return {"bills": [{"n": off}], "pagination": {"next": None}}
+
+    dist = staging.paginate_partitioned(
+        spark, flaky_fetch, "bills", total_items=9, page_size=3, n_partitions=2
+    )
+    with pytest.raises(Exception, match="no 'bills' key"):
+        dist.collect()
+
+    def empty_page_fetch(off):
+        # envelope present, zero items: NOT an error
+        return {"bills": [] if off == 3 else [{"n": off}], "pagination": {"next": None}}
+
+    ok = staging.paginate_partitioned(
+        spark, empty_page_fetch, "bills", total_items=9, page_size=3, n_partitions=2
+    )
+    assert sorted(json.loads(r["item_json"])["n"] for r in ok.collect()) == [0, 6]

@@ -857,3 +857,50 @@ def test_snapshot_stats_string_prefix_not_rewritten(spark, tmp_path):
     keep, total = t.files_in_range("msg", "2024-03-01", "2024-03-01B")
     assert keep and total == 1
     assert t.read_range("msg", "2024-03-01", "2024-03-01B").count() == 2
+
+
+def test_snapshot_stats_string_column_full_match_probe_not_rewritten(spark, tmp_path):
+    """Normalization is driven by the manifest schema's column TYPE, not
+    by value sniffing (round-7 advice): on a genuine STRING column, a
+    probe that happens to be a complete 'YYYY-MM-DD HH:MM:SS' rendering
+    must stay verbatim.  The old regex-sniffing rewrote such a probe to
+    'T' form while non-matching stored stats (e.g. '2024-03-01 23:00
+    started') stayed raw — 'T' > ' ' put the two sides in different
+    comparison spaces and files_in_range pruned files whose rows pass
+    read_range's raw-bound row filter."""
+    t = storage.SnapshotTable(spark, str(tmp_path / "snap"), stats_cols=["msg"])
+    df = spark.createDataFrame(
+        [("2024-03-01 05:00 x",), ("2024-03-01 23:00 started",)],
+        "msg string",
+    )
+    t.overwrite(df.coalesce(1))
+    man = t._manifest(t.current_version())
+    (stats,) = man["stats"].values()
+    assert stats["msg"] == ["2024-03-01 05:00 x", "2024-03-01 23:00 started"]
+    # full-match timestamp-looking probe on the STRING column: verbatim
+    keep, total = t.files_in_range("msg", "2024-03-01 00:00:00", "2024-03-02 00:00:00")
+    assert keep and total == 1, "string probe must not be rewritten into ISO space"
+    assert (
+        t.read_range("msg", "2024-03-01 00:00:00", "2024-03-02 00:00:00").count() == 2
+    )
+
+
+def test_range_key_temporal_flag_controls_string_rewrite():
+    """Unit pin for the type-driven rule: the space->T rewrite applies
+    ONLY under temporal=True; datetime objects normalize regardless."""
+    import datetime
+
+    full = "2024-03-01 00:00:00"
+    assert storage._range_key(full, temporal=True) == "2024-03-01T00:00:00"
+    assert storage._range_key(full, temporal=False) == full
+    assert storage._range_key("2024-03-01 23:00 started", temporal=True) == (
+        "2024-03-01 23:00 started"
+    )  # prefix never rewritten even on temporal columns
+    dt = datetime.datetime(2024, 3, 1, 12, 30)
+    assert storage._range_key(dt, temporal=False) == "2024-03-01T12:30:00"
+    assert storage._col_is_temporal(
+        {"fields": [{"name": "ts", "type": "timestamp"}]}, "ts"
+    )
+    assert not storage._col_is_temporal(
+        {"fields": [{"name": "msg", "type": "string"}]}, "msg"
+    )
