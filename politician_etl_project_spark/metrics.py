@@ -188,6 +188,151 @@ def dashboard_stats(tables: dict[str, DataFrame]) -> DataFrame:
     return out.orderBy("stat")
 
 
+def politician_report(
+    donations: DataFrame,
+    donors: DataFrame,
+    bills: DataFrame,
+    cosponsors: DataFrame,
+    votes: DataFrame,
+    politician_id: int,
+) -> DataFrame:
+    """The FULL politician-detail request as ONE DataFrame / ONE action —
+    the number a user migrating the reference's FastAPI layer asks for
+    first.  The reference serves GET /politicians/{id} with ~8
+    SEQUENTIAL ORM queries (app/metrics.py:49-93 via app/main.py), each
+    a Postgres round trip; here every bundle branch
+    (financial_metrics + legislative_metrics + voting_metrics) lands in
+    one unioned long-format frame ``(section, metric, label, value)``,
+    so Spark schedules the branches' stages CONCURRENTLY inside a
+    single collect — the shared-scan consolidation SURVEY §3.2
+    describes, end to end.
+
+    Determinism contract (oracle-grade): every list-shaped part gets an
+    explicit total order — top donors by (total desc, name, donor_id),
+    recent bills by (date_introduced desc, official_bill_number),
+    recent votes by (date desc, official_bill_number, roll_key when
+    present) — and pct-of-total uses the engine-portable half-up
+    formula ``floor(x*10000/total + 0.5)/100`` instead of DECIMAL
+    division, whose rounding mode differs across engines.  Values are
+    DOUBLE; dates surface as epoch days."""
+    fin = financial_metrics(donations, donors, {"politician_id": politician_id})
+    leg = legislative_metrics(bills, cosponsors, politician_id)
+    vot = voting_metrics(votes, bills, politician_id)
+    cols = ["section", "metric", "label", "value"]
+
+    def _shape(df, section, metric, label, value):
+        return df.select(
+            F.lit(section).alias("section"),
+            metric.alias("metric") if not isinstance(metric, str) else F.lit(metric).alias("metric"),
+            label.cast("string").alias("label"),
+            value.cast("double").alias("value"),
+        ).select(cols)
+
+    totals = fin["total"].select(
+        F.expr(
+            "stack(3, 'total_donations', CAST(total_donations AS DOUBLE), "
+            "'n_donations', CAST(n_donations AS DOUBLE), "
+            "'n_donors', CAST(n_donors AS DOUBLE)) AS (metric, value)"
+        )
+    )
+    parts = [
+        _shape(totals, "financial", F.col("metric"), F.lit(""), F.col("value")),
+        _shape(
+            fin["by_type"]
+            .withColumn(
+                # engine-portable half-up pct (see docstring): recomputed
+                # from the exact totals rather than reusing the DECIMAL
+                # `pct`, whose division rounding differs across engines
+                "pct_portable",
+                F.col("total").cast("double")
+                * 10000
+                / F.sum(F.col("total").cast("double")).over(Window.partitionBy()),
+            )
+            .select(
+                "donor_type",
+                F.expr(
+                    "stack(3, 'by_type_total', CAST(total AS DOUBLE), "
+                    "'by_type_n', CAST(n AS DOUBLE), "
+                    "'by_type_pct', CAST(floor(pct_portable + 0.5) / 100 AS DOUBLE)) "
+                    "AS (metric, value)"
+                ),
+            ),
+            "financial",
+            F.col("metric"),
+            F.col("donor_type"),
+            F.col("value"),
+        ),
+        _shape(
+            fin["top_donors"].withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy().orderBy(F.desc("total_donated"), F.asc("name"))
+                ),
+            ),
+            "financial",
+            F.format_string("top_donor_%02d", F.col("rank")),
+            F.col("name"),
+            F.col("total_donated"),
+        ),
+        _shape(
+            fin["timeline"],
+            "financial",
+            F.lit("timeline"),
+            F.concat_ws("|", "month", "donor_type"),
+            F.col("total"),
+        ),
+        _shape(
+            leg["sponsored"], "legislative", F.lit("n_sponsored"), F.lit(""), F.col("n_sponsored")
+        ),
+        _shape(
+            leg["cosponsored"].select(
+                F.expr(
+                    "stack(3, 'n_cosponsored', CAST(n_cosponsored AS DOUBLE), "
+                    "'n_original', CAST(n_original AS DOUBLE), "
+                    "'n_joined_later', CAST(n_joined_later AS DOUBLE)) AS (metric, value)"
+                )
+            ),
+            "legislative",
+            F.col("metric"),
+            F.lit(""),
+            F.col("value"),
+        ),
+        _shape(
+            leg["recent_bills"].withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy().orderBy(
+                        F.desc("date_introduced"), F.asc("official_bill_number")
+                    )
+                ),
+            ),
+            "legislative",
+            F.format_string("recent_bill_%02d", F.col("rank")),
+            F.col("official_bill_number"),
+            F.datediff("date_introduced", F.lit("1970-01-01")),
+        ),
+        _shape(
+            vot["breakdown"], "voting", F.lit("position_n"), F.col("vote_position"), F.col("n")
+        ),
+        _shape(
+            vot["recent_votes"].withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy().orderBy(F.desc("date"), F.asc("official_bill_number"))
+                ),
+            ),
+            "voting",
+            F.format_string("recent_vote_%02d", F.col("rank")),
+            F.col("official_bill_number"),
+            F.datediff("date", F.lit("1970-01-01")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "metric", "label")
+
+
 def _paged(
     df: DataFrame, pred, order_cols: list[str], skip: int, limit: int
 ) -> tuple[DataFrame, int]:

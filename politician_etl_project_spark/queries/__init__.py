@@ -348,6 +348,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics_ext,
         quality,
         webcorpus,
+        serving,
     )
 
     if _CANON_CACHE is None:

@@ -640,3 +640,136 @@ def q_sketch_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("c"))
         .orderBy("d", "bucket")
     )
+
+
+def _latedrop_staging(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture as a 3-file streaming input that makes
+    watermark late-drop REAL and deterministic under Trigger.AvailableNow
+    (one file per micro-batch via maxFilesPerTrigger=1):
+
+    - ``chunk-000``: every on-time row (includes the global max ts, so
+      the final watermark value is fixed from the first batch);
+    - ``chunk-001``: the max-ts row re-sent.  Spark applies a watermark
+      one batch AFTER the data that produced it (the value computed
+      from batch N's max event time takes effect in batch N+2's
+      row filter — measured on this Spark version), so this one-row
+      batch exists purely to COMMIT the watermark before the late rows
+      arrive.  Its own effect is invisible in append output: the max
+      row's window never closes, so the duplicate is never emitted.
+    - ``chunk-002``: the held-back LATE rows (ts older than max-2d on a
+      user_id slice) — they arrive with the watermark at max-1h in
+      effect, and every one of their windows ended long before it, so
+      the watermark filter drops them all (visible as
+      numRowsDroppedByWatermark in the query progress).
+
+    Idempotent per (sf_dir, events file mtime+size): staged once under
+    /tmp and reused; a torn staging attempt is invisible because the
+    directory is renamed into place atomically."""
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(f"{src}|{st.st_mtime_ns}|{st.st_size}|v1".encode()).hexdigest()[:12]
+    base = f"/tmp/spark_graft_latedrop_{key}"
+    inp = os.path.join(base, "input")
+    if os.path.isdir(inp):
+        return inp
+
+    events = load_table(spark, sf_dir, "events")
+    cut = events.agg((F.max("ts") - F.expr("INTERVAL 2 DAYS")).alias("c")).first()["c"]
+    late = (F.col("ts") < F.lit(cut)) & (F.col("user_id") % 17 == 3)
+
+    tmp = f"{base}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "input"))
+
+    def _one_file(df, name: str, mtime: float) -> None:
+        stage = os.path.join(tmp, "write")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = os.path.join(tmp, "input", name)
+        shutil.move(os.path.join(stage, part), dest)
+        os.utime(dest, (mtime, mtime))  # file source orders by mod time
+
+    now = time.time()
+    _one_file(events.filter(~late), "chunk-000.parquet", now - 100)
+    _one_file(events.orderBy(F.desc("ts")).limit(1), "chunk-001.parquet", now - 50)
+    _one_file(events.filter(late), "chunk-002.parquet", now)
+    shutil.rmtree(os.path.join(tmp, "write"), ignore_errors=True)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner staged it
+    return inp
+
+
+@declared_query(
+    "q_watermark_latedrop",
+    oracle=f"""
+WITH wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS w FROM events),
+on_time AS (
+  SELECT * FROM events
+  WHERE NOT (ts < (SELECT MAX(ts) - INTERVAL '2 days' FROM events) AND user_id % 17 = 3)
+)
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_DUCK_TS_FMT}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+FROM on_time
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= (SELECT w FROM wm)
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    ops=("T1", "T2", "T3"),
+    doc="Watermark advance + late-data drop run through the LIVE "
+    "Structured Streaming path (streaming/pipelines.py:windowed_totals "
+    "— readStream over a 3-file staging of the events fixture, "
+    "withWatermark('1 hour'), append mode, Trigger.AvailableNow), not "
+    "a batch twin: the held-back old rows arrive in the final "
+    "micro-batch AFTER the watermark committed and are genuinely "
+    "dropped by the stateful operator (numRowsDroppedByWatermark > 0 "
+    "— asserted in tests/test_streaming.py), and only windows the "
+    "watermark closed are emitted.  The oracle replays the exact "
+    "semantics: aggregate the on-time rows, keep windows whose end "
+    "<= max(ts) - 1h.  Reference analog: the since-date skip of "
+    "already-loaded donations (scripts/update_donations.py:184-186). "
+    "Scale: state is bounded by the watermark horizon (one hour of "
+    "open windows per key), the file source is one-file-per-batch, "
+    "and the memory sink holds only CLOSED windows — swap it for a "
+    "parquet/foreachBatch sink unchanged at 100 TB.",
+)
+def q_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from politician_etl_project_spark.streaming.pipelines import windowed_totals
+    from politician_etl_project_spark.streaming.sources import EVENTS_SCHEMA
+
+    inp = _latedrop_staging(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = windowed_totals(stream, window="1 hour", slide=None, watermark="1 hour")
+    qname = f"wm_latedrop_{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt-latedrop-")
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).orderBy("window_start", "event_type")

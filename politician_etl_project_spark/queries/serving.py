@@ -1,0 +1,255 @@
+"""Serving-layer declared queries: the full politician-detail request
+(metrics.politician_report) at data scale, driver-oracle-checked.
+
+The reference serves GET /politicians/{id} as ~8 sequential ORM queries
+(app/metrics.py:49-93, app/main.py politician detail route); SURVEY §3.2
+maps that to shared-scan multi-aggregate bundles.  q_metrics_bundle_e2e
+is that consolidation measured END TO END — one request = financial +
+legislative + voting bundles in ONE action — over a deterministic
+politician-domain projection of the TPC-H-ish fixture tables, so it runs
+at every sf, carries a DuckDB oracle, and lands in the full-registry
+bench (the migration-facing number the round-6 verdict asked for).
+
+Domain mapping (pure column arithmetic, identical in Spark and the
+oracle SQL — no staged fixture, no RNG):
+
+- donations <- orders  (politician = o_custkey % 149 + 1, donor =
+  o_orderkey % 1009, amount = o_totalprice as DECIMAL so aggregation
+  stays exact, date = o_orderdate)
+- donors    <- distinct donor ids (name/type derived from the id)
+- bills     <- part    (sponsor = p_partkey % 149 + 1, number =
+  'HR-'||p_partkey, date_introduced = 2023-01-01 + p_partkey % 700 d)
+- cosponsors <- lineitem pairs, DISTINCT on (bill, politician) with
+  is_original a pure function of the pair so the dedup is value-stable
+- votes     <- lineitem, DISTINCT on (politician, bill, date) with the
+  position a pure function of that key — which also makes the
+  recent-votes ordering (date desc, bill_number) a total order
+
+Politician 7 is probed: customer keys start at 1 at every sf, and every
+derived politician id lands in 1..149, so the request is non-empty from
+sf0.001 up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from politician_etl_project_spark.catalog import load_table
+from politician_etl_project_spark.queries.registry import declared_query
+
+_PID = 7
+
+_ORACLE = """
+WITH don AS (
+  SELECT o_custkey % 149 + 1 AS politician_id,
+         o_orderkey % 1009 AS donor_id,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS amount,
+         o_orderdate AS date
+  FROM orders
+),
+dnr AS (
+  SELECT DISTINCT donor_id,
+         'DONOR ' || CAST(donor_id AS VARCHAR) AS name,
+         CASE WHEN donor_id % 4 = 0 THEN 'PAC'
+              WHEN donor_id % 4 = 1 THEN 'IND'
+              ELSE 'ORG' END AS donor_type
+  FROM don
+),
+base AS (
+  SELECT d.*, n.name, n.donor_type
+  FROM don d JOIN dnr n USING (donor_id)
+  WHERE d.politician_id = 7
+),
+bil AS (
+  SELECT p_partkey AS bill_id,
+         p_partkey % 149 + 1 AS sponsor_id,
+         'HR-' || CAST(p_partkey AS VARCHAR) AS official_bill_number,
+         DATE '2023-01-01' + CAST(p_partkey % 700 AS INTEGER) AS date_introduced
+  FROM part
+),
+cos AS (
+  SELECT DISTINCT l_partkey AS bill_id,
+         l_suppkey % 149 + 1 AS politician_id,
+         (l_partkey + l_suppkey) % 2 = 0 AS is_original_cosponsor
+  FROM lineitem
+),
+vot AS (
+  SELECT DISTINCT l_orderkey % 149 + 1 AS politician_id,
+         l_partkey AS bill_id,
+         l_shipdate AS date
+  FROM lineitem
+),
+vot_pos AS (
+  SELECT *,
+         ['Yea','Nay','Present'][CAST((bill_id + politician_id
+            + date_diff('day', DATE '1970-01-01', date)) % 3 AS INTEGER) + 1]
+           AS vote_position
+  FROM vot
+),
+bt AS (
+  SELECT COALESCE(donor_type, 'Unknown') AS dt,
+         SUM(amount) AS total, COUNT(*) AS n
+  FROM base GROUP BY 1
+),
+top AS (
+  SELECT name, SUM(amount) AS td
+  FROM base GROUP BY donor_id, name, donor_type
+  ORDER BY td DESC, name, donor_id LIMIT 10
+),
+tl AS (
+  SELECT strftime(date_trunc('month', date), '%Y-%m') AS month,
+         donor_type, SUM(amount) AS total
+  FROM base GROUP BY 1, 2
+),
+myvotes AS (SELECT * FROM vot_pos WHERE politician_id = 7),
+recent_votes AS (
+  SELECT v.date, b.official_bill_number
+  FROM myvotes v JOIN bil b USING (bill_id)
+  ORDER BY v.date DESC, b.official_bill_number LIMIT 20
+)
+SELECT * FROM (
+  SELECT 'financial' AS section, 'total_donations' AS metric, '' AS label,
+         CAST(COALESCE(SUM(amount), 0) AS DOUBLE) AS value FROM base
+  UNION ALL
+  SELECT 'financial', 'n_donations', '', CAST(COUNT(*) AS DOUBLE) FROM base
+  UNION ALL
+  SELECT 'financial', 'n_donors', '', CAST(COUNT(DISTINCT donor_id) AS DOUBLE) FROM base
+  UNION ALL
+  SELECT 'financial', 'by_type_total', dt, CAST(total AS DOUBLE) FROM bt
+  UNION ALL
+  SELECT 'financial', 'by_type_n', dt, CAST(n AS DOUBLE) FROM bt
+  UNION ALL
+  SELECT 'financial', 'by_type_pct', dt,
+         floor(CAST(total AS DOUBLE) * 10000
+               / SUM(CAST(total AS DOUBLE)) OVER () + 0.5) / 100 FROM bt
+  UNION ALL
+  SELECT 'financial', printf('top_donor_%02d',
+           ROW_NUMBER() OVER (ORDER BY td DESC, name)),
+         name, CAST(td AS DOUBLE) FROM top
+  UNION ALL
+  SELECT 'financial', 'timeline', month || '|' || donor_type,
+         CAST(total AS DOUBLE) FROM tl
+  UNION ALL
+  SELECT 'legislative', 'n_sponsored', '',
+         CAST(COUNT(*) AS DOUBLE) FROM bil WHERE sponsor_id = 7
+  UNION ALL
+  SELECT 'legislative', 'n_cosponsored', '', CAST(COUNT(*) AS DOUBLE)
+  FROM cos WHERE politician_id = 7
+  UNION ALL
+  SELECT 'legislative', 'n_original', '',
+         CAST(COALESCE(SUM(CASE WHEN is_original_cosponsor THEN 1 ELSE 0 END), 0) AS DOUBLE)
+  FROM cos WHERE politician_id = 7
+  UNION ALL
+  SELECT 'legislative', 'n_joined_later', '',
+         CAST(COALESCE(SUM(CASE WHEN is_original_cosponsor THEN 0 ELSE 1 END), 0) AS DOUBLE)
+  FROM cos WHERE politician_id = 7
+  UNION ALL
+  SELECT 'legislative', printf('recent_bill_%02d',
+           ROW_NUMBER() OVER (ORDER BY date_introduced DESC, official_bill_number)),
+         official_bill_number,
+         CAST(date_diff('day', DATE '1970-01-01', date_introduced) AS DOUBLE)
+  FROM (SELECT * FROM bil WHERE sponsor_id = 7
+        ORDER BY date_introduced DESC, official_bill_number LIMIT 10)
+  UNION ALL
+  SELECT 'voting', 'position_n', COALESCE(vote_position, 'Unknown'),
+         CAST(COUNT(*) AS DOUBLE) FROM myvotes GROUP BY vote_position
+  UNION ALL
+  SELECT 'voting', printf('recent_vote_%02d',
+           ROW_NUMBER() OVER (ORDER BY date DESC, official_bill_number)),
+         official_bill_number,
+         CAST(date_diff('day', DATE '1970-01-01', date) AS DOUBLE)
+  FROM recent_votes
+)
+ORDER BY section, metric, label
+"""
+
+
+@declared_query(
+    "q_metrics_bundle_e2e",
+    oracle=_ORACLE,
+    ops=("A2", "A5", "A6", "A10", "A11", "J7", "O3", "U1", "W2"),
+    doc="ONE politician-detail request end to end — the reference's ~8 "
+    "sequential ORM round trips (app/metrics.py:49-93 via app/main.py) "
+    "served as a single unioned long-format DataFrame / one action "
+    "(metrics.politician_report): financial total + by-type pct + "
+    "top-10 donors + monthly timeline + sponsored/cosponsored splits + "
+    "recent bills + vote breakdown + recent votes.  Spark schedules "
+    "the branch stages concurrently inside one collect, so the benched "
+    "time IS the request latency a migrating FastAPI user gets, "
+    "directly comparable to the sum-of-parts the reference pays.  "
+    "Domain frames derive from the fixture tables by pure column "
+    "arithmetic (module docstring) — identical expressions on the "
+    "oracle side.  Scale: every branch filters politician_id FIRST, "
+    "dims broadcast, list parts are top-k windows; at 100 TB the "
+    "donations fact is partition/bucket-laid on politician_id "
+    "(storage.py) so the request touches one bucket per table.",
+)
+def q_metrics_bundle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.metrics import politician_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    donations = orders.select(
+        (F.col("o_custkey") % 149 + 1).alias("politician_id"),
+        (F.col("o_orderkey") % 1009).alias("donor_id"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("amount"),
+        F.col("o_orderdate").alias("date"),
+    )
+    donors = (
+        donations.select("donor_id")
+        .distinct()
+        .select(
+            "donor_id",
+            F.concat(F.lit("DONOR "), F.col("donor_id").cast("string")).alias("name"),
+            F.when(F.col("donor_id") % 4 == 0, "PAC")
+            .when(F.col("donor_id") % 4 == 1, "IND")
+            .otherwise("ORG")
+            .alias("donor_type"),
+        )
+    )
+    bills = part.select(
+        F.col("p_partkey").alias("bill_id"),
+        (F.col("p_partkey") % 149 + 1).alias("sponsor_id"),
+        F.concat(F.lit("HR-"), F.col("p_partkey").cast("string")).alias(
+            "official_bill_number"
+        ),
+        F.col("p_name").alias("title"),
+        F.lit(118).alias("congress"),
+        F.date_add(
+            F.to_date(F.lit("2023-01-01")), (F.col("p_partkey") % 700).cast("int")
+        ).alias("date_introduced"),
+    )
+    cosponsors = lineitem.select(
+        F.col("l_partkey").alias("bill_id"),
+        (F.col("l_suppkey") % 149 + 1).alias("politician_id"),
+        ((F.col("l_partkey") + F.col("l_suppkey")) % 2 == 0).alias(
+            "is_original_cosponsor"
+        ),
+    ).distinct()
+    votes = (
+        lineitem.select(
+            (F.col("l_orderkey") % 149 + 1).alias("politician_id"),
+            F.col("l_partkey").alias("bill_id"),
+            F.col("l_shipdate").alias("date"),
+        )
+        .distinct()
+        .withColumn(
+            "vote_position",
+            F.element_at(
+                F.array(F.lit("Yea"), F.lit("Nay"), F.lit("Present")),
+                (
+                    (
+                        F.col("bill_id")
+                        + F.col("politician_id")
+                        + F.datediff("date", F.lit("1970-01-01"))
+                    )
+                    % 3
+                    + 1
+                ).cast("int"),
+            ),
+        )
+    )
+    return politician_report(donations, donors, bills, cosponsors, votes, _PID)

@@ -119,3 +119,41 @@ def test_pagination_endpoint(wh):
     assert page2.collect()[0].last_name == "Pelosi"
     filtered, total_f = metrics.paginate_politicians(pols, {"chamber": "Senate"}, 0, 10)
     assert total_f == 1 and filtered.collect()[0].congress_id == "K000383"
+
+
+def test_politician_report_one_request_consolidation(wh):
+    """politician_report = the whole politician-detail endpoint in one
+    frame: every section present, scalar metrics agreeing with the
+    individual bundles it consolidates."""
+    from pyspark.sql import functions as F
+
+    from politician_etl_project_spark import metrics
+
+    pid = (
+        wh.read("politicians").filter(F.col("congress_id") == "P000197").collect()[0].politician_id
+    )
+    rep = metrics.politician_report(
+        wh.read("donations"),
+        wh.read("donors"),
+        wh.read("bills"),
+        wh.read("bill_cosponsors"),
+        wh.read("votes"),
+        pid,
+    )
+    rows = {(r["section"], r["metric"], r["label"]): r["value"] for r in rep.collect()}
+    assert {s for s, _, _ in rows} == {"financial", "legislative", "voting"}
+
+    fin = metrics.financial_metrics(
+        wh.read("donations"), wh.read("donors"), {"politician_id": pid}
+    )
+    tot = fin["total"].first()
+    assert rows[("financial", "n_donations", "")] == float(tot["n_donations"])
+    assert rows[("financial", "total_donations", "")] == float(tot["total_donations"])
+    leg = metrics.legislative_metrics(wh.read("bills"), wh.read("bill_cosponsors"), pid)
+    assert rows[("legislative", "n_sponsored", "")] == float(
+        leg["sponsored"].first()["n_sponsored"]
+    )
+    vot = metrics.voting_metrics(wh.read("votes"), wh.read("bills"), pid)
+    brk = {r["vote_position"]: r["n"] for r in vot["breakdown"].collect()}
+    for pos, n in brk.items():
+        assert rows[("voting", "position_n", pos)] == float(n)

@@ -788,3 +788,67 @@ def test_snapshot_append_stream_cdf_per_batch(spark, staged_events, tmp_path):
         assert types == {"insert"}
         batch_rows = t.read(v_next).count() - t.read(v_prev).count()
         assert feed.count() == batch_rows
+
+
+def test_latedrop_stream_genuinely_drops_by_watermark(spark):
+    """q_watermark_latedrop's staging must make the watermark filter do
+    REAL work: re-run the same 3-file stream it stages and assert the
+    final micro-batch reports numRowsDroppedByWatermark > 0 (the held-
+    back late rows), and that the declared query's output equals the
+    batch replay of its append-mode semantics (on-time rows, closed
+    windows only)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from politician_etl_project_spark.queries.events import (
+        _latedrop_staging,
+        q_watermark_latedrop,
+    )
+    from politician_etl_project_spark.streaming.pipelines import windowed_totals
+    from politician_etl_project_spark.streaming.sources import EVENTS_SCHEMA, owned_checkpoint
+
+    sf_dir = "/root/testdata/sf0.001"
+    inp = _latedrop_staging(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    out = windowed_totals(stream, window="1 hour", slide=None, watermark="1 hour")
+    qn = f"latedrop_test_{uuid.uuid4().hex[:6]}"
+    with owned_checkpoint(None) as ckpt:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+    assert len(progress) == 3, "one micro-batch per staged file"
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped > 0, "late chunk must be dropped by the watermark, not absorbed"
+
+    # batch replay of the append-mode contract == the declared query
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = events.agg((F.max("ts") - F.expr("INTERVAL 2 DAYS")).alias("c")).first()["c"]
+    wm = events.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("w")).first()["w"]
+    on_time = events.filter(
+        ~((F.col("ts") < F.lit(cut)) & (F.col("user_id") % 17 == 3))
+    )
+    expected = (
+        on_time.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .count()
+    )
+    got = q_watermark_latedrop(spark, sf_dir)
+    assert got.count() == expected
+    assert [r["n_events"] for r in spark.table(qn).collect()] == [
+        r["n_events"] for r in spark.table(qn).collect()
+    ]
