@@ -26,15 +26,25 @@ from politician_etl_project_spark.queries import load_all
 # the 92-of-191 sample as a silent cap) minus an explicit, reasoned
 # exclusion list; the summary line reports what was skipped and why, so
 # a regression in any benched family is visible and the skips are
-# documented rather than silent.
-BENCH_EXCLUDED = {
-    "q_near_dup_pairs": (
-        "output-bound all-pairs verification (~60% pair density in the "
-        "synthetic corpus at sf0.1, 65s single-pass): its cost is the "
-        "output volume, not engine efficiency; the capped twin "
-        "q_near_dup_pairs_capped IS benched"
-    ),
-}
+# documented rather than silent.  Round-7: the list is EMPTY —
+# q_near_dup_pairs (the last exclusion) is benched on a realistic-
+# density corpus instead (see BENCH_SF_OVERRIDE).
+BENCH_EXCLUDED: dict[str, str] = {}
+
+
+def _bench_sf_override() -> dict[str, str]:
+    """Per-query sf_dir substitutions.  q_near_dup_pairs is output-bound
+    on the driver fixture (~60% of all pairs verify at Jaccard>=0.8 in
+    the 30-word-vocab synthetic corpus — 65 s of answer printing, zero
+    signal), so the bench runs the UNCAPPED operator on a same-size
+    corpus at the 1-10% duplication density real web corpora carry
+    (tools/gen_sparse_docs.py, deterministic + cached): the measured
+    time is candidate generation + verification, the part that must
+    scale.  The driver's CORRECTNESS gate still verifies the query on
+    the standard fixture."""
+    from tools.gen_sparse_docs import ensure_sparse_docs
+
+    return {"q_near_dup_pairs": ensure_sparse_docs()}
 
 
 def _ensure_fec_bench_file(n_rows: int = 500_000) -> str:
@@ -120,6 +130,38 @@ def bench_etl(spark, n_rows: int = 500_000) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 3), n_out
 
 
+def _bench_bundle_parts(spark, sf_dir: str) -> float:
+    """Sum-of-parts twin of q_metrics_bundle_e2e: collect each metric
+    frame of the three bundles SEQUENTIALLY (9 actions — the reference's
+    per-endpoint ORM round-trip pattern) over the same derived domain
+    frames.  Warm-up + min of 2, same discipline as the query blocks."""
+    from politician_etl_project_spark.metrics import (
+        financial_metrics,
+        legislative_metrics,
+        voting_metrics,
+    )
+    from politician_etl_project_spark.queries.serving import _PID, domain_frames
+
+    def _run() -> float:
+        frames = domain_frames(spark, sf_dir)
+        t0 = time.perf_counter()
+        fin = financial_metrics(frames["donations"], frames["donors"], {"politician_id": _PID})
+        leg = legislative_metrics(frames["bills"], frames["cosponsors"], _PID)
+        vot = voting_metrics(frames["votes"], frames["bills"], _PID)
+        for bundle in (fin, leg, vot):
+            for frame in bundle.values():
+                frame.collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _run()  # warm-up
+    spark.catalog.clearCache()
+    a = _run()
+    spark.catalog.clearCache()
+    b = _run()
+    spark.catalog.clearCache()
+    return min(a, b)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -141,26 +183,47 @@ def main() -> None:
     # clearCache() between runs keeps persist()-using queries
     # (q_curation_funnel) from getting a free pass off cache blocks.
     times: dict[str, float] = {}
+    overrides = _bench_sf_override()
     for name in names:
-        specs[name].fn(spark, sf_dir).collect()  # warm-up
+        q_dir = overrides.get(name, sf_dir)
+        specs[name].fn(spark, q_dir).collect()  # warm-up
         spark.catalog.clearCache()
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).collect()
+            specs[name].fn(spark, q_dir).collect()
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
         if max(runs) / max(min(runs), 1e-9) > 1.25:
             # load spike during one run — one targeted remeasure
             t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).collect()
+            specs[name].fn(spark, q_dir).collect()
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
         times[name] = min(runs)
 
-    etl_sec, etl_rows = bench_etl(spark)
-    etl_sec = min(etl_sec, bench_etl(spark)[0])
+    # Round-7 adjudication of the r6 etl_fec_500k delta (3.47 -> 5.05 s
+    # with zero code change): measured isolated, the macro converges to
+    # r5's 3.47 s only on its THIRD run ([11.4, 4.75, 3.54, 3.48] in a
+    # fresh JVM) — the r6 rewrite gave per-query blocks warm-up + 2
+    # timed runs but left the ETL macro at 2 total, so its "min" was
+    # still a warm-up number.  Same treatment now: one discarded
+    # warm-up, then min of 2 timed runs.  (q_cdc_apply's 1.00 -> 1.42
+    # was the same class: it publishes a snapshot store to /tmp, and
+    # its per-run spread is 1.3-1.9 s from fsync/page-cache variance;
+    # the adaptive third run already covers it.)
+    bench_etl(spark)  # warm-up: JVM/codegen for the CSV-scan shapes
+    etl_a, etl_rows = bench_etl(spark)
+    etl_sec = min(etl_a, bench_etl(spark)[0])
     times["etl_fec_500k"] = etl_sec
+
+    # Serving-bundle concurrency: q_metrics_bundle_e2e (benched above)
+    # is the whole politician-detail request as ONE action; this twin
+    # times the SAME bundles collected one frame at a time — the
+    # reference's ~8 sequential round trips (app/metrics.py:49-93).
+    # The e2e/parts ratio is the consolidation win a migrating FastAPI
+    # user asks about first.
+    times["metrics_bundle_parts_sum"] = _bench_bundle_parts(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
     # The driver records only the LAST 2000 bytes of stdout (BENCH_r02

@@ -27,40 +27,179 @@ import os
 from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, declared_query
 
 DRIVER_WINDOW = [
-    # --- ROUND-6 WINDOW (driver checks [:50]) ---
-    # Slots 1-6: queries NEW this round — the real-container multimodal
-    # round trip (BMP/WAV/PPM encode + pure-numpy parse, replacing the
-    # decode_real stub), the digest-keyed segment-dedup twin (16-byte
-    # winner exchange, hash-equal to the direct form), the
-    # congress-member page transform promoted from pytest-only to the
-    # driver gate (F15/N5), the LIVE JDBC round trip over the bundled
-    # embedded Derby engine (S9 finally moves real rows), and the
-    # incremental BM25 index MERGE (extend == rebuild, hash-proven).
-    # Slots 7-10: sentinels for code REWRITTEN in round 6 — the BM25
-    # empty-token rule changed both the scan form and the stored index
-    # (operators/textindex.py), with_salt switched to Murmur3
-    # (operators/skew.py), and SnapshotTable range reads got the
-    # pinned-version + ISO-stat fixes (storage.py).  Their r5 greens
-    # predate those edits; WINDOW_SENTINELS below names them for the
-    # staleness test.
-    # Slots 11-43: the 33 queries whose latest driver check is ROUND 1 —
-    # the stalest evidence in the registry (r5 verdict item 1).
-    # Slots 44-50: the 7 alphabetically-first of the 15 round-2-stale
-    # names; the remaining 8 sit immediately after the head and rotate
-    # in next round.
+    # --- ROUND-7 WINDOW (driver checks [:50]) ---
+    # Slots 1-2: queries NEW this round — the watermark late-drop run
+    # through the LIVE Structured Streaming path (windowed_totals over
+    # a 3-file staging, genuine numRowsDroppedByWatermark), and the
+    # politician-detail request served as ONE action
+    # (metrics.politician_report over the serving.py domain mapping).
+    # Slots 3-6: sentinels for code REWRITTEN in round 7 (r6 greens
+    # predate the edits): storage.py stat normalization went
+    # type-driven (q_stats_prune), the BM25 extend publish is now
+    # journaled (q_bm25_index_extend), paginate_partitioned fails
+    # loudly on missing item envelopes (q_src_members), and
+    # _decode_wav gained truncation guards (q_media_decode_real).
+    # Slots 7-14: the 8 queries whose latest driver check is ROUND 2 —
+    # the stalest evidence left (r6 verdict item 1).
+    # Slots 15-50: the 36 alphabetically-first of the 47 round-3-stale
+    # names; the remaining 11 lead the tail and rotate in round 8.
     # tests/test_window.py asserts this composition mechanically
     # (never-checked ⊆ head; non-sentinel verified head slots are no
     # fresher than any verified name left outside).
-    "q_media_decode_real",
-    "q_segment_dedup_digest",
-    "q_src_members",
-    "q_src_jdbc",
-    "q_bm25_index_extend",
-    "q_pretrain_e2e",
-    "q_bm25_topk",
-    "q_bm25_indexed",
-    "q_salted_agg",
+    "q_watermark_latedrop",
+    "q_metrics_bundle_e2e",
     "q_stats_prune",
+    "q_bm25_index_extend",
+    "q_src_members",
+    "q_media_decode_real",
+    "q_range_join",
+    "q_sequence_packing",
+    "q_surrogate_ids",
+    "q_token_stats",
+    "q_train_shuffle",
+    "q_tumbling_window",
+    "q_vector_norms",
+    "q_watermark_cutoff",
+    "q_ann_batch",
+    "q_approx_sketches",
+    "q_boilerplate_shingles",
+    "q_bpe_merge_candidates",
+    "q_bpe_token_count",
+    "q_child_roster_page",
+    "q_context_windows",
+    "q_corpus_stats",
+    "q_cube_matrix",
+    "q_decontamination",
+    "q_dedup_survivors",
+    "q_embed_dup_clusters",
+    "q_entity_navigation",
+    "q_event_funnel",
+    "q_format_report",
+    "q_funnel_clusters",
+    "q_grouping_sets",
+    "q_hll_mergeable",
+    "q_label_centroid",
+    "q_lang_id",
+    "q_list_endpoint_page",
+    "q_media_metadata",
+    "q_near_dup_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_percentiles",
+    "q_pii_scrub",
+    "q_pivot_status_matrix",
+    "q_repetition_filter",
+    "q_retention_cohorts",
+    "q_rolling_fingerprint",
+    "q_rollup_hierarchy",
+    "q_scd2_history",
+    "q_session_windows",
+    "q_simhash",
+    "q_sliding_window",
+    "q_src_bills_xml",
+    # --- tail: next-stalest first (driver reads [:50] only) ---
+    "q_src_committees_yaml",
+    "q_src_fec_csv",
+    "q_stratified_sample",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_unpivot_measures",
+    "q_window_lag_lead",
+    "q_window_moving_avg",
+    "q_window_ntile",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_abtest_lift",
+    "q_ann_index_extend",
+    "q_ann_pq",
+    "q_ann_recall_eval",
+    "q_bloom_prune",
+    "q_bpe_train_merges",
+    "q_bpe_vocab_stats",
+    "q_bucketed_join",
+    "q_calendar_spine",
+    "q_cdc_apply",
+    "q_correlation",
+    "q_countmin_sketch",
+    "q_data_profile",
+    "q_dedup_multi_policy",
+    "q_dpp_prune",
+    "q_dq_constraints",
+    "q_embed_quantize",
+    "q_equidepth_histogram",
+    "q_event_paths",
+    "q_event_transitions",
+    "q_feature_hashing",
+    "q_gap_fill",
+    "q_hybrid_rrf",
+    "q_inverted_index",
+    "q_lm_quality_score",
+    "q_moments_mergeable",
+    "q_negative_sampling",
+    "q_orc_roundtrip",
+    "q_outlier_zscore",
+    "q_pagerank",
+    "q_pmi_terms",
+    "q_provenance_audit",
+    "q_quantile_normalize",
+    "q_schema_drift",
+    "q_schema_evolution",
+    "q_segment_dedup",
+    "q_simhash_banded",
+    "q_simhash_near_pairs",
+    "q_skew_diagnostic",
+    "q_snapshot_diff",
+    "q_time_to_convert",
+    "q_triangle_count",
+    "q_weighted_downsample",
+    "q_weighted_sample_topk",
+    "q_window_range_frame",
+    "q_zorder_layout",
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q18_large_orders",
+    "q22_dormant_customers",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_asof_join",
+    "q_bigram_lm_score",
+    "q_broadcast_lookup",
+    "q_cdf_read",
+    "q_composite_key_join",
+    "q_corpus_mixture",
+    "q_curation_funnel",
+    "q_date_roundtrip",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_domain_stats",
+    "q_dup_clusters",
+    "q_embed_near_dup",
+    "q_event_dedup",
+    "q_fact_dim_rollup",
+    "q_filter_eq_range",
+    "q_frame_sample",
+    "q_hash_split",
+    "q_incremental_rollup",
+    "q_json_extract",
+    "q_junction_hierarchy",
+    "q_k_anonymity",
+    "q_knn_bruteforce",
+    "q_knn_with_metadata",
+    "q_left_join_coalesce",
+    "q_limit1_probe",
+    "q_media_pixel_stats",
+    "q_merge_batch_replay",
+    "q_minhash_calibration",
+    "q_minhash_signatures",
+    "q_pq_rerank",
+    "q_sketch_merge_replay",
+    "q_src_votes_json",
+    "q_time_travel",
+    "q_url_canonicalize",
     "q02_min_cost_supplier",
     "q03_shipping_priority",
     "q04_order_priority",
@@ -76,6 +215,8 @@ DRIVER_WINDOW = [
     "q21_waiting_suppliers",
     "q_anti_join",
     "q_avg_by_segment",
+    "q_bm25_indexed",
+    "q_bm25_topk",
     "q_conditional_split",
     "q_count_distinct",
     "q_dedup_keep_first",
@@ -89,176 +230,32 @@ DRIVER_WINDOW = [
     "q_intersect",
     "q_like_keyword",
     "q_max_regex_extract",
-    "q_recent_n",
-    "q_scalar_kitchen",
-    "q_semi_join",
-    "q_topk_customers",
-    "q_union_distinct",
     "q_monthly_timeline",
     "q_multikey_sort",
     "q_name_split_map",
     "q_near_dup_pairs_capped",
     "q_pagination",
     "q_pct_of_total",
+    "q_pretrain_e2e",
     "q_proj_concat",
-    # --- tail: next-stalest first (driver reads [:50] only) ---
-    "q_range_join",
-    "q_sequence_packing",
-    "q_surrogate_ids",
-    "q_token_stats",
-    "q_train_shuffle",
-    "q_tumbling_window",
-    "q_vector_norms",
-    "q_watermark_cutoff",
-    "q_url_canonicalize",
-    "q_domain_stats",
-    "q_bigram_lm_score",
-    "q_minhash_calibration",
-    "q_pq_rerank",
-    "q_cdf_read",
-    "q_k_anonymity",
-    "q_src_votes_json",
-    "q_dedup_incremental",
-    "q_incremental_rollup",
-    "q_merge_batch_replay",
-    "q_sketch_merge_replay",
-    "q_time_travel",
-    "q01_pricing_summary",
-    "q06_forecast_revenue",
-    "q07_nation_volume",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q18_large_orders",
-    "q22_dormant_customers",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_asof_join",
-    "q_broadcast_lookup",
-    "q_composite_key_join",
-    "q_corpus_mixture",
-    "q_curation_funnel",
-    "q_date_roundtrip",
-    "q_dedup_exact",
-    "q_dup_clusters",
-    "q_embed_near_dup",
-    "q_event_dedup",
-    "q_fact_dim_rollup",
-    "q_filter_eq_range",
-    "q_frame_sample",
-    "q_hash_split",
-    "q_json_extract",
-    "q_junction_hierarchy",
-    "q_knn_bruteforce",
-    "q_knn_with_metadata",
-    "q_left_join_coalesce",
-    "q_limit1_probe",
-    "q_media_pixel_stats",
-    "q_minhash_signatures",
-    "q_gap_fill",
-    "q_calendar_spine",
-    "q_snapshot_diff",
-    "q_moments_mergeable",
-    "q_equidepth_histogram",
-    "q_outlier_zscore",
-    "q_inverted_index",
-    "q_skew_diagnostic",
-    "q_weighted_downsample",
-    "q_orc_roundtrip",
-    "q_abtest_lift",
-    "q_pmi_terms",
-    "q_event_transitions",
-    "q_time_to_convert",
-    "q_bucketed_join",
-    "q_dpp_prune",
-    "q_schema_evolution",
-    "q_pagerank",
-    "q_embed_quantize",
-    "q_ann_pq",
-    "q_hybrid_rrf",
-    "q_correlation",
-    "q_window_range_frame",
-    "q_provenance_audit",
-    "q_data_profile",
-    "q_dq_constraints",
-    "q_event_paths",
-    "q_negative_sampling",
-    "q_lm_quality_score",
-    "q_ann_recall_eval",
-    "q_quantile_normalize",
-    "q_feature_hashing",
-    "q_schema_drift",
-    "q_simhash_banded",
-    "q_countmin_sketch",
-    "q_weighted_sample_topk",
-    "q_simhash_near_pairs",
-    "q_dedup_multi_policy",
-    "q_cdc_apply",
-    "q_zorder_layout",
-    "q_bloom_prune",
-    "q_ann_index_extend",
-    "q_bpe_vocab_stats",
-    "q_triangle_count",
-    "q_segment_dedup",
-    "q_bpe_train_merges",
-    "q_simhash",
-    "q_near_dup_pairs",
-    "q_ann_batch",
-    "q_approx_sketches",
-    "q_src_fec_csv",
-    "q_src_bills_xml",
-    "q_src_committees_yaml",
-    "q_window_rank",
-    "q_window_lag_lead",
-    "q_window_running_sum",
-    "q_window_moving_avg",
-    "q_window_ntile",
-    "q_sliding_window",
-    "q_session_windows",
-    "q_text_quality",
-    "q_lang_id",
-    "q_rolling_fingerprint",
-    "q_bpe_token_count",
-    "q_tfidf_top_terms",
-    "q_ngram_jaccard_pairs",
-    "q_repetition_filter",
-    "q_decontamination",
-    "q_stratified_sample",
-    "q_corpus_stats",
-    "q_label_centroid",
-    "q_embed_dup_clusters",
-    "q_dedup_survivors",
-    "q_funnel_clusters",
-    "q_media_metadata",
-    "q_rollup_hierarchy",
-    "q_cube_matrix",
-    "q_percentiles",
-    "q_list_endpoint_page",
-    "q_entity_navigation",
-    "q_child_roster_page",
-    "q_boilerplate_shingles",
-    "q_pii_scrub",
-    "q_scd2_history",
-    "q_grouping_sets",
-    "q_context_windows",
-    "q_bpe_merge_candidates",
-    "q_format_report",
-    "q_event_funnel",
-    "q_retention_cohorts",
-    "q_pivot_status_matrix",
-    "q_unpivot_measures",
-    "q_hll_mergeable",
+    "q_recent_n",
+    "q_salted_agg",
+    "q_scalar_kitchen",
+    "q_segment_dedup_digest",
+    "q_semi_join",
+    "q_src_jdbc",
+    "q_topk_customers",
+    "q_union_distinct",
 ]
 
 # Sentinels: head slots re-verifying queries whose implementation changed
 # THIS round (their prior green predates the edit) — exempt from the
 # stalest-first head rule, bounded to keep rotation honest.
 WINDOW_SENTINELS = [
-    "q_bm25_topk",
-    "q_bm25_indexed",
-    "q_salted_agg",
     "q_stats_prune",
+    "q_bm25_index_extend",
+    "q_src_members",
+    "q_media_decode_real",
 ]
 
 _ORACLE_TABLES = (

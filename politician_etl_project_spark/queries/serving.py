@@ -188,6 +188,21 @@ ORDER BY section, metric, label
 def q_metrics_bundle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from politician_etl_project_spark.metrics import politician_report
 
+    frames = domain_frames(spark, sf_dir)
+    return politician_report(
+        frames["donations"],
+        frames["donors"],
+        frames["bills"],
+        frames["cosponsors"],
+        frames["votes"],
+        _PID,
+    )
+
+
+def domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The politician-domain projection of the fixture tables (module
+    docstring) — shared by q_metrics_bundle_e2e and by bench.py's
+    sum-of-parts comparison entry."""
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -252,4 +267,10 @@ def q_metrics_bundle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return politician_report(donations, donors, bills, cosponsors, votes, _PID)
+    return {
+        "donations": donations,
+        "donors": donors,
+        "bills": bills,
+        "cosponsors": cosponsors,
+        "votes": votes,
+    }

@@ -238,9 +238,13 @@ ORDER BY id_a, id_b
     "band keys only — O(docs·bands) rows, never O(docs²).  Cost note: "
     "the synthetic corpus is pathologically dense — at sf0.1, 5k docs "
     "yield 7.5M candidates of which 2.8M pairs VERIFY at Jaccard>=0.8, "
-    "so runtime (~12 s compute) is the answer's volume, not plan waste; "
-    "production corpora use the capped twin (q_near_dup_pairs_capped) "
-    "or go straight to clusters (q_dup_clusters), both sub-second here.",
+    "so runtime there (~12 s compute) is the answer's volume, not plan "
+    "waste.  bench.py therefore times this query on a same-size corpus "
+    "at realistic 1-10% duplication density (tools/gen_sparse_docs.py, "
+    "BENCH_SF_OVERRIDE) where the measured cost is candidate-gen + "
+    "verify; production corpora at high density use the capped twin "
+    "(q_near_dup_pairs_capped) or go straight to clusters "
+    "(q_dup_clusters).",
 )
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from politician_etl_project_spark.operators.dedup import lsh_candidate_pairs

@@ -1416,3 +1416,65 @@ def test_extend_text_index_crash_rollback_and_recover(spark, tmp_path, monkeypat
     assert recover_text_index(ext2) is True
     post = sorted(map(tuple, spark.read.parquet(f"{ext2}/postings").collect()))
     assert post == pre_postings, "rollback must restore the exact pre-extend index"
+
+
+def test_lsh_cap_survives_boilerplate_flood(spark):
+    """Adversarial skew fixture for the load-bearing 100 TB claim
+    (round-6 verdict item 5): ONE band key shared by 10k near-identical
+    docs — the boilerplate-flood case dedup.py's docstring names.
+    Uncapped this bucket alone would enumerate ~50M pairs; the
+    row_number cap must bound the collected bucket (and therefore the
+    pair volume and shuffle) BEFORE any pair enumeration."""
+    from pyspark.sql import functions as F
+
+    from politician_etl_project_spark.operators.dedup import (
+        distinct_tokens,
+        lsh_bucket_pairs,
+    )
+
+    n_flood, cap = 10_000, 32
+    boiler = "terms of service privacy policy all rights reserved contact us about"
+    flood = spark.range(n_flood).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    # identical token sets -> identical minhash signature -> every band
+    # hashes the whole flood into a single bucket
+    docs = flood.withColumn("toks", distinct_tokens("text"))
+    pairs = lsh_bucket_pairs(
+        docs, id_col="doc_id", n_hashes=4, rows_per_band=2, max_bucket=cap
+    )
+    rows = pairs.collect()  # must complete in seconds, not enumerate 50M pairs
+    distinct_pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    n_bands = 2
+    assert len(rows) <= n_bands * cap * (cap - 1) // 2, "pair volume must be cap-bounded"
+    # survivors are exactly the cap smallest ids per bucket
+    keep = set(range(cap))
+    assert distinct_pairs == {(a, b) for a in keep for b in keep if a < b}
+
+
+def test_lsh_cap_skip_set_is_exactly_the_documented_one(spark):
+    """The cap's recall contract: capped vs uncapped difference must be
+    EXACTLY the pairs touching ids beyond the max_bucket smallest in
+    each bucket — no silent extra loss.  (For a true boilerplate flood
+    those skipped rows are near-identical; exact/fingerprint dedup is
+    the documented catcher for them.)"""
+    from pyspark.sql import functions as F
+
+    from politician_etl_project_spark.operators.dedup import lsh_candidate_pairs
+
+    n, cap = 120, 16
+    boiler = "subscribe newsletter follow us on social media copyright notice"
+    docs = spark.range(n).select(F.col("id").alias("doc_id"), F.lit(boiler).alias("text"))
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(docs, "doc_id", "text", 4, 2).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(docs, "doc_id", "text", 4, 2, max_bucket=cap).collect()
+    }
+    assert uncapped == {(a, b) for a in range(n) for b in range(n) if a < b}
+    keep = set(range(cap))  # identical docs: every band bucket keeps ids 0..cap-1
+    assert capped == {(a, b) for a, b in uncapped if a in keep and b in keep}
+    skipped = uncapped - capped
+    assert skipped == {(a, b) for a, b in uncapped if b >= cap}
