@@ -162,9 +162,30 @@ def _bench_bundle_parts(spark, sf_dir: str) -> float:
     return min(a, b)
 
 
+def _load_gate(threshold: float = 2.0, max_wait_sec: int = 180) -> float:
+    """Round-8 (r7 verdict #8): BENCH numbers captured on a loaded host
+    carry ~1.3-2.6x inflation that burns a judge adjudication every
+    round.  Wait (bounded) for the 1-minute load average to fall under
+    `threshold` before starting; return the load at suite start.  The
+    published line carries `load_avg_start` + `load_gate_ok` so an
+    over-threshold capture is tagged, never silent."""
+    waited = 0
+    load = os.getloadavg()[0]
+    while load > threshold and waited < max_wait_sec:
+        print(
+            json.dumps({"load_gate_waiting": round(load, 1), "waited_sec": waited}),
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    start_load = _load_gate()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
@@ -225,7 +246,16 @@ def main() -> None:
     # user asks about first.
     times["metrics_bundle_parts_sum"] = _bench_bundle_parts(spark, sf_dir)
 
-    total = round(sum(times.values()), 3)
+    # Round-8 (r7 ADVICE): the headline total sums ONLY standard-corpus
+    # registry queries + the ETL macro.  The sum-of-parts twin is a
+    # comparison axis for q_metrics_bundle_e2e (summing both would
+    # double-count the request), and override-corpus entries
+    # (q_near_dup_pairs on the sparse corpus) are measured on a
+    # different input than the rest of the suite — both stay in
+    # `queries` for per-query deltas but are listed in
+    # `total_excludes` and left out of `value`.
+    total_excludes = sorted(set(overrides) & set(times)) + ["metrics_bundle_parts_sum"]
+    total = round(sum(v for n, v in times.items() if n not in total_excludes), 3)
     # The driver records only the LAST 2000 bytes of stdout (BENCH_r02
     # lesson: a single ~2.5 KB line got front-clipped → parsed: null), so
     # the regression map goes on its own EARLIER line and the headline
@@ -269,11 +299,16 @@ def main() -> None:
         "timing_passes": 2,
         "queries_benched": len(names),
         "queries_not_benched": sorted(BENCH_EXCLUDED),
+        # measured but NOT summed into `value` (twin / override-corpus
+        # entries — see comment above total)
+        "total_excludes": total_excludes,
         # host contention context for round-over-round comparison: the
         # container shares its host, and a loaded neighbor inflates
         # every shape uniformly (~1.3x observed) — a delta map read
         # without this looks like a blanket regression
         "load_avg_1m": round(os.getloadavg()[0], 1),
+        "load_avg_start": round(start_load, 1),
+        "load_gate_ok": start_load <= 2.0,
     }
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # never let the summary line outgrow the capture

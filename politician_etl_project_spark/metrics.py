@@ -69,16 +69,14 @@ def financial_metrics(
         "pct",
         (F.col("total") * 100 / F.sum("total").over(Window.partitionBy())).cast("decimal(5,2)"),
     ).orderBy(F.desc("total"))
-    # group by donor_id (then drop it): donor identity is
+    # group by donor_id and KEEP it: donor identity is
     # NAME|ZIP|EMPLOYER, so two distinct "JOHN SMITH"s must not merge
-    # into one inflated top-donor row (same discipline as scope_metrics)
-    top_donors = (
-        base.groupBy("donor_id", "name", "donor_type")
-        .agg(F.sum("amount").alias("total_donated"))
-        .orderBy(F.desc("total_donated"), F.asc("name"), F.asc("donor_id"))
-        .limit(10)
-        .drop("donor_id")
-    )
+    # into one inflated top-donor row (same discipline as scope_metrics),
+    # and downstream rankers need donor_id as the final tiebreak so two
+    # same-name same-total donors get deterministic ranks
+    top_donors = base.groupBy("donor_id", "name", "donor_type").agg(
+        F.sum("amount").alias("total_donated")
+    ).orderBy(F.desc("total_donated"), F.asc("name"), F.asc("donor_id")).limit(10)
     timeline = (
         base.groupBy(
             F.date_format(F.date_trunc("month", "date"), "yyyy-MM").alias("month"), "donor_type"
@@ -266,7 +264,9 @@ def politician_report(
             fin["top_donors"].withColumn(
                 "rank",
                 F.row_number().over(
-                    Window.partitionBy().orderBy(F.desc("total_donated"), F.asc("name"))
+                    Window.partitionBy().orderBy(
+                        F.desc("total_donated"), F.asc("name"), F.asc("donor_id")
+                    )
                 ),
             ),
             "financial",

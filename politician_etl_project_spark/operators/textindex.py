@@ -263,29 +263,46 @@ def recover_text_index(path: str) -> bool:
     pre-extend state (the crashed batch's ids are then still new, so
     the extend is safely re-runnable).  Idempotent: re-entrant crashes
     during recovery just re-run it.  Returns True when a rollback was
-    performed."""
+    performed.
+
+    It also sweeps ORPHANED ``.old-<token>`` siblings (round-8 advice):
+    a crash between ``os.remove(marker)`` and the post-commit reap loop
+    leaves already-committed ``.old-*`` dirs with no journal pointing at
+    them.  The pinned-schema bucket filter in ``bm25_topk_indexed``
+    ignores them, but whole-directory parquet reads would
+    partition-discover them as stale duplicate postings — so any
+    ``.old-*`` under postings/, terms/, or beside stats that the live
+    journal does NOT reference is reaped here unconditionally."""
+    import glob as _glob
     import json
     import shutil
 
     marker = os.path.join(path, "_EXTEND_INPROGRESS.json")
-    if not os.path.exists(marker):
-        return False
-    with open(marker) as fh:
-        journal = json.load(fh)
-    token = journal["token"]
-    for rel in journal["replaced"]:
-        dst = os.path.join(path, rel)
-        trash = f"{dst}.old-{token}"
-        if os.path.isdir(trash):
+    rolled_back = False
+    keep: set[str] = set()
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            journal = json.load(fh)
+        token = journal["token"]
+        for rel in journal["replaced"]:
+            dst = os.path.join(path, rel)
+            trash = f"{dst}.old-{token}"
+            keep.add(trash)
+            if os.path.isdir(trash):
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)  # drop the half-published merge
+                os.replace(trash, dst)
+        for rel in journal["created"]:
+            dst = os.path.join(path, rel)
             if os.path.isdir(dst):
-                shutil.rmtree(dst)  # drop the half-published merge
-            os.replace(trash, dst)
-    for rel in journal["created"]:
-        dst = os.path.join(path, rel)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-    os.remove(marker)
-    return True
+                shutil.rmtree(dst)
+        os.remove(marker)
+        rolled_back = True
+    for pattern in ("postings/*.old-*", "terms/*.old-*", "stats.old-*"):
+        for orphan in _glob.glob(os.path.join(path, pattern)):
+            if orphan not in keep:
+                shutil.rmtree(orphan, ignore_errors=True)
+    return rolled_back
 
 
 def bm25_topk_indexed(

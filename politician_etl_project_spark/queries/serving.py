@@ -20,7 +20,10 @@ oracle SQL — no staged fixture, no RNG):
 - bills     <- part    (sponsor = p_partkey % 149 + 1, number =
   'HR-'||p_partkey, date_introduced = 2023-01-01 + p_partkey % 700 d)
 - cosponsors <- lineitem pairs, DISTINCT on (bill, politician) with
-  is_original a pure function of the pair so the dedup is value-stable
+  is_original = (bill_id + politician_id) % 2 = 0 — a function of the
+  DEDUP KEY itself (not of the underlying suppkey, which collapses
+  149-apart values onto one politician with opposite parity), so the
+  dedup is value-stable by construction
 - votes     <- lineitem, DISTINCT on (politician, bill, date) with the
   position a pure function of that key — which also makes the
   recent-votes ordering (date desc, bill_number) a total order
@@ -71,7 +74,7 @@ bil AS (
 cos AS (
   SELECT DISTINCT l_partkey AS bill_id,
          l_suppkey % 149 + 1 AS politician_id,
-         (l_partkey + l_suppkey) % 2 = 0 AS is_original_cosponsor
+         (l_partkey + l_suppkey % 149 + 1) % 2 = 0 AS is_original_cosponsor
   FROM lineitem
 ),
 vot AS (
@@ -240,7 +243,10 @@ def domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cosponsors = lineitem.select(
         F.col("l_partkey").alias("bill_id"),
         (F.col("l_suppkey") % 149 + 1).alias("politician_id"),
-        ((F.col("l_partkey") + F.col("l_suppkey")) % 2 == 0).alias(
+        # parity of (bill_id + politician_id), i.e. the dedup key itself:
+        # suppkey and suppkey+149 (149 odd) map to one politician, so any
+        # formula using raw l_suppkey gives that pair BOTH flag values
+        ((F.col("l_partkey") + F.col("l_suppkey") % 149 + 1) % 2 == 0).alias(
             "is_original_cosponsor"
         ),
     ).distinct()

@@ -157,3 +157,50 @@ def test_politician_report_one_request_consolidation(wh):
     brk = {r["vote_position"]: r["n"] for r in vot["breakdown"].collect()}
     for pos, n in brk.items():
         assert rows[("voting", "position_n", pos)] == float(n)
+
+
+def test_top_donor_tiebreak_is_donor_id(spark):
+    """Round-8 advice: two DISTINCT donors sharing a name (possible —
+    identity is NAME|ZIP|EMPLOYER) and an equal total must get
+    deterministic ranks: the documented contract is (total desc, name,
+    donor_id), so top_donors keeps donor_id and the report's rank
+    window uses it as the final tiebreak."""
+    donations = spark.createDataFrame(
+        [
+            (1, 10, 100.0, "2024-01-05"),
+            (1, 20, 100.0, "2024-01-06"),
+            (1, 30, 50.0, "2024-01-07"),
+        ],
+        "politician_id int, donor_id int, amount double, date_s string",
+    ).withColumn("date", F.to_date("date_s")).withColumn(
+        "amount", F.col("amount").cast("decimal(12,2)")
+    ).drop("date_s")
+    donors = spark.createDataFrame(
+        [
+            (10, "JOHN SMITH", "Individual"),
+            (20, "JOHN SMITH", "PAC"),
+            (30, "AAA FIRST", "PAC"),
+        ],
+        "donor_id int, name string, donor_type string",
+    )
+    fin = metrics.financial_metrics(donations, donors, {"politician_id": 1})
+    top = fin["top_donors"].collect()
+    assert "donor_id" in fin["top_donors"].columns, "donor_id must survive for rank tiebreak"
+    assert [(r.donor_id, r.name) for r in top[:2]] == [(10, "JOHN SMITH"), (20, "JOHN SMITH")]
+
+    bills = spark.createDataFrame(
+        [],
+        "bill_id int, sponsor_id int, official_bill_number string, "
+        "congress int, title string, date_introduced date",
+    )
+    cosponsors = spark.createDataFrame([], "bill_id int, politician_id int, is_original_cosponsor boolean")
+    votes = spark.createDataFrame([], "politician_id int, bill_id int, date date, vote_position string")
+    report = metrics.politician_report(donations, donors, bills, cosponsors, votes, 1)
+    ranks = {
+        r.metric: (r.label, r.value)
+        for r in report.filter(F.col("metric").startswith("top_donor_")).collect()
+    }
+    # the two tied JOHN SMITHs take ranks 01/02 (donor_id order), AAA FIRST is 03
+    assert ranks["top_donor_01"] == ("JOHN SMITH", 100.0)
+    assert ranks["top_donor_02"] == ("JOHN SMITH", 100.0)
+    assert ranks["top_donor_03"] == ("AAA FIRST", 50.0)

@@ -27,19 +27,24 @@ import os
 N_DOCS = 5000
 DUP_RATE = 0.03
 SEED = 20260815
-_BASE = "/tmp/spark_graft_docs_sparse_v1"
+_BASE_FMT = "/tmp/spark_graft_docs_sparse_v2_n{n}_d{d}"
 
 
 def ensure_sparse_docs(n_docs: int = N_DOCS, dup_rate: float = DUP_RATE) -> str:
     """Idempotently materialize the sparse corpus; returns the directory
-    usable as an sf_dir for documents-only queries."""
+    usable as an sf_dir for documents-only queries.
+
+    The cache path encodes (n_docs, dup_rate) — round-7 verdict #3: the
+    v1 cache keyed on nothing, so a non-default call silently returned
+    the default corpus."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = os.path.join(_BASE, "documents.parquet")
+    base = _BASE_FMT.format(n=n_docs, d=f"{dup_rate:g}".replace(".", "p"))
+    out = os.path.join(base, "documents.parquet")
     if os.path.exists(out):
-        return _BASE
+        return base
 
     rng = np.random.default_rng(SEED)
     vocab = np.array([f"w{i:05d}" for i in range(20_000)])
@@ -69,16 +74,16 @@ def ensure_sparse_docs(n_docs: int = N_DOCS, dup_rate: float = DUP_RATE) -> str:
             "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
         }
     )
-    tmp_dir = f"{_BASE}.tmp-{os.getpid()}"
+    tmp_dir = f"{base}.tmp-{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
     pq.write_table(table, os.path.join(tmp_dir, "documents.parquet"))
     try:
-        os.rename(tmp_dir, _BASE)
+        os.rename(tmp_dir, base)
     except OSError:  # concurrent writer won; its output is identical
         import shutil
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
-    return _BASE
+    return base
 
 
 if __name__ == "__main__":
