@@ -64,16 +64,58 @@ def test_every_never_checked_query_is_in_window_head():
         )
 
 
-def _latest_checked_round() -> dict[str, int]:
-    """Per query, the most recent round with a driver CORRECTNESS row."""
-    latest: dict[str, int] = {}
+def _rounds_to_names() -> dict[int, set[str]]:
+    """Per recorded round, the set of query names it driver-checked."""
+    rounds: dict[int, set[str]] = {}
     for fn in sorted(os.listdir(REPO_ROOT)):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             rnd = int(fn[len("CORRECTNESS_r") : -len(".json")])
             with open(os.path.join(REPO_ROOT, fn)) as fh:
-                for name in json.load(fh):
-                    latest[name] = max(latest.get(name, 0), rnd)
+                rounds[rnd] = set(json.load(fh))
+    return rounds
+
+
+def _effective_latest(head: list[str], rounds: dict[int, set[str]]) -> dict[str, int]:
+    """Per query, the most recent round with a driver CORRECTNESS row —
+    judged from the evidence that existed WHEN THE HEAD WAS COMPOSED.
+
+    Round-boundary awareness (r7 verdict #3, after the tripwire ended
+    rounds 6 AND 7 red through no code fault): the driver writes
+    CORRECTNESS_r{N}.json after the round's final commit, so right at a
+    boundary the newest file's names are exactly the not-yet-rotated
+    head — evidence the head itself just generated.  When the newest
+    round's name set is a subset of the current head, that file is
+    next round's input, not this head's composition evidence, and is
+    excluded.  A head that misses rotation for a full round does NOT
+    get a pass: its post-round file is again ⊆ head, but the
+    second-newest file now shows the same head names as fresh while
+    staler names wait outside — which still fails the stalest rule."""
+    if rounds:
+        newest = max(rounds)
+        if rounds[newest] <= set(head):
+            rounds = {r: v for r, v in rounds.items() if r != newest}
+    latest: dict[str, int] = {}
+    for rnd, names in rounds.items():
+        for name in names:
+            latest[name] = max(latest.get(name, 0), rnd)
     return latest
+
+
+def _staleness_offenders(
+    head: list[str],
+    sentinels: list[str],
+    all_names: list[str],
+    rounds: dict[int, set[str]],
+) -> list[str]:
+    """Verified, non-sentinel head slots holding FRESHER evidence than
+    some verified query left outside the head (empty == rotation ok)."""
+    latest = _effective_latest(head, rounds)
+    rotating = [n for n in head if n in latest and n not in sentinels]
+    outside = [n for n in all_names if n not in head and n in latest]
+    if not rotating or not outside:
+        return []
+    stalest_out = min(latest[n] for n in outside)
+    return [n for n in rotating if latest[n] > stalest_out]
 
 
 def test_window_head_prefers_stalest():
@@ -82,27 +124,51 @@ def test_window_head_prefers_stalest():
     above) and the bounded sentinel list (code changed this round, so
     their prior green is stale by definition), every verified head
     slot must be no FRESHER than any verified query left outside the
-    head.  A fresh name occupying a slot while a staler one waits
-    means the rotation stopped working."""
+    head — judged boundary-aware (see _effective_latest).  A fresh name
+    occupying a slot while a staler one waits means the rotation
+    stopped working."""
     from politician_etl_project_spark.queries import WINDOW_SENTINELS
 
     assert len(WINDOW_SENTINELS) <= 10, "sentinel list must stay bounded"
-    latest = _latest_checked_round()
-    specs = load_all()
     head = DRIVER_WINDOW[:WINDOW]
-    rotating = [
-        n for n in head if n in latest and n not in WINDOW_SENTINELS
-    ]
-    outside = [n for n in specs if n not in head and n in latest]
-    if not rotating or not outside:
-        return
-    freshest_in = max(latest[n] for n in rotating)
-    stalest_out = min(latest[n] for n in outside)
-    offenders = [n for n in rotating if latest[n] > stalest_out]
-    assert freshest_in <= stalest_out, (
-        f"head holds round-{freshest_in} evidence {offenders} while "
-        f"round-{stalest_out} names wait outside"
+    offenders = _staleness_offenders(
+        head, WINDOW_SENTINELS, list(load_all()), _rounds_to_names()
     )
+    assert not offenders, (
+        f"head holds fresher-than-necessary evidence {offenders} while "
+        "staler verified names wait outside"
+    )
+
+
+def test_staleness_check_is_boundary_aware():
+    """Simulates r7 verdict #3's 'done' condition: a post-round
+    correctness drop (newest file == the un-rotated head) leaves the
+    check green, while a genuine intra-round staleness violation —
+    fresh names parked in the head while staler ones wait outside,
+    visible in evidence predating the newest drop — still fails."""
+    head = [f"h{i}" for i in range(5)]
+    others = ["x1", "x2"]
+    names = head + others
+
+    # properly-rotated head (stale evidence) + boundary drop over it
+    rounds = {1: set(names), 2: set(others), 3: set(head)}
+    assert _staleness_offenders(head, [], names, rounds) == []
+
+    # head that SKIPPED rotation: r2 already verified h0/h1 yet they
+    # still occupy slots while r1-stale x1/x2 wait outside; the r3
+    # boundary drop (⊆ head) must not launder them
+    rounds = {1: set(names), 2: {"h0", "h1"}, 3: set(head)}
+    assert set(_staleness_offenders(head, [], names, rounds)) == {"h0", "h1"}
+
+    # sentinels are exempt (their code changed this round)
+    assert _staleness_offenders(head, ["h0", "h1"], names, rounds) == []
+
+    # a newest file NOT ⊆ head (head already rotated, names outside it
+    # got checked) counts as real evidence
+    rounds = {1: set(names), 2: set(others)}
+    assert _staleness_offenders(head, [], names, rounds) == []
+    rounds = {1: set(others), 2: set(head)}
+    assert set(_staleness_offenders(["h0", "x1"], [], names, rounds)) == {"h0"}
 
 
 def test_bench_exclusions_are_registered_and_reasoned():
