@@ -27,10 +27,20 @@ oracle SQL — no staged fixture, no RNG):
 - votes     <- lineitem, DISTINCT on (politician, bill, date) with the
   position a pure function of that key — which also makes the
   recent-votes ordering (date desc, bill_number) a total order
+- politicians <- the id range 1..149 (chamber = Senate when id % 5 = 0
+  else House, party by id % 3, state 'ST'||id % 50, name 'POL P'||id)
+- bills carry congress = 115 + p_partkey % 4, so congress-scoped
+  requests prune a real subset
 
 Politician 7 is probed: customer keys start at 1 at every sf, and every
 derived politician id lands in 1..149, so the request is non-empty from
 sf0.001 up.
+
+Round-8: the domain tables are MATERIALIZED once per corpus into a /tmp
+parquet store (ensure_domain_store) — a migrating user's
+donations/votes/bills are already materialized tables, so re-deriving
+them per request (two distinct() shuffles over lineitem) measured
+fixture derivation, not request work (round-7 verdict #5).
 """
 
 from __future__ import annotations
@@ -183,29 +193,103 @@ ORDER BY section, metric, label
     "directly comparable to the sum-of-parts the reference pays.  "
     "Domain frames derive from the fixture tables by pure column "
     "arithmetic (module docstring) — identical expressions on the "
-    "oracle side.  Scale: every branch filters politician_id FIRST, "
-    "dims broadcast, list parts are top-k windows; at 100 TB the "
-    "donations fact is partition/bucket-laid on politician_id "
-    "(storage.py) so the request touches one bucket per table.",
+    "oracle side — and are MATERIALIZED once per corpus "
+    "(ensure_domain_store, round-8): partition-laid on politician_id "
+    "so the request partition-prunes to 1/149th of each fact, and "
+    "served via the SQL-text variant (politician_report_sql) whose "
+    "one-shot parse+analyze replaces ~0.55 s of py4j plan "
+    "construction.  Measured sf0.1 isolated: ~0.6-0.7 s/request.  At "
+    "100 TB the same layout means the request touches one bucket per "
+    "table.",
 )
 def q_metrics_bundle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from politician_etl_project_spark.metrics import politician_report
+    from politician_etl_project_spark.metrics import politician_report_sql
 
+    # the SQL-text serving variant (one JVM parse+analyze instead of
+    # ~0.55 s of per-transform py4j construction — metrics.py docstring);
+    # row-for-row equal to metrics.politician_report by test
     frames = domain_frames(spark, sf_dir)
-    return politician_report(
-        frames["donations"],
-        frames["donors"],
-        frames["bills"],
-        frames["cosponsors"],
-        frames["votes"],
-        _PID,
+    return politician_report_sql(frames, _PID)
+
+
+_DOMAIN_TABLES = ("donations", "donors", "bills", "cosponsors", "votes", "politicians")
+# politician-keyed facts get a partition layout on their probe column so
+# a single-politician request partition-prunes to 1/149th of each fact
+_DOMAIN_PARTITION_COL = {"donations": "politician_id", "cosponsors": "politician_id", "votes": "politician_id"}
+
+
+def ensure_domain_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the five politician-domain tables once per corpus
+    (round-7 verdict #5): a migrating user's donations/votes/bills ARE
+    materialized tables — re-deriving them per request (including two
+    ``distinct()`` shuffles over lineitem) measured fixture derivation,
+    not request work.  Build-once /tmp store with the shared
+    ensure_built_dir discipline; politician-keyed facts are
+    ``partitionBy(politician_id)`` (repartitioned on the partition
+    column first — the stored-index layout rule — so each of the 149
+    politician directories holds ONE file, not one per shuffle
+    partition), which is exactly the bucket layout the 100 TB note in
+    q_metrics_bundle_e2e's docstring promises: a politician-detail
+    request touches one partition per fact."""
+    import os
+    import tempfile
+
+    from politician_etl_project_spark.catalog import ensure_built_dir, tmp_cache_key
+
+    key = tmp_cache_key(
+        sf_dir, "orders.parquet", "part.parquet", "lineitem.parquet", version="domain-v2"
     )
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_domain_{key}")
+
+    def _build(staging: str) -> None:
+        frames = derive_domain_frames(spark, sf_dir)
+        for name, df in frames.items():
+            part_col = _DOMAIN_PARTITION_COL.get(name)
+            target = os.path.join(staging, name)
+            if part_col:
+                df.repartition(part_col).write.partitionBy(part_col).parquet(target)
+            else:
+                df.write.parquet(target)
+
+    return ensure_built_dir(path, _build)
+
+
+_FRAME_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The politician-domain tables AS A MATERIALIZED STORE (what a
+    migrating user actually has) — shared by q_metrics_bundle_e2e and
+    by bench.py's sum-of-parts comparison entry.  Partition columns are
+    cast back to bigint (parquet partition discovery infers int32).
+
+    DataFrame handles are cached per (session, store): re-reading the
+    store per request re-runs parquet file listing over 149 partition
+    directories per fact (~0.3 s × 6 tables, measured) — a serving
+    system holds its table handles open.  Stores are immutable once
+    published (ensure_built_dir), so the cache can never serve a stale
+    layout; clearCache() doesn't touch it because nothing is persisted,
+    only the file-index/plan objects are reused."""
+    import os
+
+    store = ensure_domain_store(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, store)
+    if key not in _FRAME_CACHE:
+        out: dict[str, DataFrame] = {}
+        for name in _DOMAIN_TABLES:
+            df = spark.read.parquet(os.path.join(store, name))
+            part_col = _DOMAIN_PARTITION_COL.get(name)
+            if part_col:
+                df = df.withColumn(part_col, F.col(part_col).cast("bigint"))
+            out[name] = df
+        _FRAME_CACHE[key] = out
+    return dict(_FRAME_CACHE[key])
+
+
+def derive_domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The politician-domain projection of the fixture tables (module
-    docstring) — shared by q_metrics_bundle_e2e and by bench.py's
-    sum-of-parts comparison entry."""
+    docstring) — the DERIVATION feeding ensure_domain_store's one-time
+    build."""
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -235,10 +319,21 @@ def domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             "official_bill_number"
         ),
         F.col("p_name").alias("title"),
-        F.lit(118).alias("congress"),
+        (F.lit(115) + F.col("p_partkey") % 4).alias("congress"),
         F.date_add(
             F.to_date(F.lit("2023-01-01")), (F.col("p_partkey") % 700).cast("int")
         ).alias("date_introduced"),
+    )
+    politicians = spark.range(1, 150).select(
+        F.col("id").alias("politician_id"),
+        F.lit("POL").alias("first_name"),
+        F.concat(F.lit("P"), F.col("id").cast("string")).alias("last_name"),
+        F.when(F.col("id") % 5 == 0, "Senate").otherwise("House").alias("chamber"),
+        F.when(F.col("id") % 3 == 0, "D")
+        .when(F.col("id") % 3 == 1, "R")
+        .otherwise("I")
+        .alias("party"),
+        F.concat(F.lit("ST"), (F.col("id") % 50).cast("string")).alias("state"),
     )
     cosponsors = lineitem.select(
         F.col("l_partkey").alias("bill_id"),
@@ -279,4 +374,144 @@ def domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "bills": bills,
         "cosponsors": cosponsors,
         "votes": votes,
+        "politicians": politicians,
     }
+
+
+_SCOPE_ORACLE = """
+WITH pols AS (
+  SELECT i AS politician_id,
+         CASE WHEN i % 5 = 0 THEN 'Senate' ELSE 'House' END AS chamber,
+         CASE WHEN i % 3 = 0 THEN 'D' WHEN i % 3 = 1 THEN 'R' ELSE 'I' END AS party,
+         'ST' || CAST(i % 50 AS VARCHAR) AS state,
+         'POL P' || CAST(i AS VARCHAR) AS name
+  FROM range(1, 150) t(i)
+),
+scope AS (SELECT * FROM pols WHERE chamber = 'House'),
+don AS (
+  SELECT o_custkey % 149 + 1 AS politician_id,
+         o_orderkey % 1009 AS donor_id,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS amount
+  FROM orders
+),
+dnr AS (
+  SELECT DISTINCT donor_id,
+         'DONOR ' || CAST(donor_id AS VARCHAR) AS name,
+         CASE WHEN donor_id % 4 = 0 THEN 'PAC'
+              WHEN donor_id % 4 = 1 THEN 'IND'
+              ELSE 'ORG' END AS donor_type
+  FROM don
+),
+sdon AS (
+  SELECT d.donor_id, d.amount, n.name AS dname, n.donor_type
+  FROM don d
+  JOIN dnr n USING (donor_id)
+  JOIN scope s USING (politician_id)
+),
+bil AS (
+  SELECT p_partkey AS bill_id,
+         p_partkey % 149 + 1 AS sponsor_id,
+         115 + p_partkey % 4 AS congress
+  FROM part
+),
+cbil AS (SELECT bill_id FROM bil WHERE congress = 117),
+cos AS (
+  SELECT DISTINCT l_partkey AS bill_id,
+         l_suppkey % 149 + 1 AS politician_id,
+         (l_partkey + l_suppkey % 149 + 1) % 2 = 0 AS is_original_cosponsor
+  FROM lineitem
+),
+scos AS (
+  SELECT c.* FROM cos c JOIN scope USING (politician_id) JOIN cbil USING (bill_id)
+),
+vot AS (
+  SELECT DISTINCT l_orderkey % 149 + 1 AS politician_id,
+         l_partkey AS bill_id,
+         l_shipdate AS date
+  FROM lineitem
+),
+svot AS (
+  SELECT v.*,
+         ['Yea','Nay','Present'][CAST((v.bill_id + v.politician_id
+            + date_diff('day', DATE '1970-01-01', v.date)) % 3 AS INTEGER) + 1]
+           AS vote_position
+  FROM vot v JOIN scope USING (politician_id) JOIN cbil USING (bill_id)
+),
+bt AS (SELECT donor_type AS dt, SUM(amount) AS total FROM sdon GROUP BY 1),
+top AS (
+  SELECT dname, donor_id, SUM(amount) AS td
+  FROM sdon GROUP BY donor_id, dname, donor_type
+  ORDER BY td DESC, dname, donor_id LIMIT 10
+),
+vp AS (
+  SELECT COALESCE(vote_position, 'Unknown') AS pos, COUNT(*) AS n FROM svot GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 'scope' AS section, 'member' AS metric,
+         name || '|' || party || '|' || state AS label,
+         CAST(politician_id AS DOUBLE) AS value
+  FROM scope
+  UNION ALL
+  SELECT 'scope', 'n_politicians', '', CAST(COUNT(*) AS DOUBLE) FROM scope
+  UNION ALL
+  SELECT 'financial', 'total_amount', '',
+         CAST(COALESCE(SUM(amount), 0) AS DOUBLE) FROM sdon
+  UNION ALL
+  SELECT 'financial', 'n_donations', '', CAST(COUNT(*) AS DOUBLE) FROM sdon
+  UNION ALL
+  SELECT 'financial', 'by_type_total', dt, CAST(total AS DOUBLE) FROM bt
+  UNION ALL
+  SELECT 'financial', printf('top_donor_%02d',
+           ROW_NUMBER() OVER (ORDER BY td DESC, dname, donor_id)),
+         dname, CAST(td AS DOUBLE) FROM top
+  UNION ALL
+  SELECT 'legislative', 'sponsored', '', CAST(COUNT(*) AS DOUBLE)
+  FROM bil b JOIN scope s ON b.sponsor_id = s.politician_id
+  WHERE b.congress = 117
+  UNION ALL
+  SELECT 'legislative', 'cosponsored_original', '',
+         CAST(COALESCE(SUM(CASE WHEN is_original_cosponsor THEN 1 ELSE 0 END), 0) AS DOUBLE)
+  FROM scos
+  UNION ALL
+  SELECT 'legislative', 'cosponsored_later', '',
+         CAST(COALESCE(SUM(CASE WHEN is_original_cosponsor THEN 0 ELSE 1 END), 0) AS DOUBLE)
+  FROM scos
+  UNION ALL
+  SELECT 'legislative', 'total_cosponsored', '', CAST(COUNT(*) AS DOUBLE) FROM scos
+  UNION ALL
+  SELECT 'voting', 'position_n', pos, CAST(n AS DOUBLE) FROM vp
+  UNION ALL
+  SELECT 'voting', 'position_n', 'TOTAL', CAST(COUNT(*) AS DOUBLE) FROM svot
+)
+ORDER BY section, metric, label
+"""
+
+
+@declared_query(
+    "q_scope_metrics_e2e",
+    oracle=_SCOPE_ORACLE,
+    ops=("A2", "A5", "A6", "A11", "J7", "P8", "O3", "U1", "A10"),
+    doc="ONE scope-metrics request end to end (round-7 verdict #6 — "
+    "the scope twin of q_metrics_bundle_e2e): GET /metrics/chamber/"
+    "house?congress=117, which the reference answers with ~8 "
+    "sequential ORM queries re-filtering a driver-side IN-list "
+    "(app/metrics.py:245-334; shared engine :133-519), served as a "
+    "single unioned long-format frame (metrics.scope_report over "
+    "metrics.scope_metrics).  Exercises the broadcast "
+    "politician-scope semi-join against every fact, the broadcast "
+    "bill-id semi-join for the congress filter on cosponsors/votes, "
+    "and the grouping/rollup votes total ('TOTAL' row) — all branch "
+    "stages scheduled concurrently in ONE action.  Domain tables come "
+    "from the materialized /tmp store (ensure_domain_store): "
+    "politician-keyed facts are partition-laid on politician_id, the "
+    "layout the 100 TB design note promises.",
+)
+def q_scope_metrics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.metrics import scope_report_sql
+
+    # SQL-text serving variant (one JVM parse+analyze; row-for-row equal
+    # to metrics.scope_report by test)
+    frames = domain_frames(spark, sf_dir)
+    tables = dict(frames)
+    tables["bill_cosponsors"] = tables.pop("cosponsors")
+    return scope_report_sql(tables, chamber="house", congress=117)
