@@ -376,18 +376,48 @@ def test_connected_components_matches_union_find(spark, edges):
 def test_connected_components_chain_and_star(spark):
     """A 40-node path (worst case for naive propagation) plus a hub star
     and an isolated pair — converges in O(log^2 n) star rounds and lands
-    every node on the component minimum."""
+    every node on the component minimum.  Run through BOTH physical
+    strategies (driver union-find and distributed star rounds, round-8
+    size-adaptive split) — they must agree exactly."""
     from politician_etl_project_spark.operators.components import connected_components
 
     chain = [(i, i + 1) for i in range(100, 140)]
     star = [(7, i) for i in range(200, 220)]
     pair = [(998, 999), (999, 998), (998, 998)]  # reversed dup + self-loop
     df = spark.createDataFrame(chain + star + pair, "id_a int, id_b int")
-    got = {(r["node"], r["component"]) for r in connected_components(df).collect()}
-    assert {(i, 100) for i in range(100, 141)} <= got
-    assert {(i, 7) for i in range(200, 220)} <= got
-    assert (999, 998) in got and (998, 998) in got
-    assert len(got) == 41 + 21 + 2
+    expected = (
+        {(i, 100) for i in range(100, 141)}
+        | {(i, 7) for i in range(200, 220)} | {(7, 7)}
+        | {(999, 998), (998, 998)}
+    )
+    for threshold in (None, 0):  # None -> driver path here; 0 -> star rounds
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(df, driver_threshold=threshold).collect()
+        }
+        assert got == expected, f"strategy driver_threshold={threshold} diverged"
+
+
+def test_connected_components_strategies_agree_on_random_graph(spark):
+    """The size-adaptive strategies must be indistinguishable: a
+    seeded random graph (dense enough for multi-round star convergence)
+    through the distributed path equals the driver union-find path."""
+    import random
+
+    from politician_etl_project_spark.operators.components import connected_components
+
+    rng = random.Random(20260815)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    driver = {
+        (r["node"], r["component"])
+        for r in connected_components(df, driver_threshold=10**6).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert driver == dist and len(driver) > 100
 
 
 @given(
