@@ -27,76 +27,34 @@ import os
 from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, declared_query
 
 DRIVER_WINDOW = [
-    # --- ROUND-7 WINDOW (driver checks [:50]) ---
-    # Slots 1-2: queries NEW this round — the watermark late-drop run
-    # through the LIVE Structured Streaming path (windowed_totals over
-    # a 3-file staging, genuine numRowsDroppedByWatermark), and the
-    # politician-detail request served as ONE action
-    # (metrics.politician_report over the serving.py domain mapping).
-    # Slots 3-6: sentinels for code REWRITTEN in round 7 (r6 greens
-    # predate the edits): storage.py stat normalization went
-    # type-driven (q_stats_prune), the BM25 extend publish is now
-    # journaled (q_bm25_index_extend), paginate_partitioned fails
-    # loudly on missing item envelopes (q_src_members), and
-    # _decode_wav gained truncation guards (q_media_decode_real).
-    # Slots 7-14: the 8 queries whose latest driver check is ROUND 2 —
-    # the stalest evidence left (r6 verdict item 1).
-    # Slots 15-50: the 36 alphabetically-first of the 47 round-3-stale
-    # names; the remaining 11 lead the tail and rotate in round 8.
+    # --- ROUND-8 WINDOW (driver checks [:50]) ---
+    # Slots 1-3: queries NEW this round — the scope-metrics request
+    # (chamber+congress) end to end, the dashboard stats panel as one
+    # unioned action, and the committee roster ranking — the last
+    # reference endpoint families promoted to the driver gate.
+    # Slots 4-9: sentinels for code REWRITTEN in round 8 (prior greens
+    # predate the edits): q_metrics_bundle_e2e moved to the materialized
+    # domain store + SQL-text serving variant AND its cosponsor flag
+    # became a pure function of the dedup key (oracle changed with it);
+    # q_bm25_index_extend's recover path now reaps orphaned .old-* dirs;
+    # the four cluster queries run on the size-adaptive
+    # connected-components (driver union-find under 1M edges).
+    # Slots 10-20: the 11 queries whose latest driver check is ROUND 3 —
+    # the stalest evidence left (r7 verdict #1).
+    # Slots 21-50: the 30 alphabetically-first round-4-stale names; the
+    # 16 remaining r4 names lead the tail and rotate in round 9.
     # tests/test_window.py asserts this composition mechanically
-    # (never-checked ⊆ head; non-sentinel verified head slots are no
-    # fresher than any verified name left outside).
-    "q_watermark_latedrop",
+    # (never-checked ⊆ head; non-sentinel verified head slots no fresher
+    # than any verified name outside, judged boundary-aware).
+    "q_scope_metrics_e2e",
+    "q_dashboard_stats_e2e",
+    "q_committee_roster_e2e",
     "q_metrics_bundle_e2e",
-    "q_stats_prune",
     "q_bm25_index_extend",
-    "q_src_members",
-    "q_media_decode_real",
-    "q_range_join",
-    "q_sequence_packing",
-    "q_surrogate_ids",
-    "q_token_stats",
-    "q_train_shuffle",
-    "q_tumbling_window",
-    "q_vector_norms",
-    "q_watermark_cutoff",
-    "q_ann_batch",
-    "q_approx_sketches",
-    "q_boilerplate_shingles",
-    "q_bpe_merge_candidates",
-    "q_bpe_token_count",
-    "q_child_roster_page",
-    "q_context_windows",
-    "q_corpus_stats",
-    "q_cube_matrix",
-    "q_decontamination",
+    "q_dup_clusters",
     "q_dedup_survivors",
-    "q_embed_dup_clusters",
-    "q_entity_navigation",
-    "q_event_funnel",
-    "q_format_report",
     "q_funnel_clusters",
-    "q_grouping_sets",
-    "q_hll_mergeable",
-    "q_label_centroid",
-    "q_lang_id",
-    "q_list_endpoint_page",
-    "q_media_metadata",
-    "q_near_dup_pairs",
-    "q_ngram_jaccard_pairs",
-    "q_percentiles",
-    "q_pii_scrub",
-    "q_pivot_status_matrix",
-    "q_repetition_filter",
-    "q_retention_cohorts",
-    "q_rolling_fingerprint",
-    "q_rollup_hierarchy",
-    "q_scd2_history",
-    "q_session_windows",
-    "q_simhash",
-    "q_sliding_window",
-    "q_src_bills_xml",
-    # --- tail: next-stalest first (driver reads [:50] only) ---
+    "q_embed_dup_clusters",
     "q_src_committees_yaml",
     "q_src_fec_csv",
     "q_stratified_sample",
@@ -176,7 +134,6 @@ DRIVER_WINDOW = [
     "q_dedup_exact",
     "q_dedup_incremental",
     "q_domain_stats",
-    "q_dup_clusters",
     "q_embed_near_dup",
     "q_event_dedup",
     "q_fact_dim_rollup",
@@ -246,16 +203,63 @@ DRIVER_WINDOW = [
     "q_src_jdbc",
     "q_topk_customers",
     "q_union_distinct",
+    "q_ann_batch",
+    "q_approx_sketches",
+    "q_boilerplate_shingles",
+    "q_bpe_merge_candidates",
+    "q_bpe_token_count",
+    "q_child_roster_page",
+    "q_context_windows",
+    "q_corpus_stats",
+    "q_cube_matrix",
+    "q_decontamination",
+    "q_entity_navigation",
+    "q_event_funnel",
+    "q_format_report",
+    "q_grouping_sets",
+    "q_hll_mergeable",
+    "q_label_centroid",
+    "q_lang_id",
+    "q_list_endpoint_page",
+    "q_media_decode_real",
+    "q_media_metadata",
+    "q_near_dup_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_percentiles",
+    "q_pii_scrub",
+    "q_pivot_status_matrix",
+    "q_range_join",
+    "q_repetition_filter",
+    "q_retention_cohorts",
+    "q_rolling_fingerprint",
+    "q_rollup_hierarchy",
+    "q_scd2_history",
+    "q_sequence_packing",
+    "q_session_windows",
+    "q_simhash",
+    "q_sliding_window",
+    "q_src_bills_xml",
+    "q_src_members",
+    "q_stats_prune",
+    "q_surrogate_ids",
+    "q_token_stats",
+    "q_train_shuffle",
+    "q_tumbling_window",
+    "q_vector_norms",
+    "q_watermark_cutoff",
+    "q_watermark_latedrop",
 ]
 
 # Sentinels: head slots re-verifying queries whose implementation changed
 # THIS round (their prior green predates the edit) — exempt from the
 # stalest-first head rule, bounded to keep rotation honest.
 WINDOW_SENTINELS = [
-    "q_stats_prune",
+    "q_metrics_bundle_e2e",
     "q_bm25_index_extend",
-    "q_src_members",
-    "q_media_decode_real",
+    "q_dup_clusters",
+    "q_dedup_survivors",
+    "q_funnel_clusters",
+    "q_embed_dup_clusters",
 ]
 
 _ORACLE_TABLES = (

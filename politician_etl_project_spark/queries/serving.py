@@ -28,9 +28,14 @@ oracle SQL — no staged fixture, no RNG):
   position a pure function of that key — which also makes the
   recent-votes ordering (date desc, bill_number) a total order
 - politicians <- the id range 1..149 (chamber = Senate when id % 5 = 0
-  else House, party by id % 3, state 'ST'||id % 50, name 'POL P'||id)
+  else House, party by id % 3, state 'ST'||id % 50, name 'POL P'||id,
+  is_active = id % 7 != 0)
 - bills carry congress = 115 + p_partkey % 4, so congress-scoped
   requests prune a real subset
+- assignments <- supplier (committee 'C'||s_nationkey, DISTINCT
+  (committee, politician) with role/party a pure function of the key
+  and rank = politician_id so the roster window is a total order);
+  committees <- nation
 
 Politician 7 is probed: customer keys start at 1 at every sf, and every
 derived politician id lands in 1..149, so the request is non-empty from
@@ -212,7 +217,16 @@ def q_metrics_bundle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return politician_report_sql(frames, _PID)
 
 
-_DOMAIN_TABLES = ("donations", "donors", "bills", "cosponsors", "votes", "politicians")
+_DOMAIN_TABLES = (
+    "donations",
+    "donors",
+    "bills",
+    "cosponsors",
+    "votes",
+    "politicians",
+    "assignments",
+    "committees",
+)
 # politician-keyed facts get a partition layout on their probe column so
 # a single-politician request partition-prunes to 1/149th of each fact
 _DOMAIN_PARTITION_COL = {"donations": "politician_id", "cosponsors": "politician_id", "votes": "politician_id"}
@@ -237,7 +251,13 @@ def ensure_domain_store(spark: SparkSession, sf_dir: str) -> str:
     from politician_etl_project_spark.catalog import ensure_built_dir, tmp_cache_key
 
     key = tmp_cache_key(
-        sf_dir, "orders.parquet", "part.parquet", "lineitem.parquet", version="domain-v2"
+        sf_dir,
+        "orders.parquet",
+        "part.parquet",
+        "lineitem.parquet",
+        "supplier.parquet",
+        "nation.parquet",
+        version="domain-v3",
     )
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_domain_{key}")
 
@@ -334,6 +354,37 @@ def derive_domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
         .otherwise("I")
         .alias("party"),
         F.concat(F.lit("ST"), (F.col("id") % 50).cast("string")).alias("state"),
+        (F.col("id") % 7 != 0).alias("is_active"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    # committee roster: DISTINCT (committee, politician) with every
+    # attribute a pure function of the DEDUP KEY (the serving.py
+    # cosponsor lesson); rank = politician_id keeps the majority-first
+    # roster window a total order
+    assignments = (
+        supplier.select(
+            F.concat(F.lit("C"), F.col("s_nationkey").cast("string")).alias("committee_id"),
+            (F.col("s_suppkey") % 149 + 1).alias("politician_id"),
+        )
+        .distinct()
+        .select(
+            "committee_id",
+            "politician_id",
+            F.when(F.col("politician_id") % 37 == 0, "Chair")
+            .when(F.col("politician_id") % 5 == 0, "Ranking Member")
+            .otherwise("Member")
+            .alias("role"),
+            F.when(F.col("politician_id") % 3 == 0, "majority")
+            .otherwise("minority")
+            .alias("party"),
+            F.col("politician_id").alias("rank"),
+        )
+    )
+    committees = nation.select(
+        F.concat(F.lit("C"), F.col("n_nationkey").cast("string")).alias("committee_id"),
+        F.col("n_name").alias("name"),
+        F.when(F.col("n_nationkey") % 2 == 0, "House").otherwise("Senate").alias("chamber"),
     )
     cosponsors = lineitem.select(
         F.col("l_partkey").alias("bill_id"),
@@ -375,6 +426,8 @@ def derive_domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFram
         "cosponsors": cosponsors,
         "votes": votes,
         "politicians": politicians,
+        "assignments": assignments,
+        "committees": committees,
     }
 
 
@@ -515,3 +568,116 @@ def q_scope_metrics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = dict(frames)
     tables["bill_cosponsors"] = tables.pop("cosponsors")
     return scope_report_sql(tables, chamber="house", congress=117)
+
+
+_DASHBOARD_ORACLE = """
+WITH pols AS (
+  SELECT i AS politician_id,
+         CASE WHEN i % 5 = 0 THEN 'Senate' ELSE 'House' END AS chamber,
+         i % 7 <> 0 AS is_active
+  FROM range(1, 150) t(i)
+),
+don AS (SELECT o_orderkey % 1009 AS donor_id FROM orders),
+vot AS (
+  SELECT DISTINCT l_orderkey % 149 + 1 AS politician_id,
+         l_partkey AS bill_id, l_shipdate AS date
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'politicians_total' AS stat, COUNT(*) AS value FROM pols
+  UNION ALL
+  SELECT 'politicians_active', COUNT(*) FROM pols WHERE is_active
+  UNION ALL
+  SELECT 'politicians_house', COUNT(*) FROM pols WHERE chamber = 'House'
+  UNION ALL
+  SELECT 'politicians_senate', COUNT(*) FROM pols WHERE chamber = 'Senate'
+  UNION ALL
+  SELECT 'donors_total', COUNT(DISTINCT donor_id) FROM don
+  UNION ALL
+  SELECT 'donations_total', COUNT(*) FROM orders
+  UNION ALL
+  SELECT 'bills_total', COUNT(*) FROM part
+  UNION ALL
+  SELECT 'votes_total', COUNT(*) FROM vot
+)
+ORDER BY stat
+"""
+
+
+@declared_query(
+    "q_dashboard_stats_e2e",
+    oracle=_DASHBOARD_ORACLE,
+    ops=("A5", "A11", "U1"),
+    doc="The reference's dashboard stats panel END TO END "
+    "(app/main.py:144-168: EIGHT sequential COUNT queries, one Postgres "
+    "round trip each) as ONE unioned job (metrics.dashboard_stats) over "
+    "the materialized domain store — the A11 multi-table-stats pattern "
+    "promoted to the driver gate.  Spark runs the eight count branches "
+    "concurrently in a single action; counts on the politician dim come "
+    "from conditional filters on one broadcast-sized scan.",
+)
+def q_dashboard_stats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.metrics import dashboard_stats
+
+    frames = domain_frames(spark, sf_dir)
+    return dashboard_stats(
+        {
+            "politicians": frames["politicians"],
+            "donors": frames["donors"],
+            "donations": frames["donations"],
+            "bills": frames["bills"],
+            "votes": frames["votes"],
+        }
+    )
+
+
+_COMMITTEE_ORACLE = """
+WITH asg AS (
+  SELECT DISTINCT 'C' || CAST(s_nationkey AS VARCHAR) AS committee_id,
+         s_suppkey % 149 + 1 AS politician_id
+  FROM supplier
+),
+r AS (
+  SELECT politician_id,
+         CASE WHEN politician_id % 37 = 0 THEN 'Chair'
+              WHEN politician_id % 5 = 0 THEN 'Ranking Member'
+              ELSE 'Member' END AS role,
+         CASE WHEN politician_id % 3 = 0 THEN 'majority' ELSE 'minority' END AS party,
+         politician_id AS rank
+  FROM asg WHERE committee_id = 'C3'
+)
+SELECT ROW_NUMBER() OVER (
+         ORDER BY CASE WHEN party = 'majority' THEN 0 ELSE 1 END, rank
+       ) AS order_in_roster,
+       'POL P' || CAST(politician_id AS VARCHAR) AS member_name,
+       role, party, CAST(rank AS BIGINT) AS rank
+FROM r
+ORDER BY order_in_roster
+"""
+
+
+@declared_query(
+    "q_committee_roster_e2e",
+    oracle=_COMMITTEE_ORACLE,
+    ops=("W2", "J7", "P2"),
+    doc="GET /committees/{id} roster END TO END "
+    "(metrics.committee_metrics; reference app/metrics.py:520-683 sorts "
+    "the roster in Python, :635): members of one committee ranked "
+    "majority-first then by rank — the W2 display-ranking window — with "
+    "the member-name lookup as a broadcast join against the politician "
+    "dim.  Domain: assignments derive from supplier with every roster "
+    "attribute a pure function of the DISTINCT (committee, politician) "
+    "key and rank = politician_id, keeping the window a total order "
+    "(the cosponsor value-stability lesson).  Closes the last "
+    "pytest-only reference endpoint family (committee bundles).",
+)
+def q_committee_roster_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.metrics import committee_metrics
+
+    frames = domain_frames(spark, sf_dir)
+    roster = committee_metrics(
+        frames["assignments"], frames["committees"], frames["politicians"], "C3"
+    )["roster"]
+    return roster.withColumn(
+        "order_in_roster", F.col("order_in_roster").cast("bigint")
+    ).orderBy("order_in_roster")
