@@ -182,3 +182,27 @@ def test_bench_exclusions_are_registered_and_reasoned():
         assert name in specs, f"BENCH_EXCLUDED names unknown query {name}"
         assert len(reason) > 40, f"exclusion reason for {name} too thin"
     assert len(bench.BENCH_EXCLUDED) <= 5, "exclusion list must stay short"
+
+
+def test_generated_docs_match_registry_count():
+    """Count tripwire for the generated docs (r7 verdict #2: PLANS.md /
+    SHUFFLE.md / COVERAGE.md silently lagged the registry by two
+    queries for a whole round).  Each generated doc embeds the registry
+    size at generation time; a registry that grew without regenerating
+    the docs fails here."""
+    import re
+
+    n = len(load_all())
+    checks = {
+        "PLANS.md": r"\((\d+) queries\)",
+        "SHUFFLE.md": r"across (\d+) queries",
+        "COVERAGE.md": r"Registry at generation time: (\d+) queries",
+    }
+    for doc, pat in checks.items():
+        text = open(os.path.join(REPO_ROOT, doc)).read()
+        m = re.search(pat, text)
+        assert m, f"{doc} lost its registry-count line (pattern {pat!r})"
+        assert int(m.group(1)) == n, (
+            f"{doc} was generated at {m.group(1)} queries, registry has {n} — "
+            f"rerun tools/gen_{doc.split('.')[0].lower()}.py"
+        )

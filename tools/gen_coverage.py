@@ -132,6 +132,7 @@ def main() -> None:
         "",
         "Generated by `tools/gen_coverage.py`.  \"(oracle)\" = declared query",
         "hash-compared against DuckDB at sf0.01 by the driver each round.",
+        f"Registry at generation time: {len(specs)} queries.",
         "",
     ]
     missing = []
