@@ -28,6 +28,9 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 
 DRIVER_WINDOW = [
     # --- ROUND-8 WINDOW (driver checks [:50]) ---
+    # Slot 1: q_stateful_totals_live — NEW, the D5 stateful-UDAF
+    # family's first oracle-checked witness (live
+    # applyInPandasWithState, exact integer-cents state).
     # Slots 1-3: queries NEW this round — the scope-metrics request
     # (chamber+congress) end to end, the dashboard stats panel as one
     # unioned action, and the committee roster ranking — the last
@@ -46,6 +49,7 @@ DRIVER_WINDOW = [
     # tests/test_window.py asserts this composition mechanically
     # (never-checked ⊆ head; non-sentinel verified head slots no fresher
     # than any verified name outside, judged boundary-aware).
+    "q_stateful_totals_live",
     "q_scope_metrics_e2e",
     "q_dashboard_stats_e2e",
     "q_committee_roster_e2e",
@@ -249,6 +253,7 @@ DRIVER_WINDOW = [
     "q_watermark_cutoff",
     "q_watermark_latedrop",
 ]
+
 
 # Sentinels: head slots re-verifying queries whose implementation changed
 # THIS round (their prior green predates the edit) — exempt from the

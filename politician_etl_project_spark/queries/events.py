@@ -773,3 +773,113 @@ def q_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname).orderBy("window_start", "event_type")
+
+
+def _stateful_staging(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture as 3 time-tercile files so users appear
+    in MULTIPLE micro-batches (maxFilesPerTrigger=1) and the
+    applyInPandasWithState accumulator genuinely carries state across
+    batches — a single-file input would reduce it to a per-batch
+    groupBy.  Same idempotent /tmp discipline as _latedrop_staging."""
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(f"{src}|{st.st_mtime_ns}|{st.st_size}|v1".encode()).hexdigest()[:12]
+    base = f"/tmp/spark_graft_stateful_{key}"
+    inp = os.path.join(base, "input")
+    if os.path.isdir(inp):
+        return inp
+
+    events = load_table(spark, sf_dir, "events")
+    lohi = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = lohi["lo"], lohi["hi"]
+    span = hi - lo
+    c1 = lo + span / 3
+    c2 = lo + 2 * span / 3
+
+    tmp = f"{base}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "input"))
+
+    def _one_file(df, name: str, mtime: float) -> None:
+        stage = os.path.join(tmp, "write")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = os.path.join(tmp, "input", name)
+        shutil.move(os.path.join(stage, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = time.time()
+    _one_file(events.filter(F.col("ts") < F.lit(c1)), "chunk-000.parquet", now - 100)
+    _one_file(
+        events.filter((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        "chunk-001.parquet",
+        now - 50,
+    )
+    _one_file(events.filter(F.col("ts") >= F.lit(c2)), "chunk-002.parquet", now)
+    shutil.rmtree(os.path.join(tmp, "write"), ignore_errors=True)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return inp
+
+
+@declared_query(
+    "q_stateful_totals_live",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    ops=("D5", "T5", "A2"),
+    doc="Custom stateful aggregation (D5) run through the LIVE "
+    "applyInPandasWithState path and hash-checked against a plain SQL "
+    "GROUP BY — previously this operator family was pytest-pinned only "
+    "(no oracle).  The events fixture streams as 3 time-tercile files "
+    "(one micro-batch each, Trigger.AvailableNow), so per-user state "
+    "(event count + exact integer-cents total, "
+    "streaming/pipelines.user_running_totals_exact) is carried across "
+    "batches in the state store and re-emitted per batch in update "
+    "mode; the final emission per user — selected by max n_events, "
+    "which strictly increases — must equal the global aggregate "
+    "exactly.  Exactness is by construction: cents accumulate in "
+    "int64, so batch split and accumulation order cannot perturb the "
+    "hash (the float twin user_running_totals keeps pytest coverage).  "
+    "Reference analog: the donor-totals dict the update scripts carry "
+    "across chunks (scripts/update_donations.py:237).  Scale: state is "
+    "one 16-byte tuple per user, Arrow-batched; the memory sink is a "
+    "test harness — foreachBatch/parquet swaps in unchanged.",
+)
+def q_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from politician_etl_project_spark.streaming.pipelines import user_running_totals_exact
+    from politician_etl_project_spark.streaming.sources import EVENTS_SCHEMA, run_to_memory
+
+    inp = _stateful_staging(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    emissions = run_to_memory(
+        user_running_totals_exact(stream),
+        f"stateful_totals_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    return (
+        emissions.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(total_cents, n_events)").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )

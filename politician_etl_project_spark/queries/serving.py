@@ -289,20 +289,25 @@ def domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     system holds its table handles open.  Stores are immutable once
     published (ensure_built_dir), so the cache can never serve a stale
     layout; clearCache() doesn't touch it because nothing is persisted,
-    only the file-index/plan objects are reused."""
+    only the file-index/plan objects are reused.
+
+    Reads use the derivation's statically-known schema rather than
+    inference: a partitioned write of an EMPTY fact emits no parquet
+    footers (UNABLE_TO_INFER_SCHEMA on read — the empty-tables suite
+    catches this), and the explicit schema also pins the partition
+    column to bigint instead of the discovered int32."""
     import os
 
     store = ensure_domain_store(spark, sf_dir)
     key = (spark.sparkContext.applicationId, store)
     if key not in _FRAME_CACHE:
-        out: dict[str, DataFrame] = {}
-        for name in _DOMAIN_TABLES:
-            df = spark.read.parquet(os.path.join(store, name))
-            part_col = _DOMAIN_PARTITION_COL.get(name)
-            if part_col:
-                df = df.withColumn(part_col, F.col(part_col).cast("bigint"))
-            out[name] = df
-        _FRAME_CACHE[key] = out
+        derived = derive_domain_frames(spark, sf_dir)  # schemas only, no jobs
+        _FRAME_CACHE[key] = {
+            name: spark.read.schema(derived[name].schema).parquet(
+                os.path.join(store, name)
+            )
+            for name in _DOMAIN_TABLES
+        }
     return dict(_FRAME_CACHE[key])
 
 

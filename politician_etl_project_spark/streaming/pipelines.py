@@ -599,3 +599,56 @@ def snapshot_guarded_append(table, sink: str, batch_df: DataFrame, batch_id: int
     version = table.append(batch_df, op=op)
     table.set_sink_marker(sink, batch_id, version)
     return True
+
+
+_USER_TOTALS_EXACT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+_USER_STATE_EXACT_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+
+def _accumulate_user_exact(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Integer-cents twin of :func:`_accumulate_user`: the value sum is
+    accumulated as ``floor(value*100 + 0.5)`` per row in int64, so the
+    lifetime total is EXACT and independent of both batch split and
+    accumulation order — the property that lets the driver hash-compare
+    the stream's final state against a plain SQL aggregate (float
+    accumulation order would differ between pandas and the engines)."""
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def user_running_totals_exact(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState accumulator with an exact integer-cents
+    total (see :func:`_accumulate_user_exact`) — the oracle-checkable
+    D5 witness: per-user state carried across micro-batches, emitted in
+    update mode each batch the user appears in; the last emission per
+    user equals the batch GROUP BY exactly."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _accumulate_user_exact,
+            outputStructType=_USER_TOTALS_EXACT_SCHEMA,
+            stateStructType=_USER_STATE_EXACT_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
