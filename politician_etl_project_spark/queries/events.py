@@ -797,9 +797,6 @@ def _stateful_staging(spark: SparkSession, sf_dir: str) -> str:
     events = load_table(spark, sf_dir, "events")
     lohi = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
     lo, hi = lohi["lo"], lohi["hi"]
-    span = hi - lo
-    c1 = lo + span / 3
-    c2 = lo + 2 * span / 3
 
     tmp = f"{base}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -814,13 +811,19 @@ def _stateful_staging(spark: SparkSession, sf_dir: str) -> str:
         os.utime(dest, (mtime, mtime))
 
     now = time.time()
-    _one_file(events.filter(F.col("ts") < F.lit(c1)), "chunk-000.parquet", now - 100)
-    _one_file(
-        events.filter((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
-        "chunk-001.parquet",
-        now - 50,
-    )
-    _one_file(events.filter(F.col("ts") >= F.lit(c2)), "chunk-002.parquet", now)
+    if lo is None:  # empty fixture: one empty chunk, one empty batch
+        _one_file(events, "chunk-000.parquet", now)
+    else:
+        span = hi - lo
+        c1 = lo + span / 3
+        c2 = lo + 2 * span / 3
+        _one_file(events.filter(F.col("ts") < F.lit(c1)), "chunk-000.parquet", now - 100)
+        _one_file(
+            events.filter((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+            "chunk-001.parquet",
+            now - 50,
+        )
+        _one_file(events.filter(F.col("ts") >= F.lit(c2)), "chunk-002.parquet", now)
     shutil.rmtree(os.path.join(tmp, "write"), ignore_errors=True)
     try:
         os.rename(tmp, base)
