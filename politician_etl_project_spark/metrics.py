@@ -95,10 +95,19 @@ def legislative_metrics(
     bills."""
     sponsored = bills.filter(F.col("sponsor_id") == politician_id)
     n_sponsored = sponsored.agg(F.count("*").alias("n_sponsored"))
+    # coalesce to 0: SUM over an empty group is NULL, but a politician
+    # with zero cosponsorships has 0 originals, not unknown (round-8:
+    # caught by the SQL-variant equivalence sweep at politician 149,
+    # whose cosponsor slice is empty at sf0.001 — the oracle always
+    # said 0)
     cos = cosponsors.filter(F.col("politician_id") == politician_id).agg(
         F.count("*").alias("n_cosponsored"),
-        F.sum(F.when(F.col("is_original_cosponsor"), 1).otherwise(0)).alias("n_original"),
-        F.sum(F.when(~F.col("is_original_cosponsor"), 1).otherwise(0)).alias("n_joined_later"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_original_cosponsor"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_original"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_original_cosponsor"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_joined_later"),
     )
     recent = (
         sponsored.select("official_bill_number", "congress", "title", "date_introduced")

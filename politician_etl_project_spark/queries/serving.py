@@ -302,10 +302,13 @@ def domain_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, store)
     if key not in _FRAME_CACHE:
         derived = derive_domain_frames(spark, sf_dir)  # schemas only, no jobs
+        # the trailing select restores the derivation's column ORDER:
+        # partitioned reads surface partition columns last regardless of
+        # the user-specified schema
         _FRAME_CACHE[key] = {
-            name: spark.read.schema(derived[name].schema).parquet(
-                os.path.join(store, name)
-            )
+            name: spark.read.schema(derived[name].schema)
+            .parquet(os.path.join(store, name))
+            .select(*derived[name].columns)
             for name in _DOMAIN_TABLES
         }
     return dict(_FRAME_CACHE[key])

@@ -235,6 +235,22 @@ def test_report_sql_equals_dataframe_api(spark):
     )
     sql_rows = sorted(map(tuple, politician_report_sql(frames, _PID).collect()))
     assert df_rows == sql_rows and len(df_rows) > 20
+    for pid in (3, 149):  # other politicians, including the range edge
+        a = sorted(
+            map(
+                tuple,
+                politician_report(
+                    frames["donations"],
+                    frames["donors"],
+                    frames["bills"],
+                    frames["cosponsors"],
+                    frames["votes"],
+                    pid,
+                ).collect(),
+            )
+        )
+        b = sorted(map(tuple, politician_report_sql(frames, pid).collect()))
+        assert a == b, f"report SQL diverged for politician {pid}"
 
     tables = dict(frames)
     tables["bill_cosponsors"] = tables.pop("cosponsors")
@@ -247,3 +263,32 @@ def test_report_sql_equals_dataframe_api(spark):
         a = sorted(map(tuple, scope_report(tables, **kwargs).collect()))
         b = sorted(map(tuple, scope_report_sql(tables, **kwargs).collect()))
         assert a == b and len(a) > 10, f"scope SQL diverged for {kwargs}"
+
+
+def test_domain_store_equals_derivation(spark):
+    """The materialized domain store must hold exactly the derived
+    frames — schema (names, types, nullability-insensitive) and full
+    row multiset per table.  Catches silent drift between
+    ensure_domain_store's build and derive_domain_frames (e.g. a
+    partition column coming back int32, a dropped column, a stale
+    store surviving a derivation change without a version bump)."""
+    from politician_etl_project_spark.queries.serving import (
+        _DOMAIN_TABLES,
+        derive_domain_frames,
+        domain_frames,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stored = domain_frames(spark, sf)
+    derived = derive_domain_frames(spark, sf)
+    assert set(stored) == set(_DOMAIN_TABLES) == set(derived)
+    for name in _DOMAIN_TABLES:
+        s_df, d_df = stored[name], derived[name]
+        assert [(f.name, f.dataType) for f in s_df.schema.fields] == [
+            (f.name, f.dataType) for f in d_df.schema.fields
+        ], f"{name}: stored schema diverged from derivation"
+        cols = sorted(s_df.columns)
+        s_rows = sorted(map(tuple, s_df.select(cols).collect()))
+        d_rows = sorted(map(tuple, d_df.select(cols).collect()))
+        assert s_rows == d_rows, f"{name}: stored rows diverged from derivation"
+        assert len(s_rows) > 0 or name in ("assignments",), f"{name}: empty at sf0.001"
