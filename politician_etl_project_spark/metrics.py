@@ -587,13 +587,15 @@ def scope_metrics(
         )
         cos = cos.join(in_congress, "bill_id", "left_semi")
         votes = votes.join(in_congress, "bill_id", "left_semi")
+    # coalesce to 0 — same empty-scope NULL-sum hazard legislative_metrics
+    # had (an all-Senate scope with a congress that has no cosponsorships)
     cosponsored = cos.agg(
-        F.sum(F.when(F.col("is_original_cosponsor"), 1).otherwise(0)).alias(
-            "cosponsored_original"
-        ),
-        F.sum(F.when(~F.col("is_original_cosponsor"), 1).otherwise(0)).alias(
-            "cosponsored_later"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("is_original_cosponsor"), 1).otherwise(0)), F.lit(0)
+        ).alias("cosponsored_original"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_original_cosponsor"), 1).otherwise(0)), F.lit(0)
+        ).alias("cosponsored_later"),
         F.count("*").alias("total_cosponsored"),
     )
     # rollup: per-position rows AND the grand total in one aggregation

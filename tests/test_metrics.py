@@ -258,11 +258,13 @@ def test_report_sql_equals_dataframe_api(spark):
         {"chamber": "house", "congress": 117},
         {"party": "D"},
         {"ids": [3, 7, 11], "congress": 116},
+        {"ids": [9999]},  # empty scope: every aggregate leg on no rows
         {},
     ):
         a = sorted(map(tuple, scope_report(tables, **kwargs).collect()))
         b = sorted(map(tuple, scope_report_sql(tables, **kwargs).collect()))
-        assert a == b and len(a) > 10, f"scope SQL diverged for {kwargs}"
+        assert a == b, f"scope SQL diverged for {kwargs}"
+        assert len(a) > 10 or kwargs == {"ids": [9999]}
 
 
 def test_domain_store_equals_derivation(spark):
