@@ -852,3 +852,53 @@ def test_latedrop_stream_genuinely_drops_by_watermark(spark):
     assert [r["n_events"] for r in spark.table(qn).collect()] == [
         r["n_events"] for r in spark.table(qn).collect()
     ]
+
+
+def test_stateful_totals_live_state_spans_batches(spark):
+    """The q_stateful_totals_live staging must actually exercise
+    cross-batch state: with 3 time-tercile files at one file per
+    trigger, most users appear in multiple micro-batches, so the update
+    sink holds MULTIPLE emissions per such user with strictly
+    increasing n_events — and the final emission equals the global
+    GROUP BY exactly (integer cents)."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from politician_etl_project_spark.catalog import load_table
+    from politician_etl_project_spark.queries.events import _stateful_staging
+    from politician_etl_project_spark.streaming.pipelines import user_running_totals_exact
+    from politician_etl_project_spark.streaming.sources import EVENTS_SCHEMA, run_to_memory
+
+    sf = "/root/testdata/sf0.001"
+    inp = _stateful_staging(spark, sf)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    emissions = run_to_memory(
+        user_running_totals_exact(stream),
+        f"stateful_span_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    ).collect()
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for r in emissions:
+        per_user.setdefault(r["user_id"], []).append((r["n_events"], r["total_cents"]))
+    multi = [u for u, e in per_user.items() if len(e) > 1]
+    assert multi, "no user spanned more than one micro-batch — staging degenerated"
+    for u in multi:
+        ns = [n for n, _ in sorted(per_user[u])]
+        assert ns == sorted(set(ns)), f"user {u}: n_events must strictly increase"
+    expected = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    final = {u: max(e)[0:2] for u, e in per_user.items()}
+    assert set(final) == set(expected)
+    for u, (n, cents) in expected.items():
+        assert final[u] == (n, cents), f"user {u}: final state diverged from GROUP BY"
