@@ -28,24 +28,26 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 
 DRIVER_WINDOW = [
     # --- ROUND-8 WINDOW (driver checks [:50]) ---
-    # Slot 1: q_stateful_totals_live — NEW, the D5 stateful-UDAF
-    # family's first oracle-checked witness (live
-    # applyInPandasWithState, exact integer-cents state).
-    # Slots 1-3: queries NEW this round — the scope-metrics request
-    # (chamber+congress) end to end, the dashboard stats panel as one
-    # unioned action, and the committee roster ranking — the last
-    # reference endpoint families promoted to the driver gate.
-    # Slots 4-9: sentinels for code REWRITTEN in round 8 (prior greens
+    # Slots 1-7: queries NEW this round — the D5 stateful-UDAF family's
+    # first oracle-checked witness (live applyInPandasWithState, exact
+    # integer-cents state), the scope-metrics request (chamber+congress)
+    # end to end, the dashboard stats panel as one unioned action, the
+    # committee roster ranking, the stream-STREAM interval join through
+    # the live watermarked path (previously pytest-pinned only),
+    # small-file compaction + vacuum as an oracle-checked round trip,
+    # and streaming materialized-view maintenance served from the
+    # live-maintained RollupStore.
+    # Slots 8-13: sentinels for code REWRITTEN in round 8 (prior greens
     # predate the edits): q_metrics_bundle_e2e moved to the materialized
     # domain store + SQL-text serving variant AND its cosponsor flag
     # became a pure function of the dedup key (oracle changed with it);
     # q_bm25_index_extend's recover path now reaps orphaned .old-* dirs;
     # the four cluster queries run on the size-adaptive
     # connected-components (driver union-find under 1M edges).
-    # Slots 10-20: the 11 queries whose latest driver check is ROUND 3 —
+    # Slots 13-23: the 11 queries whose latest driver check is ROUND 3 —
     # the stalest evidence left (r7 verdict #1).
-    # Slots 21-50: the 30 alphabetically-first round-4-stale names; the
-    # 16 remaining r4 names lead the tail and rotate in round 9.
+    # Slots 24-50: the alphabetically-first round-4-stale names; the
+    # remaining r4 names lead the tail and rotate in round 9.
     # tests/test_window.py asserts this composition mechanically
     # (never-checked ⊆ head; non-sentinel verified head slots no fresher
     # than any verified name outside, judged boundary-aware).
@@ -53,6 +55,9 @@ DRIVER_WINDOW = [
     "q_scope_metrics_e2e",
     "q_dashboard_stats_e2e",
     "q_committee_roster_e2e",
+    "q_stream_interval_join_live",
+    "q_compaction_maintenance",
+    "q_rollup_maintenance_live",
     "q_metrics_bundle_e2e",
     "q_bm25_index_extend",
     "q_dup_clusters",

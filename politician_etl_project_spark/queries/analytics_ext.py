@@ -2093,3 +2093,100 @@ def q_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction + vacuum (storage.SnapshotTable maintenance)
+# ---------------------------------------------------------------------------
+
+_COMPACT_APPENDS = 6
+_COMPACT_TARGET = 4
+
+
+def _compaction_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once store that has LIVED the small-files problem and its
+    cure: orders arrive as 6 modulo-slice appends of 8 files each (the
+    one-file-per-micro-batch layout a long-running append stream
+    leaves), then ``compact(target_files=4)`` publishes the rewrite as
+    a new version and ``vacuum(keep_last=1)`` reclaims every
+    pre-compaction file and manifest.  Same idempotent staging+rename
+    cache discipline as _time_travel_path."""
+    import os
+    import tempfile
+
+    from politician_etl_project_spark.catalog import ensure_built_dir
+    from politician_etl_project_spark.storage import SnapshotTable
+
+    key = _tmp_key(sf_dir, "orders.parquet", version="compaction-v1")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_compact_{key}")
+
+    def _build(staging: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        t = SnapshotTable(spark, staging)
+        for i in range(_COMPACT_APPENDS):
+            t.append(orders.filter(F.col("o_orderkey") % _COMPACT_APPENDS == i).repartition(8))
+        t.compact(target_files=_COMPACT_TARGET)
+        t.vacuum(keep_last=1)
+
+    return ensure_built_dir(path, _build)
+
+
+_COMPACT_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price,
+       CAST({_COMPACT_TARGET} AS INTEGER) AS n_files,
+       CAST(1 AS INTEGER) AS n_versions,
+       'compact' AS last_op
+FROM orders GROUP BY 1 ORDER BY yr
+"""
+
+
+@declared_query(
+    "q_compaction_maintenance",
+    oracle=_COMPACT_ORACLE,
+    ops=("STORE-snapshot", "S11", "A2"),
+    doc="Small-file compaction + history vacuum as an oracle-checked "
+    "round trip (storage.SnapshotTable.compact/vacuum — Delta "
+    "OPTIMIZE + VACUUM in parquet + atomic renames): the store is "
+    "built as 6 append versions of 8 files each (48 small files, the "
+    "layout a per-micro-batch append sink leaves behind), compacted "
+    "to 4 files as a PUBLISHED version and vacuumed down to that one "
+    "version.  The query re-reads the surviving store and aggregates "
+    "per order-year, emitting the manifest's file count, the "
+    "remaining version count, and the last op as columns — so the "
+    "driver hash proves (a) not one row was lost or duplicated "
+    "through rewrite + reclaim, (b) the data really sits in 4 files, "
+    "and (c) history really is gone (readers of retired versions "
+    "would now fail, which is vacuum's contract; "
+    "tests/test_storage.py pins the interleaved-writer and "
+    "replay-guard edges).  Reference analog: the bulk re-ingest "
+    "scripts rewrite whole tables destructively "
+    "(scripts/ingest_bulk_donations.py); this is the same space "
+    "reclaim made atomic and crash-safe.  Scale: compaction reads and "
+    "rewrites only the current snapshot ONCE (no shuffle — coalesce, "
+    "not repartition), runs per-partition on a real table, and "
+    "readers pinned to the pointer never see a torn state.",
+)
+def q_compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.storage import SnapshotTable
+
+    t = SnapshotTable(spark, _compaction_path(spark, sf_dir))
+    versions = t.versions()
+    man = t._manifest(versions[-1])
+    return (
+        t.read()
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_price"),
+        )
+        .withColumn("n_files", F.lit(len(man["files"])).cast("int"))
+        .withColumn("n_versions", F.lit(len(versions)).cast("int"))
+        .withColumn("last_op", F.lit(man["op"]))
+        .orderBy("yr")
+    )

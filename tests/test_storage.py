@@ -904,3 +904,31 @@ def test_range_key_temporal_flag_controls_string_rewrite():
     assert not storage._col_is_temporal(
         {"fields": [{"name": "msg", "type": "string"}]}, "msg"
     )
+
+
+def test_compaction_maintenance_store_physics(spark):
+    """The q_compaction_maintenance store must prove its claims on disk,
+    not just in the manifest the query echoes: exactly one version
+    survives the vacuum, its op is 'compact', the manifest references
+    exactly _COMPACT_TARGET files, and the data directory holds exactly
+    those files (every pre-compaction small file reclaimed)."""
+    import os
+
+    from politician_etl_project_spark.queries.analytics_ext import (
+        _COMPACT_TARGET,
+        _compaction_path,
+    )
+    from politician_etl_project_spark.storage import SnapshotTable
+    from tests.conftest import SF_SMALL
+
+    path = _compaction_path(spark, SF_SMALL)
+    t = SnapshotTable(spark, path)
+    vs = t.versions()
+    assert len(vs) == 1, f"vacuum(keep_last=1) left versions {vs}"
+    man = t._manifest(vs[-1])
+    assert man["op"] == "compact"
+    assert len(man["files"]) == _COMPACT_TARGET
+    on_disk = sorted(
+        f for f in os.listdir(os.path.join(path, "data")) if f.endswith(".parquet")
+    )
+    assert on_disk == sorted(man["files"])
