@@ -188,6 +188,13 @@ def main() -> None:
     start_load = _load_gate()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Ship the package to Python workers: queries that drop into
+    # mapInPandas / applyInPandasWithState are cloudpickled BY MODULE
+    # NAME, so a bench launched from a cwd outside the repo root needs
+    # the same addPyFile deployment the driver contract uses.
+    import __spark_entry__
+
+    __spark_entry__._ensure_shipped(spark)
     specs = load_all()
     names = [n for n in specs if n not in BENCH_EXCLUDED]
 

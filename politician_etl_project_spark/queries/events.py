@@ -642,6 +642,33 @@ def q_sketch_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _pinned_state_partitions(spark: SparkSession, n: int = 8):
+    """Scope spark.sql.shuffle.partitions to ``n`` around a streaming
+    query RUN — hold it from start() through awaitTermination(): the
+    partition count only becomes durable when the first micro-batch
+    writes its offset-log metadata, and start() returns before that.
+
+    Why: every stateful streaming operator commits one state-store
+    delta PER PARTITION PER MICRO-BATCH (a stream-stream join commits
+    four), so at the session's 32 partitions a 3-batch AvailableNow
+    run is 100-400 store commits of pure bookkeeping for per-key state
+    measured in KBs — measured 1.6x-4x of the wall-clock of these
+    fixture-scale runs.  Pinning to 8 is the per-query state sizing a
+    100 TB deployment does by key cardinality; the declared queries
+    here have at most |users| or |open windows| keys per batch."""
+    conf = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(conf, prev)
+
+
 def _latedrop_staging(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events fixture as a 3-file streaming input that makes
     watermark late-drop REAL and deterministic under Trigger.AvailableNow
@@ -759,15 +786,19 @@ def q_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ckpt = tempfile.mkdtemp(prefix="ckpt-latedrop-")
     try:
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # conf stays pinned through awaitTermination: start() is async,
+        # and the partition count is only captured into the offset-log
+        # metadata when the FIRST micro-batch is constructed
+        with _pinned_state_partitions(spark):
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         import shutil
 
@@ -873,11 +904,12 @@ def q_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(inp)
     )
-    emissions = run_to_memory(
-        user_running_totals_exact(stream),
-        f"stateful_totals_{uuid.uuid4().hex[:8]}",
-        output_mode="update",
-    )
+    with _pinned_state_partitions(spark):
+        emissions = run_to_memory(
+            user_running_totals_exact(stream),
+            f"stateful_totals_{uuid.uuid4().hex[:8]}",
+            output_mode="update",
+        )
     return (
         emissions.groupBy("user_id")
         .agg(
@@ -940,27 +972,16 @@ def q_stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     views = stream.filter(F.col("event_type") == "view")
     purchases = stream.filter(F.col("event_type") == "purchase")
-    # State-partition sizing: a stream-stream join keeps FOUR state
-    # stores per shuffle partition (keyToNumValues/keyWithIndexToValue,
-    # both sides), each committing a delta file per micro-batch — at the
-    # session's 32 partitions that is 128 store commits x 3 batches of
-    # pure bookkeeping for a per-user state measured in KBs (~20 s
-    # wall).  Pin the STREAMING query to 8 partitions (measured ~4x
-    # faster here); the knob is per-query state sizing, exactly what a
-    # 100 TB deployment tunes to its key cardinality.  The conf is
-    # restored after start — state partitioning is fixed at the first
-    # checkpoint, so the running query is unaffected.
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "8")
-    try:
+    # A stream-stream join is the heaviest state client (FOUR stores per
+    # partition: keyToNumValues/keyWithIndexToValue, both sides) — at 32
+    # partitions that is 128 store commits x 3 batches of bookkeeping
+    # for KB-scale state (~20 s wall; 8 partitions measure ~4x faster).
+    with _pinned_state_partitions(spark):
         pairs = run_to_memory(
             interval_join_stream(views, purchases, window_seconds=600),
             f"sj_live_{uuid.uuid4().hex[:8]}",
             output_mode="append",
         )
-    finally:
-        spark.conf.set(shuffle_conf, prev)
     return pairs.select(
         "user_id",
         "v_id",
