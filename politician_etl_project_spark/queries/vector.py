@@ -991,3 +991,122 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic search end to end (the reference /search request as ONE action)
+# ---------------------------------------------------------------------------
+
+_SEARCH_QUESTION = "fast spark stream join query"
+_SEARCH_DIM = 64
+
+
+def _search_oracle() -> str:
+    from politician_etl_project_spark.rag import (
+        HASH_EMBED_DUCK_BUCKET_FMT,
+        HASH_EMBED_DUCK_SIGN_FMT,
+        hash_embedding_components,
+    )
+
+    qc = hash_embedding_components(_SEARCH_QUESTION, _SEARCH_DIM)
+    q2 = sum(v * v for v in qc.values())
+    qvals = ", ".join(f"({b}, {v})" for b, v in sorted(qc.items()))
+    bucket = HASH_EMBED_DUCK_BUCKET_FMT.format(t="t", dim=_SEARCH_DIM)
+    sign = HASH_EMBED_DUCK_SIGN_FMT.format(t="t")
+    return f"""
+WITH expl AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(lower(substr(text, 1, 10000))), '\\s+'))) AS t
+  FROM documents
+), comp AS (
+  SELECT doc_id, {bucket} AS b, SUM({sign}) AS v
+  FROM expl GROUP BY doc_id, {bucket}
+), q(b, qv) AS (VALUES {qvals}),
+scored AS (
+  SELECT c.doc_id,
+         CAST(SUM(c.v * COALESCE(q.qv, 0)) AS BIGINT) AS dot,
+         CAST(SUM(c.v * c.v) AS BIGINT) AS n2
+  FROM comp c LEFT JOIN q ON c.b = q.b
+  GROUP BY c.doc_id
+)
+SELECT s.doc_id, d.lang, d.source, s.dot,
+       ROUND(s.dot / sqrt(CAST(greatest(s.n2 * {q2}, 1) AS DOUBLE)), 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, s.doc_id
+LIMIT 10
+"""
+
+
+@declared_query(
+    "q_semantic_search_e2e",
+    oracle=_search_oracle(),
+    ops=("V1", "V2", "V3", "O3", "J7"),
+    doc="The reference's semantic-search request end to end as ONE "
+    "action (app/app.py:338-367: embed the question, Pinecone top-k, "
+    "metadata join-back): the QUESTION is a constant string embedded "
+    "driver-side by rag.hash_embedding_components (hashlib.md5 == "
+    "Spark md5 == DuckDB md5) and broadcast as a literal VALUES "
+    "table; the CORPUS side replays the same formula sparsely — "
+    "explode distinct tokens, md5 bucket + sign, one groupBy to "
+    "signed per-bucket counts — so the dot product and norms are "
+    "EXACT BIGINTs and the only float op is the final one-chain "
+    "round(dot/sqrt(n2*q2), 4), bit-identical on both engines.  All "
+    "three formula spellings (dense Column expr, sparse replay, "
+    "DuckDB twin) come from the same rag.HASH_EMBED_*_FMT constants "
+    "and tests/test_rag.py pins sparse == dense cosine, so the "
+    "oracle genuinely checks the production embedding.  Scale: the "
+    "sparse form never materializes the dense array — one shuffle "
+    "on (doc_id, bucket) bounded by tokens, a broadcast of the "
+    "|question| buckets, and TakeOrderedAndProject for the top-k; "
+    "this is also the serving shape for query-time scoring over a "
+    "100 TB corpus where most docs share no bucket with the query.",
+)
+def q_semantic_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.rag import (
+        HASH_EMBED_BUCKET_FMT,
+        HASH_EMBED_SIGN_INT_FMT,
+        HASH_EMBED_TOKENS_FMT,
+        hash_embedding_components,
+    )
+
+    qc = hash_embedding_components(_SEARCH_QUESTION, _SEARCH_DIM)
+    q2 = sum(v * v for v in qc.values())
+    qvals = ", ".join(f"({b}, {v})" for b, v in sorted(qc.items()))
+    qdf = spark.sql(f"SELECT * FROM VALUES {qvals} AS t(b, qv)")
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(HASH_EMBED_TOKENS_FMT.format(ident="`text`", max_chars=10_000))
+    comp = (
+        docs.select("doc_id", F.explode(toks).alias("t"))
+        .select(
+            "doc_id",
+            F.expr(HASH_EMBED_BUCKET_FMT.format(t="t", dim=_SEARCH_DIM)).alias("b"),
+            F.expr(HASH_EMBED_SIGN_INT_FMT.format(t="t")).alias("s"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    scored = (
+        comp.join(F.broadcast(qdf), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("v") * F.coalesce("qv", F.lit(0))).cast("bigint").alias("dot"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("n2"),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "dot",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.greatest(F.col("n2") * F.lit(q2), F.lit(1)).cast("double")),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

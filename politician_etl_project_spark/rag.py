@@ -29,6 +29,44 @@ from politician_etl_project_spark.operators.similarity import knn_bruteforce
 
 _STOPWORDS = {"the", "a", "an", "of", "and", "or", "to", "in", "is", "what", "which", "who", "how"}
 
+# The ONE hash-embedding formula, as format strings shared by the dense
+# Column expression below, the sparse integer replay in
+# queries/vector.q_semantic_search_e2e, and its DuckDB oracle twin —
+# defined once so the three can never drift (the CMS_*_FMT discipline,
+# queries/textops.py).
+HASH_EMBED_TOKENS_FMT = (
+    "array_distinct(split(trim(lower(substring({ident}, 1, {max_chars}))), '\\\\s+'))"
+)
+HASH_EMBED_BUCKET_FMT = "cast(conv(substring(md5({t}), 1, 7), 16, 10) as int) % {dim}"
+HASH_EMBED_SIGN_INT_FMT = (
+    "(case when conv(substring(md5({t}), 8, 1), 16, 10) % 2 = 0 then 1 else -1 end)"
+)
+HASH_EMBED_DUCK_BUCKET_FMT = "CAST('0x' || substr(md5({t}), 1, 7) AS BIGINT) % {dim}"
+HASH_EMBED_DUCK_SIGN_FMT = (
+    "(CASE WHEN CAST('0x' || substr(md5({t}), 8, 1) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+)
+
+
+def hash_embedding_components(text: str, dim: int = 64, max_chars: int = 10_000) -> dict[int, int]:
+    """Driver-side replay of the SAME formula for a constant string
+    (e.g. a search question): {bucket: signed count} over distinct
+    tokens.  hashlib.md5 == Spark md5 == DuckDB md5, so a literal
+    VALUES table built from this is exact on both engines."""
+    import hashlib
+    import re
+
+    comp: dict[int, int] = {}
+    seen: set[str] = set()
+    for t in re.split(r"\s+", text[:max_chars].lower().strip()):
+        if t in seen:
+            continue
+        seen.add(t)
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = int(h[:7], 16) % dim
+        s = 1 if int(h[7], 16) % 2 == 0 else -1
+        comp[b] = comp.get(b, 0) + s
+    return comp
+
 
 def hash_embedding(col: str, dim: int = 64, max_chars: int = 10_000) -> Column:
     """Deterministic feature-hash embedding: each distinct token adds ±1
@@ -47,9 +85,9 @@ def hash_embedding(col: str, dim: int = 64, max_chars: int = 10_000) -> Column:
             "without private JVM APIs"
         )
     ident = "`" + col.replace("`", "``") + "`"
-    toks = f"array_distinct(split(trim(lower(substring({ident}, 1, {max_chars}))), '\\\\s+'))"
-    bucket = "cast(conv(substring(md5(t), 1, 7), 16, 10) as int) % " + str(dim)
-    sign = "(case when conv(substring(md5(t), 8, 1), 16, 10) % 2 = 0 then 1.0D else -1.0D end)"
+    toks = HASH_EMBED_TOKENS_FMT.format(ident=ident, max_chars=max_chars)
+    bucket = HASH_EMBED_BUCKET_FMT.format(t="t", dim=dim)
+    sign = f"cast({HASH_EMBED_SIGN_INT_FMT.format(t='t')} as double)"
     # transform's lambda index i is 0-BASED (verified on Spark 4.1.2) —
     # comparing i-1 here would shift every token up one slot, leave
     # index 0 permanently zero, and silently DROP tokens hashing to

@@ -55,3 +55,32 @@ def test_answer_question_assembles_context(spark, corpus):
     assert all("text" in h and "score" in h for h in out["hits"])
     assert "QUESTION: key table scan" in out["answer"]
     assert "stats (1 rows)" in out["answer"]
+
+
+def test_sparse_replay_matches_dense_cosine(spark):
+    """The sparse integer replay behind q_semantic_search_e2e must score
+    each doc EXACTLY like cosine over the dense rag.hash_embedding
+    vectors (both sides L2-normalize the same signed counts, so the
+    scores agree to float32 rounding).  Also pins the driver-side
+    hashlib replay against the Spark md5 expression: one drifted
+    formula spelling and both checks here diverge."""
+    from politician_etl_project_spark.queries.vector import (
+        _SEARCH_QUESTION,
+        q_semantic_search_e2e,
+    )
+
+    sparse = {
+        r["doc_id"]: r["score"]
+        for r in q_semantic_search_e2e(spark, SF_SMALL).collect()
+    }
+    assert sparse, "fixture corpus must produce hits"
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus_emb = rag.embed_corpus(docs)
+    dense = {
+        r["doc_id"]: r["score"]
+        for r in rag.semantic_search(corpus_emb, _SEARCH_QUESTION, k=10).collect()
+    }
+    assert set(sparse) == set(dense), "top-10 sets diverge between replays"
+    for doc_id, s in sparse.items():
+        assert dense[doc_id] == pytest.approx(s, abs=2e-4), doc_id
