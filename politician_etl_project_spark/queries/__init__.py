@@ -28,7 +28,7 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 
 DRIVER_WINDOW = [
     # --- ROUND-8 WINDOW (driver checks [:50]) ---
-    # Slots 1-8: queries NEW this round — the D5 stateful-UDAF family's
+    # Slots 1-9: queries NEW this round — the D5 stateful-UDAF family's
     # first oracle-checked witness (live applyInPandasWithState, exact
     # integer-cents state), the scope-metrics request (chamber+congress)
     # end to end, the dashboard stats panel as one unioned action, the
@@ -36,10 +36,11 @@ DRIVER_WINDOW = [
     # the live watermarked path (previously pytest-pinned only),
     # small-file compaction + vacuum as an oracle-checked round trip,
     # streaming materialized-view maintenance served from the
-    # live-maintained RollupStore, and the semantic-search request end
+    # live-maintained RollupStore, the semantic-search request end
     # to end (the hash-embedding formula finally oracle-replayed, as
-    # exact sparse integer components).
-    # Slots 9-14: sentinels for code REWRITTEN in round 8 (prior greens
+    # exact sparse integer components), and versioned streaming
+    # ingestion (one guarded immutable append version per micro-batch).
+    # Slots 10-15: sentinels for code REWRITTEN in round 8 (prior greens
     # predate the edits): q_metrics_bundle_e2e moved to the materialized
     # domain store + SQL-text serving variant AND its cosponsor flag
     # became a pure function of the dedup key (oracle changed with it);
@@ -61,6 +62,7 @@ DRIVER_WINDOW = [
     "q_compaction_maintenance",
     "q_rollup_maintenance_live",
     "q_semantic_search_e2e",
+    "q_snapshot_append_live",
     "q_metrics_bundle_e2e",
     "q_bm25_index_extend",
     "q_dup_clusters",

@@ -1078,3 +1078,97 @@ def q_rollup_maintenance_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def _snapshot_append_live_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once SnapshotTable WRITTEN BY THE LIVE STREAM: the events
+    fixture drains through snapshot_append_stream (3 time-tercile
+    micro-batches, one guarded immutable append version each) into
+    <dir>/store.  Same idempotent staging+rename cache discipline as
+    _latedrop_staging."""
+    import os
+    import tempfile
+
+    from politician_etl_project_spark.catalog import ensure_built_dir, tmp_cache_key
+    from politician_etl_project_spark.streaming.sources import EVENTS_SCHEMA
+
+    key = tmp_cache_key(sf_dir, "events.parquet", version="snap-append-live-v1")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_snaplive_{key}")
+
+    def _build(staging: str) -> None:
+        from politician_etl_project_spark.streaming.pipelines import (
+            snapshot_append_stream,
+        )
+
+        inp = _stateful_staging(spark, sf_dir)
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        snapshot_append_stream(
+            stream,
+            os.path.join(staging, "store"),
+            checkpoint_dir=os.path.join(staging, "ckpt"),
+        )
+
+    return ensure_built_dir(path, _build)
+
+
+@declared_query(
+    "q_snapshot_append_live",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(3 AS INTEGER) AS n_versions,
+       TRUE AS all_ops_guarded_appends
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    ops=("T5", "S11", "STORE-snapshot", "A2"),
+    doc="Versioned streaming ingestion through the LIVE path, "
+    "driver-hash-checked: the event stream drains as 3 time-tercile "
+    "micro-batches (Trigger.AvailableNow) through "
+    "streaming/pipelines.snapshot_append_stream, each batch committing "
+    "as ONE immutable SnapshotTable append version under the two-tier "
+    "replay guard (per-sink marker + manifest-op scan, op = "
+    "append-<lineage>-b<batch>).  The query reads the surviving store "
+    "and aggregates per event type in exact integer cents, emitting "
+    "the version count (must be exactly one per micro-batch — a "
+    "replayed or double-committed batch breaks it) and a flag that "
+    "every manifest op matches this sink's guarded-append pattern; "
+    "the oracle is a full recompute over the raw events.  Per-version "
+    "tercile isolation and crash-window replay are pinned in "
+    "tests/test_streaming.py (the tercile boundary is Python timedelta "
+    "arithmetic, deliberately NOT replayed in SQL — engines round "
+    "interval division differently at microsecond precision).  "
+    "Reference analog: scripts/update_donations.py's destructive "
+    "re-ingest loop, made time-travelable and replay-safe.  Scale: "
+    "each batch appends O(batch) files and never rewrites history; "
+    "the manifest audit trail doubles as the replay-marker store.",
+)
+def q_snapshot_append_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+
+    from politician_etl_project_spark.storage import SnapshotTable
+
+    t = SnapshotTable(spark, os.path.join(_snapshot_append_live_path(spark, sf_dir), "store"))
+    versions = t.versions()
+    ops = [t._manifest(v)["op"] for v in versions]
+    guarded = all(re.fullmatch(r"append-[0-9a-f]{8}-b\d+", op) for op in ops)
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .withColumn("n_versions", F.lit(len(versions)).cast("int"))
+        .withColumn("all_ops_guarded_appends", F.lit(bool(guarded)))
+        .orderBy("event_type")
+    )
