@@ -51,13 +51,20 @@ def hash_embedding_components(text: str, dim: int = 64, max_chars: int = 10_000)
     """Driver-side replay of the SAME formula for a constant string
     (e.g. a search question): {bucket: signed count} over distinct
     tokens.  hashlib.md5 == Spark md5 == DuckDB md5, so a literal
-    VALUES table built from this is exact on both engines."""
+    VALUES table built from this is exact on both engines.
+
+    Tokenization replays the ENGINES' semantics, not Python's: Spark's
+    ``trim`` and DuckDB's ``trim`` strip only the space character (so
+    ``strip(' ')``, never Unicode-aware ``strip()``), and Java/DuckDB
+    ``\\s`` is the ASCII class ``[ \\t\\n\\x0b\\f\\r]`` (Python ``re``
+    ``\\s`` would also split on Unicode whitespace like U+00A0 and
+    diverge)."""
     import hashlib
     import re
 
     comp: dict[int, int] = {}
     seen: set[str] = set()
-    for t in re.split(r"\s+", text[:max_chars].lower().strip()):
+    for t in re.split(r"[ \t\n\x0b\f\r]+", text[:max_chars].lower().strip(" ")):
         if t in seen:
             continue
         seen.add(t)

@@ -818,7 +818,19 @@ class SnapshotTable:
         never dropped — the stale rewrite is discarded and redone."""
         for _ in range(5):
             base_version = self.current_version()
-            rewritten = self.read(base_version).coalesce(target_files)
+            base = self.read(base_version)
+            # coalesce can only REDUCE partition count: under a large
+            # maxPartitionBytes (cluster configs bin-pack many small files
+            # into few scan partitions) the scan may already yield fewer
+            # than target_files, and coalesce would silently publish fewer
+            # files than asked.  Shuffle-free coalesce stays the common
+            # shrink path; repartition only when the scan under-shoots.
+            scan_parts = base.rdd.getNumPartitions()
+            rewritten = (
+                base.repartition(target_files)
+                if scan_parts < target_files
+                else base.coalesce(target_files)
+            )
             files, stats = self._stage_files(rewritten)
             schema_json = rewritten.schema.jsonValue()
             with self._commit_lock():
