@@ -12,10 +12,12 @@ feature/metadata queries) and ``decode_real``, a genuine container
 parser — 24-bit BMP, binary PPM (P6), and RIFF/WAVE PCM16 — built on
 pure numpy + struct with magic-byte dispatch, real header arithmetic
 (BGR order, bottom-up rows, 4-byte padding, chunk walking), and
-hypothesis-tested encode/decode round trips.  Compressed formats
-(JPEG/PNG via PIL) get an import-guarded branch in ``decode_real`` that
-activates wherever PIL exists; this container lacks it, so that branch
-is covered by a skipif test, not a stub.
+hypothesis-tested encode/decode round trips.  PNG — a genuinely
+COMPRESSED codec — decodes with nothing beyond the standard library
+(zlib inflate + the spec's five scanline filters, ``_decode_png``);
+JPEG keeps an import-guarded PIL branch that activates wherever PIL
+exists (this container lacks it, so that branch is covered by a skipif
+test, not a stub).
 
 Scale notes:
 - payload columns dominate bytes: push metadata predicates (kind, width)
@@ -241,6 +243,164 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype="<i2").astype(np.int16)
 
 
+# --- PNG (pure stdlib: zlib + struct; no codec library) ---------------------
+#
+# PNG is the one COMPRESSED image format decodable with nothing beyond
+# the standard library: the IDAT stream is zlib (RFC 1950) and the only
+# other moving part is the per-scanline filter (spec §6: None/Sub/Up/
+# Average/Paeth).  The encoder below emits genuine PNG files (signature,
+# CRC-checked chunks, zlib-compressed filtered scanlines) and the
+# decoder walks the real container: chunk CRCs verified, IDAT segments
+# concatenated, scanlines un-filtered with the spec's predictors.
+# Supported: bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
+# non-interlaced — the common training-data cases; anything else raises.
+
+_PNG_COLOR_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (spec §6.6), vectorized over a scanline: pick
+    whichever of left/up/up-left is closest to a + b - c."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(vals: np.ndarray, width: int, color_type: int = 0) -> bytes:
+    """8-bit values -> a real PNG file.  ``vals`` is consumed row-major:
+    width × channels bytes per scanline, incomplete trailing rows
+    dropped (the BMP/PPM encoders' contract).  Filter types CYCLE
+    0,1,2,3,4 across scanlines so every spec predictor (None, Sub, Up,
+    Average, Paeth) appears in the emitted stream — a decoder that
+    fakes any one of them cannot round-trip these bytes."""
+    import struct
+    import zlib
+
+    ch = _PNG_COLOR_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color_type}; use 0, 2 or 6")
+    vals = np.asarray(vals, dtype=np.uint8)
+    row_len = width * ch
+    h = vals.size // row_len
+    if h < 1:
+        raise ValueError(f"need >= {row_len} vals for one scanline, got {vals.size}")
+    img = vals[: h * row_len].reshape(h, row_len)
+    zero = np.zeros(row_len, dtype=np.uint8)
+    filtered = bytearray()
+    for r in range(h):
+        raw = img[r]
+        prev = img[r - 1] if r else zero
+        left = np.concatenate([np.zeros(ch, np.uint8), raw[:-ch]]) if row_len > ch else zero[:row_len]
+        upleft = (
+            np.concatenate([np.zeros(ch, np.uint8), prev[:-ch]]) if row_len > ch else zero[:row_len]
+        )
+        ftype = r % 5
+        if ftype == 0:
+            out = raw
+        elif ftype == 1:  # Sub
+            out = raw - left
+        elif ftype == 2:  # Up
+            out = raw - prev
+        elif ftype == 3:  # Average
+            out = raw - ((left.astype(np.uint16) + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        else:  # Paeth
+            out = raw - _paeth(left, prev, upleft)
+        filtered += bytes([ftype]) + out.tobytes()
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Parse a real PNG into (h, w, channels) uint8 — pure stdlib: walk
+    the CRC-verified chunk list, concatenate IDAT segments, zlib-inflate,
+    then undo the per-scanline filter (all five spec predictors,
+    including Paeth).  Supports bit depth 8, color types 0/2/6,
+    non-interlaced; anything else raises rather than guessing."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = len(_PNG_MAGIC), None, bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated PNG: chunk {ctype!r} declares {clen} bytes")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} failed CRC check")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    ch = _PNG_COLOR_CHANNELS.get(color_type)
+    if depth != 8 or ch is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color_type} "
+            f"interlace={interlace} (8-bit gray/RGB/RGBA non-interlaced only)"
+        )
+    raw = zlib.decompress(bytes(idat))
+    row_len = w * ch
+    if len(raw) != h * (1 + row_len):
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes, expected {h * (1 + row_len)}"
+        )
+    out = np.zeros((h, row_len), dtype=np.uint8)
+    zero = np.zeros(row_len, dtype=np.uint8)
+    for r in range(h):
+        line = np.frombuffer(raw, np.uint8, count=row_len, offset=r * (1 + row_len) + 1)
+        ftype = raw[r * (1 + row_len)]
+        prev = out[r - 1] if r else zero
+        if ftype == 0:
+            out[r] = line
+        elif ftype == 2:  # Up
+            out[r] = line + prev
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need the running left byte
+            cur = out[r]
+            for i in range(row_len):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (int(a) + int(b)) // 2
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + int(pred)) & 0xFF
+        else:
+            raise ValueError(f"PNG scanline {r} has invalid filter type {ftype}")
+    return out.reshape(h, w, ch)
+
+
 def _pil_available() -> bool:
     """True when Pillow is importable — checked lazily so the module
     imports cleanly in codec-free containers like this one."""
@@ -269,27 +429,34 @@ def _decode_pil(payload: bytes) -> np.ndarray:
 def decode_real(payload: bytes, kind: str | None = None) -> np.ndarray:
     """Decode a REAL container format by magic-byte dispatch: 24-bit BMP
     -> (h, w, 3) uint8 RGB, binary PPM (P6) -> (h, w, 3) uint8 RGB,
-    RIFF/WAVE PCM16 mono -> int16 samples — pure numpy + struct, no
-    codec library.  JPEG/PNG dispatch to Pillow when it is installed
-    (import-guarded: this container lacks PIL, so the branch raises a
-    descriptive error here and activates unchanged wherever PIL
-    exists).  ``kind`` is advisory (the magic decides); unknown magics
-    raise so corrupt payloads fail loudly instead of feeding garbage
-    features downstream.  FLAC/mp4 would need soundfile/ffmpeg and stay
-    out of scope."""
+    RIFF/WAVE PCM16 mono -> int16 samples, and PNG (8-bit gray/RGB/RGBA,
+    the first COMPRESSED codec on this path) -> (h, w, ch) uint8 via the
+    pure-stdlib zlib inflate + scanline unfilter in ``_decode_png``.
+    JPEG still dispatches to Pillow when installed (import-guarded:
+    this container lacks PIL, so that one branch raises a descriptive
+    error here and activates unchanged wherever PIL exists).  ``kind``
+    is advisory (the magic decides); unknown magics raise so corrupt
+    payloads fail loudly instead of feeding garbage features
+    downstream.  FLAC/mp4 would need soundfile/ffmpeg and stay out of
+    scope."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:4] == b"RIFF":
         return _decode_wav(payload)
-    if payload[: len(_JPEG_MAGIC)] == _JPEG_MAGIC or payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        # PNG decodes with the pure-stdlib zlib parser — a real
+        # compressed codec that needs no external library (PIL would
+        # return (h,w,3) after convert('RGB'); this keeps the file's own
+        # channel count, which the stats oracle reasons about exactly)
+        return _decode_png(payload)
+    if payload[: len(_JPEG_MAGIC)] == _JPEG_MAGIC:
         if _pil_available():
             return _decode_pil(payload)
-        fmt = "JPEG" if payload[:3] == _JPEG_MAGIC else "PNG"
         raise ValueError(
-            f"{fmt} payload recognized but Pillow is not installed; "
-            "install PIL to enable the compressed-image decode branch"
+            "JPEG payload recognized but Pillow is not installed; "
+            "install PIL to enable the JPEG decode branch"
         )
     raise ValueError(f"unrecognized container magic {payload[:4]!r} (kind hint: {kind})")
 
@@ -469,6 +636,55 @@ def sample_frames_udtf(media: DataFrame, every: int = 2) -> DataFrame:
 
 BMP_WIDTH = 5  # odd width -> every row needs 4-byte padding (worst case)
 PPM_WIDTH = 4
+
+# PNG widths chosen so gray/RGB/RGBA all pack 12 bytes per scanline —
+# the oracle's floor arithmetic is then one expression per color type
+PNG_GRAY_WIDTH = 12  # 12 px × 1 ch
+PNG_RGB_WIDTH = 4    # 4 px × 3 ch
+PNG_RGBA_WIDTH = 3   # 3 px × 4 ch
+PNG_ROW_BYTES = 12
+
+
+def encode_media_png(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-PNG media table from ``documents``: the text's
+    byte values become pixel samples packed into genuine zlib-compressed
+    PNG files inside Arrow-batched workers — color type cycles by doc_id
+    (0=grayscale, 1=RGB, 2=RGBA), every scanline filter 0-4 appears
+    (encode_png cycles them), and docs shorter than one scanline are
+    dropped (the encoders refuse them loudly).  Payload bytes derive
+    purely from (doc_id, text), so a SQL oracle can reason about the
+    decoded values via ascii() arithmetic even though the bytes on the
+    wire are compressed."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, containers, payloads = [], [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                vals = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if vals.size < PNG_ROW_BYTES:
+                    continue
+                m = int(mid) % 3
+                if m == 0:
+                    payload = encode_png(vals, PNG_GRAY_WIDTH, color_type=0)
+                    container = "png-gray"
+                elif m == 1:
+                    payload = encode_png(vals, PNG_RGB_WIDTH, color_type=2)
+                    container = "png-rgb"
+                else:
+                    payload = encode_png(vals, PNG_RGBA_WIDTH, color_type=6)
+                    container = "png-rgba"
+                ids.append(int(mid))
+                containers.append(container)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(ids, dtype=np.int64),
+                    "container": containers,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(_encode, _REAL_MEDIA_SCHEMA)
 
 _REAL_MEDIA_SCHEMA = StructType(
     [

