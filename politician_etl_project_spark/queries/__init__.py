@@ -27,83 +27,34 @@ import os
 from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, declared_query
 
 DRIVER_WINDOW = [
-    # --- ROUND-8 WINDOW (driver checks [:50]) ---
-    # Slots 1-9: queries NEW this round — the D5 stateful-UDAF family's
-    # first oracle-checked witness (live applyInPandasWithState, exact
-    # integer-cents state), the scope-metrics request (chamber+congress)
-    # end to end, the dashboard stats panel as one unioned action, the
-    # committee roster ranking, the stream-STREAM interval join through
-    # the live watermarked path (previously pytest-pinned only),
-    # small-file compaction + vacuum as an oracle-checked round trip,
-    # streaming materialized-view maintenance served from the
-    # live-maintained RollupStore, the semantic-search request end
-    # to end (the hash-embedding formula finally oracle-replayed, as
-    # exact sparse integer components), and versioned streaming
-    # ingestion (one guarded immutable append version per micro-batch).
-    # Slots 10-15: sentinels for code REWRITTEN in round 8 (prior greens
-    # predate the edits): q_metrics_bundle_e2e moved to the materialized
-    # domain store + SQL-text serving variant AND its cosponsor flag
-    # became a pure function of the dedup key (oracle changed with it);
-    # q_bm25_index_extend's recover path now reaps orphaned .old-* dirs;
-    # the four cluster queries run on the size-adaptive
-    # connected-components (driver union-find under 1M edges).
-    # Slots 13-23: the 11 queries whose latest driver check is ROUND 3 —
-    # the stalest evidence left (r7 verdict #1).
-    # Slots 24-50: the alphabetically-first round-4-stale names; the
-    # remaining r4 names lead the tail and rotate in round 9.
+    # --- ROUND-9 WINDOW (driver checks [:50]) ---
+    # Slots 1-2: queries NEW this round — q_etl_run_all (the reference's
+    # whole run_all_updates FK-ordered refresh, T7, promoted from
+    # pytest-only to the driver gate) and q_media_decode_png (the first
+    # COMPRESSED image codec ever executed in this container —
+    # pure-stdlib zlib PNG decode; the PIL branch never ran in r1-8).
+    # Slots 3-5: sentinels for code REWRITTEN in round 9 (prior greens
+    # predate the edits): SnapshotTable.compact now repartitions when
+    # the scan bin-packs below target_files (q_compaction_maintenance);
+    # the hash-embedding driver replay now tokenizes with the ENGINES'
+    # ASCII \s+/space-trim semantics (q_semantic_search_e2e); and
+    # decode_real's magic dispatch changed (PNG -> stdlib decoder, PIL
+    # now JPEG-only) (q_media_decode_real).
+    # Slots 6-27: the 22 queries whose latest driver check is ROUND 4 —
+    # the stalest evidence left (r8 verdict #1; floor moves to r5).
+    # Slots 28-50: the alphabetically-first round-5-stale names.
+    # ROUND-10 PLAN (keep rotation mechanical, r8 verdict #8): head =
+    # any new/rewritten queries + the 21 remaining r5-stale names
+    # (q_event_dedup .. q_url_canonicalize, alphabetical) + the
+    # alphabetically-first r6-stale names to fill 50.
     # tests/test_window.py asserts this composition mechanically
-    # (never-checked ⊆ head; non-sentinel verified head slots no fresher
-    # than any verified name outside, judged boundary-aware).
-    "q_stateful_totals_live",
-    "q_scope_metrics_e2e",
-    "q_dashboard_stats_e2e",
-    "q_committee_roster_e2e",
-    "q_stream_interval_join_live",
+    # (never-checked ⊆ head; non-sentinel verified head slots no
+    # fresher than any verified name outside, judged boundary-aware).
+    "q_etl_run_all",
+    "q_media_decode_png",
     "q_compaction_maintenance",
-    "q_rollup_maintenance_live",
     "q_semantic_search_e2e",
-    "q_snapshot_append_live",
-    "q_metrics_bundle_e2e",
-    "q_bm25_index_extend",
-    "q_dup_clusters",
-    "q_dedup_survivors",
-    "q_funnel_clusters",
-    "q_embed_dup_clusters",
-    "q_src_committees_yaml",
-    "q_src_fec_csv",
-    "q_stratified_sample",
-    "q_text_quality",
-    "q_tfidf_top_terms",
-    "q_unpivot_measures",
-    "q_window_lag_lead",
-    "q_window_moving_avg",
-    "q_window_ntile",
-    "q_window_rank",
-    "q_window_running_sum",
-    "q_abtest_lift",
-    "q_ann_index_extend",
-    "q_ann_pq",
-    "q_ann_recall_eval",
-    "q_bloom_prune",
-    "q_bpe_train_merges",
-    "q_bpe_vocab_stats",
-    "q_bucketed_join",
-    "q_calendar_spine",
-    "q_cdc_apply",
-    "q_correlation",
-    "q_countmin_sketch",
-    "q_data_profile",
-    "q_dedup_multi_policy",
-    "q_dpp_prune",
-    "q_dq_constraints",
-    "q_embed_quantize",
-    "q_equidepth_histogram",
-    "q_event_paths",
-    "q_event_transitions",
-    "q_feature_hashing",
-    "q_gap_fill",
-    "q_hybrid_rrf",
-    "q_inverted_index",
+    "q_media_decode_real",
     "q_lm_quality_score",
     "q_moments_mergeable",
     "q_negative_sampling",
@@ -150,6 +101,54 @@ DRIVER_WINDOW = [
     "q_domain_stats",
     "q_embed_near_dup",
     "q_event_dedup",
+    "q_stateful_totals_live",
+    "q_scope_metrics_e2e",
+    "q_dashboard_stats_e2e",
+    "q_committee_roster_e2e",
+    "q_stream_interval_join_live",
+    "q_rollup_maintenance_live",
+    "q_snapshot_append_live",
+    "q_metrics_bundle_e2e",
+    "q_bm25_index_extend",
+    "q_dup_clusters",
+    "q_dedup_survivors",
+    "q_funnel_clusters",
+    "q_embed_dup_clusters",
+    "q_src_committees_yaml",
+    "q_src_fec_csv",
+    "q_stratified_sample",
+    "q_text_quality",
+    "q_tfidf_top_terms",
+    "q_unpivot_measures",
+    "q_window_lag_lead",
+    "q_window_moving_avg",
+    "q_window_ntile",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_abtest_lift",
+    "q_ann_index_extend",
+    "q_ann_pq",
+    "q_ann_recall_eval",
+    "q_bloom_prune",
+    "q_bpe_train_merges",
+    "q_bpe_vocab_stats",
+    "q_bucketed_join",
+    "q_calendar_spine",
+    "q_cdc_apply",
+    "q_correlation",
+    "q_countmin_sketch",
+    "q_data_profile",
+    "q_dedup_multi_policy",
+    "q_dpp_prune",
+    "q_dq_constraints",
+    "q_embed_quantize",
+    "q_equidepth_histogram",
+    "q_event_paths",
+    "q_event_transitions",
+    "q_feature_hashing",
+    "q_gap_fill",
+    "q_hybrid_rrf",
+    "q_inverted_index",
     "q_fact_dim_rollup",
     "q_filter_eq_range",
     "q_frame_sample",
@@ -235,7 +234,6 @@ DRIVER_WINDOW = [
     "q_label_centroid",
     "q_lang_id",
     "q_list_endpoint_page",
-    "q_media_decode_real",
     "q_media_metadata",
     "q_near_dup_pairs",
     "q_ngram_jaccard_pairs",
@@ -269,12 +267,9 @@ DRIVER_WINDOW = [
 # THIS round (their prior green predates the edit) — exempt from the
 # stalest-first head rule, bounded to keep rotation honest.
 WINDOW_SENTINELS = [
-    "q_metrics_bundle_e2e",
-    "q_bm25_index_extend",
-    "q_dup_clusters",
-    "q_dedup_survivors",
-    "q_funnel_clusters",
-    "q_embed_dup_clusters",
+    "q_compaction_maintenance",
+    "q_semantic_search_e2e",
+    "q_media_decode_real",
 ]
 
 _ORACLE_TABLES = (

@@ -206,3 +206,30 @@ def test_generated_docs_match_registry_count():
             f"{doc} was generated at {m.group(1)} queries, registry has {n} — "
             f"rerun tools/gen_{doc.split('.')[0].lower()}.py"
         )
+
+
+def test_handwritten_docs_registry_counts():
+    """r8 verdict #6: SCALE.md carried 'ALL 203 declared queries' after
+    the registry hit 208 — the generated docs were tripwired, the
+    hand-written ones were not.  Rule: every '<N> declared queries'
+    claim in a hand-written doc must either equal the live registry
+    size or sit in a sentence explicitly marked as a snapshot
+    ('registry snapshot at capture time' / 'N-query snapshot'), which
+    is allowed to lag by construction."""
+    import re
+
+    n = len(load_all())
+    for doc in ("SCALE.md", "README.md", "EXAMPLES.md", "FIXTURES.md"):
+        path = os.path.join(REPO_ROOT, doc)
+        if not os.path.exists(path):
+            continue
+        text = open(path).read()
+        for m in re.finditer(r"(\d+)(?:-query snapshot| declared queries)", text):
+            window = text[max(0, m.start() - 120) : m.end() + 40]
+            if "snapshot" in window:
+                continue
+            assert int(m.group(1)) == n, (
+                f"{doc} claims '{m.group(0)}' but the registry has {n}; "
+                "update the sentence or mark it as a snapshot "
+                "('registry snapshot at capture time: N')"
+            )
