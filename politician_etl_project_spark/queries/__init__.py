@@ -33,16 +33,19 @@ DRIVER_WINDOW = [
     # pytest-only to the driver gate) and q_media_decode_png (the first
     # COMPRESSED image codec ever executed in this container —
     # pure-stdlib zlib PNG decode; the PIL branch never ran in r1-8).
-    # Slots 3-5: sentinels for code REWRITTEN in round 9 (prior greens
+    # Slots 3-7: sentinels for code REWRITTEN in round 9 (prior greens
     # predate the edits): SnapshotTable.compact now repartitions when
     # the scan bin-packs below target_files (q_compaction_maintenance);
     # the hash-embedding driver replay now tokenizes with the ENGINES'
-    # ASCII \s+/space-trim semantics (q_semantic_search_e2e); and
+    # ASCII \s+/space-trim semantics (q_semantic_search_e2e);
     # decode_real's magic dispatch changed (PNG -> stdlib decoder, PIL
-    # now JPEG-only) (q_media_decode_real).
-    # Slots 6-27: the 22 queries whose latest driver check is ROUND 4 —
+    # now JPEG-only) (q_media_decode_real); and the two live streaming
+    # queries now run under _live_stream_conf (no-data micro-batch off
+    # + per-query state partitions — r8 verdict #7's floor work)
+    # (q_stateful_totals_live, q_stream_interval_join_live).
+    # Slots 8-29: the 22 queries whose latest driver check is ROUND 4 —
     # the stalest evidence left (r8 verdict #1; floor moves to r5).
-    # Slots 28-50: the alphabetically-first round-5-stale names.
+    # Slots 30-50: the alphabetically-first round-5-stale names.
     # ROUND-10 PLAN (keep rotation mechanical, r8 verdict #8): head =
     # any new/rewritten queries + the 21 remaining r5-stale names
     # (q_event_dedup .. q_url_canonicalize, alphabetical) + the
@@ -55,6 +58,8 @@ DRIVER_WINDOW = [
     "q_compaction_maintenance",
     "q_semantic_search_e2e",
     "q_media_decode_real",
+    "q_stateful_totals_live",
+    "q_stream_interval_join_live",
     "q_lm_quality_score",
     "q_moments_mergeable",
     "q_negative_sampling",
@@ -101,11 +106,9 @@ DRIVER_WINDOW = [
     "q_domain_stats",
     "q_embed_near_dup",
     "q_event_dedup",
-    "q_stateful_totals_live",
     "q_scope_metrics_e2e",
     "q_dashboard_stats_e2e",
     "q_committee_roster_e2e",
-    "q_stream_interval_join_live",
     "q_rollup_maintenance_live",
     "q_snapshot_append_live",
     "q_metrics_bundle_e2e",
@@ -270,6 +273,8 @@ WINDOW_SENTINELS = [
     "q_compaction_maintenance",
     "q_semantic_search_e2e",
     "q_media_decode_real",
+    "q_stateful_totals_live",
+    "q_stream_interval_join_live",
 ]
 
 _ORACLE_TABLES = (

@@ -646,6 +646,35 @@ import contextlib
 
 
 @contextlib.contextmanager
+def _live_stream_conf(spark: SparkSession, n: int = 8):
+    """_pinned_state_partitions PLUS noDataMicroBatches=false, scoped to
+    a live-query run.  AvailableNow appends a final NO-DATA micro-batch
+    whose only jobs here are watermark-driven state EVICTION and timer
+    firing — one more full round of state-store commits across every
+    partition.  The two queries under this conf don't need it for
+    correctness: the stateful accumulator runs GroupStateTimeout.
+    NoTimeout (nothing to fire), and the stream-stream join is INNER
+    (pairs emit in the data batch where both sides meet; the no-data
+    batch only evicts, never emits).  Measured round 9
+    (tools/measure_streaming_floor.py, sf0.1): stateful totals
+    4.0→3.4 s, interval join 5.0→2.9-3.6 s — ~95% of the remaining
+    wall is micro-batch construction + per-partition store commits,
+    i.e. the engine floor for 3-batch KB-state runs.  RocksDB was
+    MEASURED SLOWER at this state size (4.5/5.4 s: JNI + file ops per
+    commit beat the in-memory HDFS-backed map only when state exceeds
+    executor memory).  Watermark-dependent queries (latedrop, outer
+    session windows) keep the default — their semantics USE the final
+    eviction pass."""
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        with _pinned_state_partitions(spark, n):
+            yield
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+
+
+@contextlib.contextmanager
 def _pinned_state_partitions(spark: SparkSession, n: int = 8):
     """Scope spark.sql.shuffle.partitions to ``n`` around a streaming
     query RUN — hold it from start() through awaitTermination(): the
@@ -904,7 +933,7 @@ def q_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(inp)
     )
-    with _pinned_state_partitions(spark):
+    with _live_stream_conf(spark, n=8):
         emissions = run_to_memory(
             user_running_totals_exact(stream),
             f"stateful_totals_{uuid.uuid4().hex[:8]}",
@@ -975,8 +1004,10 @@ def q_stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A stream-stream join is the heaviest state client (FOUR stores per
     # partition: keyToNumValues/keyWithIndexToValue, both sides) — at 32
     # partitions that is 128 store commits x 3 batches of bookkeeping
-    # for KB-scale state (~20 s wall; 8 partitions measure ~4x faster).
-    with _pinned_state_partitions(spark):
+    # for KB-scale state (~20 s wall; 8 partitions measure ~4x faster,
+    # 4 partitions + no-data batch off another ~40%: see
+    # _live_stream_conf / tools/measure_streaming_floor.py).
+    with _live_stream_conf(spark, n=4):
         pairs = run_to_memory(
             interval_join_stream(views, purchases, window_seconds=600),
             f"sj_live_{uuid.uuid4().hex[:8]}",
