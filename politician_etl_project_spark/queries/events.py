@@ -949,6 +949,39 @@ def q_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state-store provider around one streaming run:
+    transformWithState REQUIRES it (typed state variables + changelog
+    checkpointing live there), while every other live query keeps the
+    in-memory HDFS-backed provider, which measures faster at KB state
+    (tools/measure_streaming_floor.py)."""
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        spark.conf.set(conf, prev)
+
+
+# NOTE: a declared transformWithStateInPandas twin of
+# q_stateful_totals_live (streaming/pipelines.user_running_totals_tws,
+# run under _rocksdb_state_store) is ENVIRONMENT-GATED like the PIL
+# JPEG branch: Spark 4's arbitrary-state Python client speaks protobuf
+# to the JVM (pyspark/sql/streaming/proto/StateMessage_pb2) and this
+# container has no google.protobuf package, so the driver worker
+# crashes at init ("cannot import name 'descriptor'").  The operator +
+# its equality test live behind a skipif (tests/test_streaming.py::
+# test_transform_with_state_matches_apply_in_pandas) and activate
+# unchanged wherever protobuf exists.
+
+
 @declared_query(
     "q_stream_interval_join_live",
     oracle="""

@@ -652,3 +652,52 @@ def user_running_totals_exact(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """The SAME exact integer-cents accumulator on Spark 4's
+    ``transformWithStateInPandas`` — the arbitrary-state API that
+    succeeds applyInPandasWithState (SPARK-49411): a StatefulProcessor
+    with TYPED state variables (one ValueState here; ListState /
+    MapState / timers / TTL are the same handle) instead of one opaque
+    GroupState blob.  Two operational differences matter at scale:
+    the API requires the RocksDB state-store provider (changelog
+    checkpointing, state too big for executor memory), and state is
+    per-VARIABLE, so schema evolution adds a variable instead of
+    versioning a blob.  Kept as a twin of
+    :func:`user_running_totals_exact` with identical emissions — the
+    declared query q_stateful_totals_tws hash-matches it against the
+    same SQL aggregate, pinning the two APIs to each other."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ExactTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _USER_STATE_EXACT_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            prior = self._totals.get() if self._totals.exists() else None
+            n, cents = prior if prior is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+                )
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_ExactTotals(),
+        outputStructType=_USER_TOTALS_EXACT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -902,3 +902,60 @@ def test_stateful_totals_live_state_spans_batches(spark):
     assert set(final) == set(expected)
     for u, (n, cents) in expected.items():
         assert final[u] == (n, cents), f"user {u}: final state diverged from GROUP BY"
+
+
+def _protobuf_missing() -> bool:
+    try:  # find_spec raises when even the 'google' namespace is absent
+        import importlib.util
+
+        return importlib.util.find_spec("google.protobuf") is None
+    except ModuleNotFoundError:
+        return True
+
+
+_PROTOBUF_MISSING = _protobuf_missing()
+
+
+@pytest.mark.skipif(
+    _PROTOBUF_MISSING,
+    reason="transformWithState's Python state client needs google.protobuf "
+    "(pyspark/sql/streaming/proto); not installed in this container",
+)
+def test_transform_with_state_matches_apply_in_pandas(spark, staged_events):
+    """Spark 4's transformWithStateInPandas twin
+    (pipelines.user_running_totals_tws, typed ValueState on RocksDB)
+    must emit exactly what the applyInPandasWithState accumulator
+    emits: same final per-user (n_events, total_cents) as the batch
+    GROUP BY.  Wherever protobuf exists this pins the two state APIs
+    to each other; in this container the declared query stays
+    applyInPandasWithState-only (see queries/events.py note)."""
+    from politician_etl_project_spark.queries.events import (
+        _live_stream_conf,
+        _rocksdb_state_store,
+    )
+    from politician_etl_project_spark.streaming.pipelines import user_running_totals_tws
+    from politician_etl_project_spark.streaming.sources import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(staged_events)
+    )
+    with _rocksdb_state_store(spark), _live_stream_conf(spark, n=8):
+        emissions = run_to_memory(
+            user_running_totals_tws(stream), "tws_totals_test", output_mode="update"
+        )
+    final = (
+        emissions.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(total_cents, n_events)").alias("total_cents"),
+        )
+    )
+    expected = (
+        spark.read.parquet(staged_events)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("total_cents"),
+        )
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, expected.collect()))
