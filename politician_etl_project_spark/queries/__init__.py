@@ -28,12 +28,14 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 
 DRIVER_WINDOW = [
     # --- ROUND-9 WINDOW (driver checks [:50]) ---
-    # Slots 1-2: queries NEW this round — q_etl_run_all (the reference's
+    # Slots 1-3: queries NEW this round — q_etl_run_all (the reference's
     # whole run_all_updates FK-ordered refresh, T7, promoted from
-    # pytest-only to the driver gate) and q_media_decode_png (the first
-    # COMPRESSED image codec ever executed in this container —
+    # pytest-only to the driver gate), q_etl_incremental (the day-2
+    # delta refresh: update-wins/first-wins/stable-id properties
+    # hash-proven at lifecycle level), and q_media_decode_png (the
+    # first COMPRESSED image codec ever executed in this container —
     # pure-stdlib zlib PNG decode; the PIL branch never ran in r1-8).
-    # Slots 3-7: sentinels for code REWRITTEN in round 9 (prior greens
+    # Slots 4-8: sentinels for code REWRITTEN in round 9 (prior greens
     # predate the edits): SnapshotTable.compact now repartitions when
     # the scan bin-packs below target_files (q_compaction_maintenance);
     # the hash-embedding driver replay now tokenizes with the ENGINES'
@@ -43,9 +45,9 @@ DRIVER_WINDOW = [
     # queries now run under _live_stream_conf (no-data micro-batch off
     # + per-query state partitions — r8 verdict #7's floor work)
     # (q_stateful_totals_live, q_stream_interval_join_live).
-    # Slots 8-29: the 22 queries whose latest driver check is ROUND 4 —
+    # Slots 9-30: the 22 queries whose latest driver check is ROUND 4 —
     # the stalest evidence left (r8 verdict #1; floor moves to r5).
-    # Slots 30-50: the alphabetically-first round-5-stale names.
+    # Slots 31-50: the alphabetically-first round-5-stale names.
     # ROUND-10 PLAN (keep rotation mechanical, r8 verdict #8): head =
     # any new/rewritten queries + the 21 remaining r5-stale names
     # (q_event_dedup .. q_url_canonicalize, alphabetical) + the
@@ -54,6 +56,7 @@ DRIVER_WINDOW = [
     # (never-checked ⊆ head; non-sentinel verified head slots no
     # fresher than any verified name outside, judged boundary-aware).
     "q_etl_run_all",
+    "q_etl_incremental",
     "q_media_decode_png",
     "q_compaction_maintenance",
     "q_semantic_search_e2e",

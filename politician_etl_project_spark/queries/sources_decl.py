@@ -882,22 +882,22 @@ def _ensure_etl_warehouse(spark: SparkSession) -> str:
 
 _ETL_ORACLE = """
 SELECT * FROM (VALUES
-  -- politicians: id | fec_candidate_id | fec_committee_id (M004 has an
-  -- unknown state and is dropped; M002's only state-matching candidate
-  -- runs for P office and is filtered before scoring)
-  ('politicians', 'M001', '1|H0TX01|C001'),
-  ('politicians', 'M002', '2|-|-'),
-  ('politicians', 'M003', '3|S0NY02|C002'),
-  ('politicians', 'M005', '4|-|-'),
-  ('politicians', 'M006', '5|-|-'),
-  -- bills: bill_id | sponsor politician_id (X9999 unknown -> '-')
-  ('bills', 'HR1-119', '1|1'),
-  ('bills', 'HR9-118', '2|-'),
-  ('bills', 'S2-119', '3|3'),
-  -- cosponsors: (bill_id|politician_id) -> is_original
-  ('bill_cosponsors', '1|2', 'true'),
-  ('bill_cosponsors', '1|3', 'false'),
-  ('bill_cosponsors', '3|5', 'true'),
+  -- politicians: id | party | fec_candidate_id | fec_committee_id
+  -- (M004 has an unknown state and is dropped; M002's only
+  -- state-matching candidate runs for P office and is filtered)
+  ('politicians', 'M001', '1|D|H0TX01|C001'),
+  ('politicians', 'M002', '2|I|-|-'),
+  ('politicians', 'M003', '3|R|S0NY02|C002'),
+  ('politicians', 'M005', '4|R|-|-'),
+  ('politicians', 'M006', '5|D|-|-'),
+  -- bills: bill_id | sponsor politician_id (X9999 unknown -> '-') | title
+  ('bills', 'HR1-119', '1|1|Alpha Act'),
+  ('bills', 'HR9-118', '2|-|Gamma Act'),
+  ('bills', 'S2-119', '3|3|Beta Act'),
+  -- cosponsors: (bill_id|politician_id) -> is_original | date
+  ('bill_cosponsors', '1|2', 'true|2025-01-04'),
+  ('bill_cosponsors', '1|3', 'false|2025-02-05'),
+  ('bill_cosponsors', '3|5', 'true|2025-02-02'),
   -- votes: (politician_id|roll_key) -> bill_id | position; h1 and h2
   -- are two roll calls on the SAME bill the SAME day
   ('votes', '1|119/votes/2025/h1', '1|Yea'),
@@ -907,10 +907,10 @@ SELECT * FROM (VALUES
   ('votes', '3|119/votes/2025/h2', '1|Yea'),
   ('votes', '1|119/votes/2025/s5', '3|Not Voting'),
   ('votes', '3|119/votes/2025/s5', '3|Yea'),
-  -- donors: source key -> donor_id | type (two DOE filings, one donor)
-  ('donors', 'DOE, JANE|78701|ACME', '1|Individual'),
-  ('donors', 'MEGA PAC|10001|', '2|PAC'),
-  ('donors', 'ROE, RICHARD|10001|BANK', '3|Individual'),
+  -- donors: source key -> donor_id | type | city (two DOE filings, one donor)
+  ('donors', 'DOE, JANE|78701|ACME', '1|Individual|AUSTIN'),
+  ('donors', 'MEGA PAC|10001|', '2|PAC|NYC'),
+  ('donors', 'ROE, RICHARD|10001|BANK', '3|Individual|NYC'),
   -- donations: filing -> politician_id | donor_id | exact cents
   -- (SUBE03 amendment, SUBE06 bad date, SUBE07 unlinked committee: dropped)
   ('donations', 'SUBE01', '1|1|10000'),
@@ -925,44 +925,30 @@ SELECT * FROM (VALUES
   ('committee_assignments', '1|HSAL00|119', 'Chair'),
   ('committee_assignments', '1|SSBE00|119', '-'),
   ('committee_assignments', '3|HSAL00|119', '-'),
-  -- update_log: (table|notes) -> records_updated, timestamps excluded
-  ('update_log', 'bill_cosponsors|-', '3'),
-  ('update_log', 'bills|-', '3'),
-  ('update_log', 'committee_assignments|-', '3'),
-  ('update_log', 'committees|-', '3'),
-  ('update_log', 'donations|-', '4'),
-  ('update_log', 'donors|-', '3'),
-  ('update_log', 'politicians|-', '5'),
-  ('update_log', 'politicians|fec_link', '2'),
-  ('update_log', 'votes|-', '7')
+  -- update_log: (table|notes) -> runs | min records | max records
+  ('update_log', 'bill_cosponsors|-', '1|3|3'),
+  ('update_log', 'bills|-', '1|3|3'),
+  ('update_log', 'committee_assignments|-', '1|3|3'),
+  ('update_log', 'committees|-', '1|3|3'),
+  ('update_log', 'donations|-', '1|4|4'),
+  ('update_log', 'donors|-', '1|3|3'),
+  ('update_log', 'politicians|-', '1|5|5'),
+  ('update_log', 'politicians|fec_link', '1|2|2'),
+  ('update_log', 'votes|-', '1|7|7')
 ) AS t(table_name, entity_key, val)
-ORDER BY table_name, entity_key
+ORDER BY table_name, entity_key, val
 """
 
 
-@declared_query(
-    "q_etl_run_all",
-    oracle=_ETL_ORACLE,
-    ops=("T7", "S11", "S12", "S13", "S17", "S18", "J9", "J12"),
-    doc="The reference's WHOLE refresh lifecycle under the driver gate "
-    "(scripts/run_all_updates.py:14-19): etl.run_all executes the real "
-    "FK-ordered DAG — members transform + dense surrogate ids, fuzzy "
-    "FEC entity resolution (state-blocked levenshtein, exact-normalized "
-    "fixture names so links are hand-derivable), billstatus XML with an "
-    "unknown sponsor, cosponsor first-wins, vote JSON with the '\"VP\"' "
-    "literal and two same-day roll calls kept distinct by roll_key, the "
-    "FEC donation pipeline (amendment/bad-date/unlinked-committee rows "
-    "dropped, donors deduped across filings), and the committee YAML "
-    "hierarchy + assignments — into a parquet Warehouse built once "
-    "under /tmp (staging+rename).  The end state of all EIGHT tables "
-    "plus update_log row counts is normalized to (table_name, "
-    "entity_key, val) and hash-matched against the hand-derived "
-    "relation: T7 moves from pytest-only to the driver's hard gate, "
-    "leaving only S4/F10/T4 pytest-pinned (external HTTP, wall-clock "
-    "timestamps, probe loop).",
-)
-def q_etl_run_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    root = _ensure_etl_warehouse(spark)
+def _wh_long_format(spark: SparkSession, root: str) -> DataFrame:
+    """Normalize a whole Warehouse to (table_name, entity_key, val) —
+    one relation covering every table, with the value string carrying
+    exactly the fields whose survivorship distinguishes the conflict
+    policies (party/title = update-wins; city/sponsorship date =
+    first-wins; ids = surrogate stability).  update_log collapses to
+    per-(table, notes) run count + min/max records so timestamps (F10,
+    nondeterministic) never enter the hash while run MULTIPLICITY and
+    the before/after row counts do."""
 
     def rd(name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(root, name))
@@ -974,6 +960,7 @@ def q_etl_run_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "|",
             F.col("politician_id").cast("string"),
+            F.coalesce("party", dash),
             F.coalesce("fec_candidate_id", dash),
             F.coalesce("fec_committee_id", dash),
         ).alias("val"),
@@ -987,14 +974,19 @@ def q_etl_run_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
             F.col("bill_id").cast("string"),
             F.coalesce(F.col("sponsor_id").cast("string"), dash),
+            F.coalesce("title", dash),
         ).alias("val"),
     )
     cos = rd("bill_cosponsors").select(
         F.lit("bill_cosponsors").alias("table_name"),
-        F.concat_ws("|", F.col("bill_id").cast("string"), F.col("politician_id").cast("string")).alias(
-            "entity_key"
-        ),
-        F.col("is_original_cosponsor").cast("string").alias("val"),
+        F.concat_ws(
+            "|", F.col("bill_id").cast("string"), F.col("politician_id").cast("string")
+        ).alias("entity_key"),
+        F.concat_ws(
+            "|",
+            F.col("is_original_cosponsor").cast("string"),
+            F.date_format("sponsorship_date", "yyyy-MM-dd"),
+        ).alias("val"),
     )
     votes = rd("votes").select(
         F.lit("votes").alias("table_name"),
@@ -1004,7 +996,9 @@ def q_etl_run_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     donors = rd("donors").select(
         F.lit("donors").alias("table_name"),
         F.col("donor_source_key").alias("entity_key"),
-        F.concat_ws("|", F.col("donor_id").cast("string"), "donor_type").alias("val"),
+        F.concat_ws(
+            "|", F.col("donor_id").cast("string"), "donor_type", F.coalesce("city", dash)
+        ).alias("val"),
     )
     donations = rd("donations").select(
         F.lit("donations").alias("table_name"),
@@ -1031,12 +1025,260 @@ def q_etl_run_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entity_key"),
         F.coalesce("role", dash).alias("val"),
     )
-    log = rd("update_log").select(
-        F.lit("update_log").alias("table_name"),
-        F.concat_ws("|", "table_name", F.coalesce("notes", dash)).alias("entity_key"),
-        F.col("records_updated").cast("string").alias("val"),
+    log = (
+        rd("update_log")
+        .groupBy(
+            F.concat_ws("|", "table_name", F.coalesce("notes", dash)).alias("entity_key")
+        )
+        .agg(
+            F.concat_ws(
+                "|",
+                F.count("*").cast("string"),
+                F.min("records_updated").cast("string"),
+                F.max("records_updated").cast("string"),
+            ).alias("val")
+        )
+        .select(F.lit("update_log").alias("table_name"), "entity_key", "val")
     )
     out = pol
     for part in (bills, cos, votes, donors, donations, committees, assignments, log):
         out = out.unionByName(part)
-    return out.orderBy("table_name", "entity_key")
+    return out.orderBy("table_name", "entity_key", "val")
+
+
+@declared_query(
+    "q_etl_run_all",
+    oracle=_ETL_ORACLE,
+    ops=("T7", "S11", "S12", "S13", "S17", "S18", "J9", "J12"),
+    doc="The reference's WHOLE refresh lifecycle under the driver gate "
+    "(scripts/run_all_updates.py:14-19): etl.run_all executes the real "
+    "FK-ordered DAG — members transform + dense surrogate ids, fuzzy "
+    "FEC entity resolution (state-blocked levenshtein, exact-normalized "
+    "fixture names so links are hand-derivable), billstatus XML with an "
+    "unknown sponsor, cosponsor first-wins, vote JSON with the '\"VP\"' "
+    "literal and two same-day roll calls kept distinct by roll_key, the "
+    "FEC donation pipeline (amendment/bad-date/unlinked-committee rows "
+    "dropped, donors deduped across filings), and the committee YAML "
+    "hierarchy + assignments — into a parquet Warehouse built once "
+    "under /tmp (staging+rename).  The end state of all EIGHT tables "
+    "plus update_log run counts is normalized to (table_name, "
+    "entity_key, val) and hash-matched against the hand-derived "
+    "relation: T7 moves from pytest-only to the driver's hard gate, "
+    "leaving only S4/F10/T4 pytest-pinned (external HTTP, wall-clock "
+    "timestamps, probe loop).",
+)
+def q_etl_run_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wh_long_format(spark, _ensure_etl_warehouse(spark))
+
+
+# --- day-2 incremental refresh (the reference re-runs the same scripts) ----
+
+_ETL2_CN_EXTRA = None  # fec links are NOT re-run on day 2 — their survival
+# through the politicians refresh (whose fresh rows carry NULL link
+# columns) is exactly the column-level-merge property under test.
+
+_ETL2_MEMBERS = [
+    # brand-new member whose id sorts BEFORE every existing one: stable
+    # surrogate ids must give it max+1, never renumber (S18 incremental)
+    {
+        "bioguideId": "M000", "name": "Aard, Zoe", "partyName": "R",
+        "state": "Nevada",
+        "terms": {"item": [{"chamber": "House of Representatives", "startYear": 2025}]},
+    },
+    # update-wins: M001 switches party D -> I; the refresh record has NO
+    # fec link columns, so the day-1 links must survive the merge
+    {
+        "bioguideId": "M001", "name": "Smith, Alice", "partyName": "I",
+        "state": "Texas",
+        "terms": {"item": [
+            {"chamber": "House of Representatives", "startYear": 2019, "endYear": 2021},
+            {"chamber": "Senate", "startYear": 2021},
+        ]},
+    },
+    {
+        "bioguideId": "M007", "name": "New, Kid", "partyName": "D",
+        "state": "Texas",
+        "terms": {"item": [{"chamber": "House of Representatives", "startYear": 2025}]},
+    },
+]
+
+_ETL2_ITCONT = (
+    # same donor uid as day-1 DOE rows but OAKLAND: first-wins keeps AUSTIN
+    "C001|N|YE||img|15|IND|DOE, JANE|OAKLAND|CA|78701|ACME|ENG|07012025|25.00||||||SUBE08\n"
+    # re-sent filing id with a different amount: keyed on fec_filing_id,
+    # the original 100.00 must win (idempotent replay)
+    "C001|N|YE||img|15|IND|DOE, JANE|AUSTIN|TX|78701|ACME|ENG|03012025|999.00||||||SUBE01\n"
+    # brand-new donor through the other linked committee
+    "C002|N|YE||img|15|PAC|NEW PAC|LA|CA|90210|||07022025|500.00||||||SUBE09\n"
+)
+
+_ETL2_VOTE_H3 = {
+    "category": "passage",
+    "date": "2025-08-05",
+    "bill": {"type": "hr", "number": 1, "congress": 119},
+    "votes": {
+        "Yea": [{"id": "M007", "party": "D", "state": "TX"}],
+        "Nay": [{"id": "M002", "party": "I", "state": "CA"}],
+    },
+}
+
+_ETL2_MEMBERSHIPS = {
+    "HSAL00": [
+        {"name": "Alice Smith", "bioguide": "M001", "rank": 1, "title": "Chair", "party": "majority"},
+        # update-wins on the assignment key: role '-' -> 'Ranking Member'
+        {"name": "Bob Jones", "bioguide": "M003", "rank": 2, "title": "Ranking Member", "party": "minority"},
+    ],
+    "SSBE00": [{"name": "Alice Smith", "bioguide": "M001", "rank": 5, "party": "majority"}],
+}
+
+
+def ensure_etl2_fixtures() -> str:
+    d = os.path.join(FIXTURE_DIR, "etl2")
+    _write(os.path.join(d, "itcont.txt"), _ETL2_ITCONT)
+    bills = [
+        # update-wins on the bill dim: HR1's title changes; the re-sent
+        # M002 cosponsorship carries a LATER date that first-wins must
+        # ignore; M005 joins as a new cosponsor
+        _etl_bill_xml(119, "hr", 1, "Alpha Act v2", "2025-01-03", "M001",
+                      [("M002", "2025-09-09", "True"), ("M005", "2025-08-01", "True")]),
+        _etl_bill_xml(119, "hr", 3, "Delta Act", "2025-08-01", "M007",
+                      [("M002", "2025-08-02", "True")]),
+    ]
+    for i, xml in enumerate(bills, start=1):
+        _write(os.path.join(d, "bills", f"BILLSTATUS-f{i}.xml"), xml)
+    import json as _json
+
+    _write(
+        os.path.join(d, "119", "votes", "2025", "h3", "data.json"),
+        _json.dumps(_ETL2_VOTE_H3, indent=1),
+    )
+    return d
+
+
+_ETL_INC_PATH = os.path.join(tempfile.gettempdir(), "spark_graft_etl_wh_inc_v1")
+
+
+def _ensure_etl_incremental_warehouse(spark: SparkSession) -> str:
+    """Day-1 run_all, then the day-2 refresh re-running the individual
+    loaders exactly as the reference's scripts are re-run daily."""
+    from politician_etl_project_spark import etl
+    from politician_etl_project_spark.catalog import ensure_built_dir
+
+    d1 = ensure_etl_fixtures()
+    d2 = ensure_etl2_fixtures()
+
+    def _build(staging: str) -> None:
+        wh = etl.Warehouse(spark, staging)
+        etl.run_all(
+            wh,
+            member_records=_MEMBERS_PAGE,
+            billstatus_glob=os.path.join(d1, "bills", "*.xml"),
+            votes_glob=os.path.join(d1, "119", "votes", "*", "*", "data.json"),
+            itcont_path=os.path.join(d1, "itcont.txt"),
+            ccl_paths=[os.path.join(d1, "ccl.txt")],
+            cn_paths=[os.path.join(d1, "cn.txt")],
+            committee_docs=_ETL_COMMITTEE_DOCS,
+            membership_doc=_ETL_MEMBERSHIPS,
+        )
+        # day 2: same FK order, fec-link pass intentionally not re-run
+        etl.load_politicians(wh, _ETL2_MEMBERS)
+        etl.load_bills(wh, os.path.join(d2, "bills", "*.xml"))
+        etl.load_cosponsors(wh, os.path.join(d2, "bills", "*.xml"))
+        etl.load_votes(wh, os.path.join(d2, "119", "votes", "*", "*", "data.json"))
+        etl.load_donations(wh, os.path.join(d2, "itcont.txt"))
+        etl.load_committees(wh, _ETL_COMMITTEE_DOCS, _ETL2_MEMBERSHIPS)
+
+    return ensure_built_dir(_ETL_INC_PATH, _build)
+
+
+_ETL_INC_ORACLE = """
+SELECT * FROM (VALUES
+  -- M000 sorts FIRST yet gets max+1 (ids never renumber); M001's party
+  -- updated to I while its day-1 FEC links survived a refresh whose
+  -- fresh rows had no link columns (column-level merge)
+  ('politicians', 'M000', '6|R|-|-'),
+  ('politicians', 'M001', '1|I|H0TX01|C001'),
+  ('politicians', 'M002', '2|I|-|-'),
+  ('politicians', 'M003', '3|R|S0NY02|C002'),
+  ('politicians', 'M005', '4|R|-|-'),
+  ('politicians', 'M006', '5|D|-|-'),
+  ('politicians', 'M007', '7|D|-|-'),
+  -- HR1 title update-wins, id stable; HR3 appended with the next id
+  ('bills', 'HR1-119', '1|1|Alpha Act v2'),
+  ('bills', 'HR9-118', '2|-|Gamma Act'),
+  ('bills', 'S2-119', '3|3|Beta Act'),
+  ('bills', 'HR3-119', '4|7|Delta Act'),
+  -- (1|2) re-sent with date 2025-09-09: first-wins keeps 2025-01-04
+  ('bill_cosponsors', '1|2', 'true|2025-01-04'),
+  ('bill_cosponsors', '1|3', 'false|2025-02-05'),
+  ('bill_cosponsors', '1|4', 'true|2025-08-01'),
+  ('bill_cosponsors', '3|5', 'true|2025-02-02'),
+  ('bill_cosponsors', '4|2', 'true|2025-08-02'),
+  ('votes', '1|119/votes/2025/h1', '1|Yea'),
+  ('votes', '2|119/votes/2025/h1', '1|Yea'),
+  ('votes', '3|119/votes/2025/h1', '1|Nay'),
+  ('votes', '1|119/votes/2025/h2', '1|Nay'),
+  ('votes', '3|119/votes/2025/h2', '1|Yea'),
+  ('votes', '1|119/votes/2025/s5', '3|Not Voting'),
+  ('votes', '3|119/votes/2025/s5', '3|Yea'),
+  ('votes', '7|119/votes/2025/h3', '1|Yea'),
+  ('votes', '2|119/votes/2025/h3', '1|Nay'),
+  -- DOE re-appeared from OAKLAND: first-wins keeps AUSTIN; NEW PAC
+  -- gets the next stable donor id
+  ('donors', 'DOE, JANE|78701|ACME', '1|Individual|AUSTIN'),
+  ('donors', 'MEGA PAC|10001|', '2|PAC|NYC'),
+  ('donors', 'ROE, RICHARD|10001|BANK', '3|Individual|NYC'),
+  ('donors', 'NEW PAC|90210|', '4|PAC|LA'),
+  -- SUBE01 re-sent at 999.00: the filing key keeps the original 100.00
+  ('donations', 'SUBE01', '1|1|10000'),
+  ('donations', 'SUBE02', '1|1|5025'),
+  ('donations', 'SUBE04', '3|2|100000'),
+  ('donations', 'SUBE05', '3|3|25000'),
+  ('donations', 'SUBE08', '1|1|2500'),
+  ('donations', 'SUBE09', '3|4|50000'),
+  ('committees', 'HSAL00', 'house|standing|-'),
+  ('committees', 'HSAL0001', 'house|subcommittee|HSAL00'),
+  ('committees', 'SSBE00', 'senate|standing|-'),
+  -- M003's role updated in place (update-wins on the assignment key)
+  ('committee_assignments', '1|HSAL00|119', 'Chair'),
+  ('committee_assignments', '1|SSBE00|119', '-'),
+  ('committee_assignments', '3|HSAL00|119', 'Ranking Member'),
+  -- two runs per loader, with before/after row counts
+  ('update_log', 'bill_cosponsors|-', '2|3|5'),
+  ('update_log', 'bills|-', '2|3|4'),
+  ('update_log', 'committee_assignments|-', '2|3|3'),
+  ('update_log', 'committees|-', '2|3|3'),
+  ('update_log', 'donations|-', '2|4|6'),
+  ('update_log', 'donors|-', '2|3|4'),
+  ('update_log', 'politicians|-', '2|5|7'),
+  ('update_log', 'politicians|fec_link', '1|2|2'),
+  ('update_log', 'votes|-', '2|7|9')
+) AS t(table_name, entity_key, val)
+ORDER BY table_name, entity_key, val
+"""
+
+
+@declared_query(
+    "q_etl_incremental",
+    oracle=_ETL_INC_ORACLE,
+    ops=("T5", "S12", "S13", "S18", "T7"),
+    doc="The reference's DAILY refresh: after q_etl_run_all's day-1 "
+    "build, the individual loaders re-run with a day-2 delta batch "
+    "exactly as run_all_updates.py is cron-rerun — and the hash proves "
+    "every incremental-merge property at lifecycle level in one "
+    "relation: update-wins (M001's party flip, HR1's title, M003's "
+    "committee role), first-wins (DOE's original city survives a "
+    "re-appearance, a re-sent cosponsorship keeps its original date, a "
+    "re-sent FEC filing keeps its original amount), surrogate-id "
+    "stability (M000 sorts before every existing key yet gets max+1 — "
+    "persisted FK references never move; HR3/NEW PAC take the next "
+    "ids), column-level merge (day-1 FEC links survive a politicians "
+    "refresh that carries NULL link columns), and append-only growth "
+    "(new votes/donations/cosponsors land, day-1 rows byte-identical). "
+    "update_log keeps run multiplicity (2 runs per loader) with "
+    "min/max row counts, timestamps excluded.  Previously these "
+    "properties were pytest-pinned (tests/test_etl.py); now the driver "
+    "hash pins them.",
+)
+def q_etl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wh_long_format(spark, _ensure_etl_incremental_warehouse(spark))

@@ -540,3 +540,37 @@ def test_domain_stats_blocklist_broadcasts(spark, specs):
     remove 4 domains would be the N+1 of crawl filtering."""
     plan = plan_of(spark, specs, "q_domain_stats")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_png_decode_spreads_cpu_stage_cheap_codecs_do_not(spark, specs):
+    """The zlib PNG codec (~1 ms/row of Python) must repartition its
+    narrow input before mapInPandas — a small parquet file bin-packs
+    into 1-2 scan partitions and would serialize the decode on 2 of 32
+    workers — while the ~30 us/row BMP/PPM/WAV path measures WORSE with
+    the added exchange and must stay scan-partitioned
+    (operators/multimodal._spread_for_decode)."""
+    png = plan_of(spark, specs, "q_media_decode_png")
+    real = plan_of(spark, specs, "q_media_decode_real")
+
+    def exchanges_before_python(plan: str) -> int:
+        # formatted explain prints bare node names in the tree; the
+        # partitioning spelling lives in the details section
+        return plan.count("RoundRobinPartitioning")
+
+    assert exchanges_before_python(png) >= 1, "PNG decode lost its worker spread"
+    assert exchanges_before_python(real) == 0, (
+        "cheap-codec path gained a shuffle it measurably does not want"
+    )
+
+
+def test_etl_lifecycle_queries_read_stored_warehouse(spark, specs):
+    """Both lifecycle queries serve from the build-once warehouse (plain
+    parquet scans + a union + one small agg for update_log) — the ETL
+    itself must NOT re-run per read (the plan would show csv/xml scans
+    if it did)."""
+    for name in ("q_etl_run_all", "q_etl_incremental"):
+        plan = plan_of(spark, specs, name)
+        assert "Scan parquet" in plan, name
+        assert "Scan csv" not in plan and "Scan text" not in plan, (
+            f"{name} re-runs ingest at read time"
+        )
