@@ -49,8 +49,9 @@ DRIVER_WINDOW = [
     # the stalest evidence left (r8 verdict #1; floor moves to r5).
     # Slots 31-50: the alphabetically-first round-5-stale names.
     # ROUND-10 PLAN (keep rotation mechanical, r8 verdict #8): head =
-    # any new/rewritten queries + the 21 remaining r5-stale names
-    # (q_event_dedup .. q_url_canonicalize, alphabetical) + the
+    # any new/rewritten queries + the 25 remaining r5-stale names
+    # (q_dedup_incremental, q_domain_stats, q_embed_near_dup,
+    # q_event_dedup .. q_url_canonicalize, alphabetical) + the
     # alphabetically-first r6-stale names to fill 50.
     # tests/test_window.py asserts this composition mechanically
     # (never-checked ⊆ head; non-sentinel verified head slots no

@@ -63,6 +63,10 @@ SERVING_QUERIES = [
     "q_segment_dedup",         # direct form: winner exchange carries text
     "q_segment_dedup_digest",  # digest form: 16B winner exchange
     "q_url_canonicalize",      # pure-expression map + canonical-key shuffle
+    "q_media_decode_png",      # zlib codec, worker-spread mapInPandas:
+    #                            data-bound by construction; the sweep
+    #                            shows the spread keeps growth ~linear
+    #                            in docs, not serialized on 2 partitions
 ]
 
 
