@@ -241,7 +241,12 @@ def main() -> None:
     contended: list[str] = []
     for name in names:
         q_dir = overrides.get(name, sf_dir)
-        if _cpu_probe() > 1.4 * probe_base:
+        # min of two probes: a single sample right after a collect can
+        # catch the JVM's own trailing GC/stage-cleanup burst (measured:
+        # 17/211 false flags on an idle host, while 60 back-to-back
+        # probes at true idle never exceed 1.2x); a genuine noisy
+        # neighbor inflates both
+        if min(_cpu_probe(), _cpu_probe()) > 1.4 * probe_base:
             contended.append(name)
         specs[name].fn(spark, q_dir).collect()  # warm-up
         spark.catalog.clearCache()
