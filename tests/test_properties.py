@@ -738,3 +738,29 @@ def test_segment_dedup_digest_equals_direct_property(spark, texts, seg):
     direct = sorted(map(tuple, segment_dedup(docs, seg_tokens=seg, key="direct").collect()))
     digest = sorted(map(tuple, segment_dedup(docs, seg_tokens=seg, key="digest").collect()))
     assert direct == digest
+
+
+@given(
+    vals=st.lists(st.integers(0, 255), min_size=1, max_size=400),
+    width=st.integers(1, 13),
+    color_type=st.sampled_from([0, 2, 6]),
+)
+@settings(**_CODEC_SETTINGS)
+def test_png_roundtrip_property(vals, color_type, width):
+    """Any 8-bit payload with >= one complete scanline survives the
+    zlib PNG encode/inflate/unfilter round trip exactly — across gray/
+    RGB/RGBA channel layouts, every scanline width (including width 1,
+    where left-predictors see only zeros), and heights that cycle
+    through all five filter types."""
+    import numpy as np
+
+    from politician_etl_project_spark.operators.multimodal import decode_real, encode_png
+
+    arr = np.array(vals, dtype=np.uint8)
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    h = arr.size // (width * ch)
+    if h < 1:
+        return  # encoder refuses (tested separately)
+    img = decode_real(encode_png(arr, width, color_type=color_type))
+    assert img.shape == (h, width, ch)
+    np.testing.assert_array_equal(img.reshape(-1), arr[: h * width * ch])
