@@ -360,12 +360,30 @@ def main() -> None:
         # each got one end-of-suite remeasure (min taken)
         "contended_requeued": sorted(contended),
     }
+    print(summary_line(out, times))
+
+
+def summary_line(out: dict, times: dict[str, float], budget: int = 1900) -> str:
+    """Render the headline JSON line, self-truncating the per-query map
+    to the slowest 40 when the full map would outgrow the driver's
+    2000-byte stdout tail capture (BENCH_r02 lesson: a ~2.5 KB line got
+    front-clipped and parsed as null).  Factored out of main() so the
+    budget invariant is testable against the real registry size."""
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # never let the summary line outgrow the capture
-        slim = dict(out, queries={n: times[n] for n in sorted(times, key=times.get, reverse=True)[:40]})
+    if len(line) > budget:
+        slim = dict(
+            out, queries={n: times[n] for n in sorted(times, key=times.get, reverse=True)[:40]}
+        )
         slim["queries_truncated_to_slowest"] = 40
         line = json.dumps(slim, separators=(",", ":"))
-    print(line)
+    if len(line) > budget and len(slim.get("contended_requeued", [])) > 8:
+        # a noisy round can flag scores of names; the full list alone
+        # can outgrow the capture — collapse it to a count (the names
+        # are recoverable from stderr if ever needed)
+        slim["contended_requeued"] = sorted(slim["contended_requeued"])[:8]
+        slim["contended_requeued_n"] = len(out["contended_requeued"])
+        line = json.dumps(slim, separators=(",", ":"))
+    return line
     spark.stop()
 
 

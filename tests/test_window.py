@@ -233,3 +233,41 @@ def test_handwritten_docs_registry_counts():
                 "update the sentence or mark it as a snapshot "
                 "('registry snapshot at capture time: N')"
             )
+
+
+def test_bench_summary_line_fits_driver_capture():
+    """The driver records only the LAST 2000 bytes of bench stdout; the
+    summary line must stay under that with the REAL registry's names
+    and worst-case float widths, via the slowest-40 self-truncation."""
+    import json
+
+    import bench
+
+    names = list(load_all()) + ["etl_fec_500k", "metrics_bundle_parts_sum"]
+    times = {n: 12.345 for n in names}  # worst-case width: 6 chars each
+    out = {
+        "metric": "headline_query_suite_total",
+        "value": 999.999,
+        "unit": "sec",
+        "queries": times,
+        "sf": 0.1,
+        "etl_rows_out": 337810,
+        "etl_rows_in": 500000,
+        "timing_passes": 2,
+        "queries_benched": len(names),
+        "queries_not_benched": sorted(bench.BENCH_EXCLUDED),
+        "total_excludes": ["q_near_dup_pairs", "metrics_bundle_parts_sum"],
+        "load_avg_1m": 1.0,
+        "load_avg_start": 1.0,
+        "load_gate_ok": True,
+        # worst case: every name requeued (external contention all run)
+        "contended_requeued": sorted(times),
+    }
+    line = bench.summary_line(out, times)
+    assert len(line) <= 1900, f"summary line {len(line)} bytes would be front-clipped"
+    parsed = json.loads(line)
+    assert parsed.get("queries_truncated_to_slowest") == 40
+    assert len(parsed["queries"]) == 40
+    # worst-case requeue list collapses to a sample + count
+    assert parsed["contended_requeued_n"] == len(names)
+    assert len(parsed["contended_requeued"]) == 8
