@@ -14,10 +14,12 @@ pure numpy + struct with magic-byte dispatch, real header arithmetic
 (BGR order, bottom-up rows, 4-byte padding, chunk walking), and
 hypothesis-tested encode/decode round trips.  PNG — a genuinely
 COMPRESSED codec — decodes with nothing beyond the standard library
-(zlib inflate + the spec's five scanline filters, ``_decode_png``);
-JPEG keeps an import-guarded PIL branch that activates wherever PIL
-exists (this container lacks it, so that branch is covered by a skipif
-test, not a stub).
+(zlib inflate + the spec's five scanline filters, ``_decode_png``),
+and baseline JPEG decodes with pure numpy (marker walk, DHT-driven
+canonical Huffman, dequant, vectorized IDCT, ``_decode_jpeg``); only
+progressive JPEG keeps an import-guarded PIL branch that activates
+wherever PIL exists (this container lacks it, so that branch is
+covered by a skipif test, not a stub).
 
 Scale notes:
 - payload columns dominate bytes: push metadata predicates (kind, width)
@@ -348,6 +350,12 @@ def _decode_png(payload: bytes) -> np.ndarray:
         body = payload[pos + 8 : pos + 8 + clen]
         if len(body) < clen:
             raise ValueError(f"truncated PNG: chunk {ctype!r} declares {clen} bytes")
+        if pos + 12 + clen > len(payload):
+            # the body guard above covers only the body: a payload cut
+            # inside the 4 trailing CRC bytes would otherwise surface as
+            # struct.error, breaking decode_real's fail-loudly-with-
+            # ValueError contract
+            raise ValueError(f"truncated PNG: chunk {ctype!r} missing CRC bytes")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
         if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
             raise ValueError(f"PNG chunk {ctype!r} failed CRC check")
@@ -414,6 +422,676 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+# --- JPEG (baseline sequential, pure numpy: DCT + Huffman; no codec lib) ----
+#
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1) is numpy-tractable the same
+# way PNG was zlib-tractable: the only moving parts are an 8x8 DCT
+# (one orthogonal matrix), scalar quantization, zigzag run-length
+# coding, and canonical Huffman — all fully specified in the public
+# standard (Annex K carries the example quant + Huffman tables used
+# below, the same constants every libjpeg-compatible encoder ships).
+# The encoder emits genuine interchange-format files (SOI/APP0/DQT/
+# SOF0/DHT/SOS/EOI, byte-stuffed entropy stream); the decoder walks the
+# real marker stream, rebuilds the Huffman DECODE tables from DHT
+# segments (so it reads third-party baseline files, not just its own),
+# and supports grayscale, 4:4:4 and 4:2:0 YCbCr, plus restart
+# intervals.  Progressive (SOF2) and the other non-baseline frame
+# types raise a descriptive error — Pillow slots in for those where it
+# exists (it does not in this container).
+#
+# Lossiness and oracles: JPEG is lossy in general, but a block-constant
+# image under a quant table whose DC step divides 8*(v-128) round-trips
+# EXACTLY (a constant block has one nonzero coefficient, F00 =
+# 8*(v-128); with q_DC = 8 the quantizer is lossless on it, and the
+# IDCT of a DC-only block is constant F00/8).  The declared query
+# exploits this: text bytes become block-constant gray values, so the
+# decode is bit-exact and a DuckDB oracle can reason about the decoded
+# sums via ascii() arithmetic even though the wire bytes went through
+# the full DCT + Huffman machinery.  Reference analog: the media-
+# adjacent payload handling in scripts/hydrate_vectors.py:72-95.
+
+_JPEG_ZIGZAG = np.array(
+    [
+         0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_JPEG_UNZIGZAG = np.argsort(_JPEG_ZIGZAG)
+
+# Annex K.1 example quantization tables (natural order)
+_JPEG_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_JPEG_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 example Huffman tables: (BITS[1..16], HUFFVAL)
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_DCT_T = None
+
+
+def _dct_matrix() -> np.ndarray:
+    """The orthogonal 8x8 DCT-II matrix T with T[u,x] =
+    (C(u)/2)cos((2x+1)u*pi/16): F = T @ f @ T.T is the spec's FDCT and
+    f = T.T @ F @ T its exact inverse."""
+    global _DCT_T
+    if _DCT_T is None:
+        x = np.arange(8, dtype=np.float64)
+        t = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        t[0, :] *= 1 / np.sqrt(2)
+        _DCT_T = t
+    return _DCT_T
+
+
+def _jpeg_scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """Annex-K table scaled by the conventional quality knob (the
+    linear 5000/Q | 200-2Q mapping used across libjpeg-compatible
+    encoders), clamped to the baseline's 1..255 byte range."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) from a (BITS, HUFFVAL) spec pair via the
+    canonical code assignment (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code, k = code + 1, k + 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with the entropy stream's 0xFF byte
+    stuffing; flush pads the final partial byte with 1-bits (T.81
+    F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _jpeg_cat(v: int) -> int:
+    """Magnitude category (bit length of |v|) — the SSSS of T.81 F.1.2."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _quantized_blocks(plane: np.ndarray, quant: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(H, W) uint8 plane -> (by, bx, 64) int32 quantized zigzagged DCT
+    coefficients, edge-replicating to 8-multiples first."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    by, bx = hh // 8, ww // 8
+    blocks = (
+        plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8).astype(np.float64)
+        - 128.0
+    )
+    t = _dct_matrix()
+    coef = np.einsum("ux,nxy,vy->nuv", t, blocks, t, optimize=True)
+    q = np.round(coef / quant.reshape(8, 8)).astype(np.int64)
+    return q.reshape(by, bx, 64)[:, :, _JPEG_ZIGZAG], by, bx
+
+
+def _encode_block(
+    bw: _JpegBitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one zigzagged quantized block (T.81 F.1.2): DC
+    difference category + bits, AC run/size pairs with ZRL and EOB.
+    Returns the block's DC for the next prediction."""
+    zz = zz.tolist()
+    diff = zz[0] - pred
+    s = _jpeg_cat(diff)
+    bw.write(*dc_codes[s])
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])  # ZRL: 16 zeros
+            run -= 16
+        s = _jpeg_cat(v)
+        bw.write(*ac_codes[(run << 4) | s])
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        bw.write(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 75,
+    subsample: str = "4:2:0",
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> a real baseline JPEG file
+    (T.81 interchange format: SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Annex-K
+    Huffman tables, byte-stuffed entropy stream).  ``quality`` scales
+    the Annex-K quant tables unless explicit tables are passed (the
+    exact-round-trip query passes all-8s so the DC quantizer is
+    lossless on block-constant images).  ``subsample`` is '4:2:0' or
+    '4:4:4' (color only)."""
+    import struct
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError(f"need (h,w) gray or (h,w,3) RGB, got shape {img.shape}")
+    if subsample not in ("4:2:0", "4:4:4"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    h, w = img.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    ql = _JPEG_QUANT_LUMA if quant_luma is None else np.asarray(quant_luma, dtype=np.int64)
+    qc = _JPEG_QUANT_CHROMA if quant_chroma is None else np.asarray(quant_chroma, dtype=np.int64)
+    if quant_luma is None:
+        ql = _jpeg_scaled_quant(ql, quality)
+    if quant_chroma is None:
+        qc = _jpeg_scaled_quant(qc, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in planes]
+
+    two_by_two = not gray and subsample == "4:2:0"
+    if two_by_two:
+        # pad Y to 16-multiples (full MCUs), then 2x2-mean the chroma
+        ph, pw = -h % 16, -w % 16
+        if ph or pw:
+            planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
+        hh, ww = planes[0].shape
+        planes[1:] = [
+            np.round(
+                p.reshape(hh // 2, 2, ww // 2, 2).astype(np.float64).mean(axis=(1, 3))
+            ).astype(np.uint8)
+            for p in planes[1:]
+        ]
+
+    comp_q = [ql] if gray else [ql, qc, qc]
+    zz = [_quantized_blocks(p, q) for p, q in zip(planes, comp_q)]
+
+    dc_l = _huff_encode_table(*_JPEG_DC_LUMA)
+    ac_l = _huff_encode_table(*_JPEG_AC_LUMA)
+    dc_c = _huff_encode_table(*_JPEG_DC_CHROMA)
+    ac_c = _huff_encode_table(*_JPEG_AC_CHROMA)
+    comp_codes = [(dc_l, ac_l)] if gray else [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+
+    bw = _JpegBitWriter()
+    preds = [0] * len(planes)
+    if gray or subsample == "4:4:4":
+        by, bx = zz[0][1], zz[0][2]
+        for r0 in range(by):
+            for c0 in range(bx):
+                for ci, (blocks, _, _) in enumerate(zz):
+                    preds[ci] = _encode_block(
+                        bw, blocks[r0, c0], preds[ci], *comp_codes[ci]
+                    )
+    else:
+        mby, mbx = zz[1][1], zz[1][2]  # chroma block grid == MCU grid
+        for r0 in range(mby):
+            for c0 in range(mbx):
+                for dy in (0, 1):  # 4 luma blocks, left-right top-bottom
+                    for dx in (0, 1):
+                        preds[0] = _encode_block(
+                            bw, zz[0][0][2 * r0 + dy, 2 * c0 + dx], preds[0], dc_l, ac_l
+                        )
+                for ci in (1, 2):
+                    preds[ci] = _encode_block(bw, zz[ci][0][r0, c0], preds[ci], dc_c, ac_c)
+
+    app0 = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    dqt = _seg(0xDB, b"\x00" + bytes(ql[_JPEG_ZIGZAG].tolist()))
+    if not gray:
+        dqt += _seg(0xDB, b"\x01" + bytes(qc[_JPEG_ZIGZAG].tolist()))
+    samp = (0x11, 0x11, 0x11) if (gray or subsample == "4:4:4") else (0x22, 0x11, 0x11)
+    ncomp = 1 if gray else 3
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof_body += bytes([ci + 1, samp[ci], 0 if ci == 0 else 1])
+    dht = _seg(0xC4, bytes([0x00] + _JPEG_DC_LUMA[0]) + bytes(_JPEG_DC_LUMA[1]))
+    dht += _seg(0xC4, bytes([0x10] + _JPEG_AC_LUMA[0]) + bytes(_JPEG_AC_LUMA[1]))
+    if not gray:
+        dht += _seg(0xC4, bytes([0x01] + _JPEG_DC_CHROMA[0]) + bytes(_JPEG_DC_CHROMA[1]))
+        dht += _seg(0xC4, bytes([0x11] + _JPEG_AC_CHROMA[0]) + bytes(_JPEG_AC_CHROMA[1]))
+    sos_body = bytes([ncomp])
+    for ci in range(ncomp):
+        sos_body += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos_body += bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, app0)
+        + dqt
+        + _seg(0xC0, sof_body)
+        + dht
+        + _seg(0xDA, sos_body)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+class _JpegHuffTable:
+    """Canonical-Huffman DECODE tables (T.81 F.2.2.3): per code length,
+    the smallest/largest code and the offset into HUFFVAL."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.vals = list(vals)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            code <<= 1
+        if k != len(self.vals):
+            raise ValueError(f"DHT declares {k} symbols but carries {len(self.vals)}")
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy segment: un-stuffs
+    0xFF00, stops at any real marker (exposing it for the restart
+    handler), and raises on truncation."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("truncated JPEG: entropy stream ended at a marker")
+        if self.p >= len(self.d):
+            raise ValueError("truncated JPEG: entropy stream ran off the payload")
+        b = self.d[self.p]
+        if b == 0xFF:
+            if self.p + 1 >= len(self.d):
+                raise ValueError("truncated JPEG: dangling 0xFF in entropy stream")
+            nxt = self.d[self.p + 1]
+            if nxt == 0x00:
+                self.p += 2
+            else:
+                self.marker = nxt
+                raise ValueError(
+                    f"truncated JPEG: hit marker 0x{nxt:02x} inside an entropy run"
+                )
+        else:
+            self.p += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if not self.n:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_expect_rst(self, which: int) -> None:
+        """Byte-align and consume the next RSTn marker (restart
+        intervals reset the bit phase and DC predictions)."""
+        self.n = 0
+        if self.p + 1 >= len(self.d) or self.d[self.p] != 0xFF:
+            raise ValueError("JPEG restart interval: expected RST marker")
+        m = self.d[self.p + 1]
+        if m != 0xD0 + (which % 8):
+            raise ValueError(f"JPEG restart interval: expected RST{which % 8}, got 0x{m:02x}")
+        self.p += 2
+
+
+def _jpeg_decode_symbol(br: _JpegBitReader, tab: _JpegHuffTable) -> int:
+    code, length = br.bit(), 1
+    while code > tab.maxcode[length]:
+        length += 1
+        if length > 16:
+            raise ValueError("corrupt JPEG: Huffman code longer than 16 bits")
+        code = (code << 1) | br.bit()
+    return tab.vals[tab.valptr[length] + code - tab.mincode[length]]
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode_block(
+    br: _JpegBitReader, dct: _JpegHuffTable, act: _JpegHuffTable, pred: int, out: np.ndarray
+) -> int:
+    """Decode one block's 64 zigzagged coefficients into ``out``;
+    returns the new DC prediction."""
+    s = _jpeg_decode_symbol(br, dct)
+    dc = pred + (_jpeg_extend(br.bits(s), s) if s else 0)
+    out[0] = dc
+    k = 1
+    while k < 64:
+        rs = _jpeg_decode_symbol(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC run past coefficient 63")
+        out[k] = _jpeg_extend(br.bits(s), s)
+        k += 1
+    return dc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8, pure
+    numpy: marker walk, DHT-driven canonical Huffman decode, dequant,
+    vectorized 8x8 IDCT, chroma upsample, YCbCr->RGB.  Supports SOF0/
+    SOF1, 1-component and 3-component 4:4:4 / 4:2:0 / 4:2:2 / 4:1:1
+    scans, and restart intervals; SOF2 (progressive) raises the
+    PIL-gate error and every other frame type raises descriptively."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI marker")
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _JpegHuffTable] = {}
+    frame = None
+    restart = 0
+    pos = 2
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at byte {pos}")
+        marker = payload[pos + 1] if pos + 1 < len(payload) else None
+        if marker is None:
+            raise ValueError("truncated JPEG: dangling 0xFF at end of payload")
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            continue  # standalone / fill bytes
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: marker segment missing its length")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError(f"truncated JPEG: segment 0x{marker:02x} overruns payload")
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG: 16-bit quantization tables")
+                if i + 65 > len(body):
+                    raise ValueError("truncated JPEG: DQT table cut short")
+                tab = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                quant[tq] = tab[_JPEG_UNZIGZAG]  # stored zigzagged; keep natural
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG: {prec}-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError(
+                "progressive JPEG (SOF2) is beyond the baseline decoder; "
+                "install Pillow to enable the progressive branch"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG frame type SOF marker 0x{marker:02x}")
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _JpegHuffTable(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = body[0]
+            scomps = []
+            for si in range(ns):
+                cs, tda = body[1 + 2 * si : 3 + 2 * si]
+                match = [c for c in frame["comps"] if c["id"] == cs]
+                if not match:
+                    raise ValueError(f"corrupt JPEG: scan names unknown component {cs}")
+                scomps.append((match[0], tda >> 4, tda & 0x0F))
+            scan = (scomps, pos)
+            break
+        # else: APPn / COM / unknown — skipped via seglen
+    if scan is None:
+        raise ValueError("JPEG has no SOS scan")
+
+    scomps, data_pos = scan
+    hmax = max(c["h"] for c, _, _ in scomps)
+    vmax = max(c["v"] for c, _, _ in scomps)
+    fh, fw = frame["h"], frame["w"]
+    if len(scomps) == 1:
+        # non-interleaved: MCU is one block of the lone component
+        c = scomps[0][0]
+        # component dims = ceil(frame_dim * sampling / max_sampling),
+        # then ceil-to-blocks (T.81 A.1.1)
+        bx = -(-(fw * c["h"] // hmax + ((fw * c["h"]) % hmax > 0)) // 8)
+        by = -(-(fh * c["v"] // vmax + ((fh * c["v"]) % vmax > 0)) // 8)
+        grids = {c["id"]: np.zeros((by, bx, 64), dtype=np.int64)}
+        order = [(c["id"], scomps[0][1], scomps[0][2], None)]
+        mcuy, mcux = by, bx
+        per_mcu = 1
+    else:
+        mcux = -(-fw // (8 * hmax))
+        mcuy = -(-fh // (8 * vmax))
+        grids = {
+            c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+            for c, _, _ in scomps
+        }
+        order = [(c["id"], td, ta, (c["h"], c["v"])) for c, td, ta in scomps]
+        per_mcu = sum(c["h"] * c["v"] for c, _, _ in scomps)
+
+    br = _JpegBitReader(payload, data_pos)
+    preds = {cid: 0 for cid, _, _, _ in order}
+    n_rst = 0
+    done = 0
+    coef = np.zeros(64, dtype=np.int64)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and done and done % restart == 0:
+                br.align_and_expect_rst(n_rst)
+                n_rst += 1
+                preds = {cid: 0 for cid in preds}
+            for cid, td, ta, hv in order:
+                dct = huff.get((0, td))
+                act = huff.get((1, ta))
+                if dct is None or act is None:
+                    raise ValueError(f"corrupt JPEG: scan references missing DHT {td}/{ta}")
+                reps = [(0, 0)] if hv is None else [
+                    (dy, dx) for dy in range(hv[1]) for dx in range(hv[0])
+                ]
+                for dy, dx in reps:
+                    coef[:] = 0
+                    preds[cid] = _jpeg_decode_block(br, dct, act, preds[cid], coef)
+                    gy = my if hv is None else my * hv[1] + dy
+                    gx = mx if hv is None else mx * hv[0] + dx
+                    grids[cid][gy, gx] = coef
+            done += 1
+
+    # dequant + vectorized IDCT per component, then plane assembly
+    t = _dct_matrix()
+    planes = {}
+    for c, _, _ in scomps:
+        cid = c["id"]
+        q = quant.get(c["tq"])
+        if q is None:
+            raise ValueError(f"corrupt JPEG: component {cid} references missing DQT {c['tq']}")
+        g = grids[cid]
+        by, bx = g.shape[:2]
+        # g holds zigzag-order coefficients; q is ALREADY natural order
+        # (un-zigzagged at DQT parse) — permute only the coefficients
+        deq = (g[:, :, _JPEG_UNZIGZAG].astype(np.float64) * q).reshape(by, bx, 8, 8)
+        pix = np.einsum("xu,nmuv,yv->nmxy", t.T, deq, t.T, optimize=True) + 128.0
+        plane = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        planes[cid] = plane.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+    if len(scomps) == 1:
+        return planes[scomps[0][0]["id"]][:fh, :fw]
+    out = []
+    for c, _, _ in scomps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out.append(p[:fh, :fw].astype(np.float64))
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _pil_available() -> bool:
     """True when Pillow is importable — checked lazily so the module
     imports cleanly in codec-free containers like this one."""
@@ -445,13 +1123,15 @@ def decode_real(payload: bytes, kind: str | None = None) -> np.ndarray:
     RIFF/WAVE PCM16 mono -> int16 samples, and PNG (8-bit gray/RGB/RGBA,
     the first COMPRESSED codec on this path) -> (h, w, ch) uint8 via the
     pure-stdlib zlib inflate + scanline unfilter in ``_decode_png``.
-    JPEG still dispatches to Pillow when installed (import-guarded:
-    this container lacks PIL, so that one branch raises a descriptive
-    error here and activates unchanged wherever PIL exists).  ``kind``
-    is advisory (the magic decides); unknown magics raise so corrupt
-    payloads fail loudly instead of feeding garbage features
-    downstream.  FLAC/mp4 would need soundfile/ffmpeg and stay out of
-    scope."""
+    Baseline JPEG (SOF0/SOF1, gray + 4:4:4/4:2:0/4:2:2 color, restart
+    intervals) decodes with the pure-numpy DCT + Huffman parser in
+    ``_decode_jpeg``; only PROGRESSIVE JPEG still dispatches to Pillow
+    when installed (import-guarded: this container lacks PIL, so that
+    one branch raises a descriptive error here and activates unchanged
+    wherever PIL exists).  ``kind`` is advisory (the magic decides);
+    unknown magics raise so corrupt payloads fail loudly instead of
+    feeding garbage features downstream.  FLAC/mp4 would need
+    soundfile/ffmpeg and stay out of scope."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -465,12 +1145,15 @@ def decode_real(payload: bytes, kind: str | None = None) -> np.ndarray:
         # channel count, which the stats oracle reasons about exactly)
         return _decode_png(payload)
     if payload[: len(_JPEG_MAGIC)] == _JPEG_MAGIC:
-        if _pil_available():
-            return _decode_pil(payload)
-        raise ValueError(
-            "JPEG payload recognized but Pillow is not installed; "
-            "install PIL to enable the JPEG decode branch"
-        )
+        # baseline sequential decodes with the pure-numpy DCT + Huffman
+        # parser (round 10 — the PIL gate is now PROGRESSIVE-only);
+        # SOF2 falls through to Pillow where installed
+        try:
+            return _decode_jpeg(payload)
+        except ValueError as exc:
+            if "progressive" in str(exc) and _pil_available():
+                return _decode_pil(payload)
+            raise
     raise ValueError(f"unrecognized container magic {payload[:4]!r} (kind hint: {kind})")
 
 
@@ -686,6 +1369,64 @@ def encode_media_png(docs: DataFrame) -> DataFrame:
                 else:
                     payload = encode_png(vals, PNG_RGBA_WIDTH, color_type=6)
                     container = "png-rgba"
+                ids.append(int(mid))
+                containers.append(container)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(ids, dtype=np.int64),
+                    "container": containers,
+                    "payload": payloads,
+                }
+            )
+
+    return _spread_for_decode(docs.select("doc_id", "text")).mapInPandas(
+        _encode, _REAL_MEDIA_SCHEMA
+    )
+
+
+# JPEG exact-round-trip geometry: both variants consume text bytes in
+# groups of 4, each byte becoming one constant 8x8 luma block (gray: 4
+# blocks per 32-px-wide block row; color: the 4 luma quadrants of one
+# 16x16 4:2:0 MCU, R=G=B so chroma is constant 128 and survives
+# subsampling exactly).  With an all-8 quant table the DC quantizer is
+# lossless on 8*(v-128), so the decode is bit-exact — see the JPEG
+# section header for the arithmetic.
+JPEG_BYTES_PER_GROUP = 4
+JPEG_GRAY_WIDTH = 32
+JPEG_COLOR_WIDTH = 16
+_JPEG_Q8 = np.full(64, 8, dtype=np.int64)
+
+
+def encode_media_jpeg(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-JPEG media table from ``documents``: text byte
+    values become block-constant gray levels packed through the FULL
+    baseline pipeline (DCT, quantize, zigzag, Huffman, byte-stuffed
+    entropy stream) — grayscale or 4:2:0 YCbCr by doc_id parity — under
+    the all-8 quant table that makes the round trip exact, so a SQL
+    oracle can reason about decoded sums via ascii() arithmetic even
+    though the wire bytes went through a lossy-in-general codec."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            ids, containers, payloads = [], [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                vals = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                usable = (vals.size // JPEG_BYTES_PER_GROUP) * JPEG_BYTES_PER_GROUP
+                if usable < JPEG_BYTES_PER_GROUP:
+                    continue
+                if int(mid) % 2 == 0:
+                    img = np.kron(vals[:usable].reshape(-1, 4), ones)
+                    payload = encode_jpeg(img, quant_luma=_JPEG_Q8)
+                    container = "jpeg-gray"
+                else:
+                    gray = np.kron(vals[:usable].reshape(-1, 2), ones)
+                    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                    payload = encode_jpeg(
+                        rgb, subsample="4:2:0", quant_luma=_JPEG_Q8, quant_chroma=_JPEG_Q8
+                    )
+                    container = "jpeg-420"
                 ids.append(int(mid))
                 containers.append(container)
                 payloads.append(payload)

@@ -16,9 +16,11 @@ from politician_etl_project_spark.catalog import load_table
 from politician_etl_project_spark.operators.multimodal import (
     BMP_WIDTH,
     FRAME_BYTES,
+    JPEG_BYTES_PER_GROUP,
     PNG_ROW_BYTES,
     PPM_WIDTH,
     decode_real_stats,
+    encode_media_jpeg,
     encode_media_png,
     encode_media_real,
     pixel_stats,
@@ -205,3 +207,55 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.octet_length("text") >= PNG_ROW_BYTES)
     )
     return decode_real_stats(encode_media_png(docs)).orderBy("media_id")
+
+
+@declared_query(
+    "q_media_decode_jpeg",
+    oracle=f"""
+WITH px AS (
+  -- same ASCII-only guard as the other decode queries: the encoder
+  -- packs UTF-8 BYTES, ascii()/length() here count codepoints
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(text, ''), c -> ascii(c)) AS p,
+         CAST(length(text) AS INTEGER) AS n
+  FROM documents
+  WHERE length(text) = strlen(text) AND length(text) >= {JPEG_BYTES_PER_GROUP}
+)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'jpeg-gray' ELSE 'jpeg-420' END AS container,
+       CAST((n // {JPEG_BYTES_PER_GROUP}) * {JPEG_BYTES_PER_GROUP} * 64
+            * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) AS INTEGER) AS n_values,
+       CAST((CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 192 END)
+            * list_sum(p[1 : (n // {JPEG_BYTES_PER_GROUP}) * {JPEG_BYTES_PER_GROUP}])
+            AS BIGINT) AS sum_values
+FROM px
+ORDER BY media_id
+""",
+    ops=("MM-decode-jpeg", "D3"),
+    doc="REAL transform-codec round trip (baseline JPEG, pure numpy — "
+    "the last gated codec, executed: the PIL branch is now progressive-"
+    "only).  Text bytes become block-constant gray levels pushed "
+    "through the FULL T.81 baseline pipeline — 8x8 DCT, quantization, "
+    "zigzag run-length, Annex-K canonical Huffman, byte-stuffed entropy "
+    "stream, grayscale or interleaved 4:2:0 YCbCr MCUs by doc_id "
+    "parity — in one Arrow-batched mapInPandas stage, then parsed BACK "
+    "by operators/multimodal._decode_jpeg (marker walk, DHT-driven "
+    "Huffman DECODE tables, dequant, vectorized IDCT, chroma upsample, "
+    "YCbCr->RGB) in a second.  JPEG is lossy in general, but a "
+    "block-constant image under an all-8 quant table round-trips "
+    "BIT-EXACTLY (one nonzero coefficient, F00 = 8*(v-128), and 8 | "
+    "F00), so the oracle recomputes decoded counts/sums from ascii() "
+    "arithmetic independent of the codec; the color variant's 3x sum "
+    "relationship proves the MCU interleave, chroma subsampling and "
+    "color conversion really ran (R=G=B requires Cb=Cr=128 to survive "
+    "the whole pipeline).  Reference analog: scripts/hydrate_vectors.py"
+    ":72-95's media-adjacent payload handling.",
+)
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same ASCII guard as q_media_decode_real (bytes vs codepoints);
+    # the >= one-group floor mirrors the oracle's length filter
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text"))
+        & (F.octet_length("text") >= JPEG_BYTES_PER_GROUP)
+    )
+    return decode_real_stats(encode_media_jpeg(docs)).orderBy("media_id")

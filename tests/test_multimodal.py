@@ -239,15 +239,258 @@ def test_wav_truncation_raises_not_short_decode():
 _PIL_MISSING = __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None
 
 
-def test_jpeg_magic_without_pil_fails_descriptively():
-    """The JPEG branch is import-guarded: in a PIL-free container a
-    JPEG magic must produce the 'install PIL' error, not the generic
-    unrecognized-magic one (and never ImportError).  PNG no longer
-    routes through PIL at all — it has a stdlib decoder."""
+def test_jpeg_progressive_without_pil_fails_descriptively():
+    """Round 10: baseline JPEG decodes with the pure-numpy parser, so
+    the PIL gate is PROGRESSIVE-only — an SOF2 file in a PIL-free
+    container must produce the 'install Pillow' error, not the generic
+    unrecognized-magic one (and never ImportError)."""
+    import struct
+
     if not _PIL_MISSING:
         pytest.skip("PIL present: the guarded branch decodes instead")
-    with pytest.raises(ValueError, match="Pillow is not installed"):
-        decode_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    sof2_body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    payload = (
+        b"\xff\xd8"  # _JPEG_MAGIC needs 3 bytes of 0xffd8ff; SOF2's 0xff follows
+        + struct.pack(">BBH", 0xFF, 0xC2, len(sof2_body) + 2)
+        + sof2_body
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="install Pillow"):
+        decode_real(payload)
+
+
+def test_jpeg_exact_roundtrip_block_constant():
+    """The q_media_decode_jpeg contract outside Spark: block-constant
+    images under the all-8 quant table survive the full DCT + Huffman
+    pipeline BIT-EXACTLY — grayscale and 4:2:0 color (R=G=B, so chroma
+    is constant 128 and survives 2x2 subsampling + color conversion)."""
+    from politician_etl_project_spark.operators.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, 24, dtype=np.uint8)
+    q8 = np.full(64, 8, np.int64)
+    gray = np.kron(vals.reshape(6, 4), np.ones((8, 8), np.uint8))
+    out = decode_real(encode_jpeg(gray, quant_luma=q8))
+    np.testing.assert_array_equal(out, gray)
+
+    rgb = np.repeat(np.kron(vals.reshape(-1, 2), np.ones((8, 8), np.uint8))[:, :, None], 3, axis=2)
+    out2 = decode_real(encode_jpeg(rgb, subsample="4:2:0", quant_luma=q8, quant_chroma=q8))
+    np.testing.assert_array_equal(out2, rgb)
+
+
+def test_jpeg_decode_hand_assembled_file():
+    """Decode a JPEG whose entropy bits were assembled BY HAND (not by
+    the encoder, so this is not the encoder's own inverse): one 8x8
+    gray block, DC diff 5 (DC-luma category 3 = '100' + '101'), one AC
+    coefficient +2 at zigzag index 1 (AC-luma symbol 0x02 = '01' +
+    '10'), EOB ('1010') — 14 bits, 1-padded to 0x95 0xAB.  Expected
+    pixels come from an explicit cosine-sum IDCT written inline, using
+    the Annex-K luminance quant table the file declares."""
+    import struct
+
+    from politician_etl_project_spark.operators.multimodal import (
+        _JPEG_AC_LUMA,
+        _JPEG_DC_LUMA,
+        _JPEG_QUANT_LUMA,
+        _JPEG_ZIGZAG,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT_LUMA[_JPEG_ZIGZAG].tolist()))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00] + _JPEG_DC_LUMA[0]) + bytes(_JPEG_DC_LUMA[1]))
+    dht += seg(0xC4, bytes([0x10] + _JPEG_AC_LUMA[0]) + bytes(_JPEG_AC_LUMA[1]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    payload = b"\xff\xd8" + dqt + sof + dht + sos + bytes([0x95, 0xAB]) + b"\xff\xd9"
+
+    out = decode_real(payload)
+    assert out.shape == (8, 8)
+
+    # independent IDCT: F(0,0) = 5*16 = 80, F(0,1) = 2*11 = 22 (the
+    # Annex-K table's natural (0,1) entry is 11); everything else 0
+    import math
+
+    expect = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = (1 / math.sqrt(2)) * (1 / math.sqrt(2)) * 80.0
+            s += (1 / math.sqrt(2)) * 1.0 * 22.0 * math.cos((2 * y + 1) * math.pi / 16)
+            expect[x, y] = s / 4 + 128
+    np.testing.assert_array_equal(out, np.clip(np.round(expect), 0, 255).astype(np.uint8))
+
+
+def test_jpeg_decode_hand_assembled_422():
+    """The encoder only emits 4:4:4/4:2:0, but the decoder's MCU loop
+    claims GENERIC (h,v) layouts — pin 4:2:2 with a hand-assembled
+    16x8 file (one MCU: two Y blocks side by side, one Cb, one Cr).
+    Gray level 136 => Y DIFF 8 (cat 4: '101'+'1000'), Y2 DIFF 0
+    ('00'), chroma DCs 0 (DC-chroma '00', AC-chroma EOB '00'); 25 data
+    bits, 1-padded => B1 45 00 7F."""
+    import struct
+
+    from politician_etl_project_spark.operators.multimodal import (
+        _JPEG_AC_CHROMA,
+        _JPEG_AC_LUMA,
+        _JPEG_DC_CHROMA,
+        _JPEG_DC_LUMA,
+        _decode_jpeg,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    q8 = bytes([8] * 64)
+    dqt = seg(0xDB, b"\x00" + q8) + seg(0xDB, b"\x01" + q8)
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 16, 3) + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(0xC4, bytes([0x00] + _JPEG_DC_LUMA[0]) + bytes(_JPEG_DC_LUMA[1]))
+    dht += seg(0xC4, bytes([0x10] + _JPEG_AC_LUMA[0]) + bytes(_JPEG_AC_LUMA[1]))
+    dht += seg(0xC4, bytes([0x01] + _JPEG_DC_CHROMA[0]) + bytes(_JPEG_DC_CHROMA[1]))
+    dht += seg(0xC4, bytes([0x11] + _JPEG_AC_CHROMA[0]) + bytes(_JPEG_AC_CHROMA[1]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes([0xB1, 0x45, 0x00, 0x7F]) + b"\xff\xd9"
+    )
+    out = _decode_jpeg(payload)
+    assert out.shape == (8, 16, 3)
+    np.testing.assert_array_equal(out, np.full((8, 16, 3), 136, np.uint8))
+
+
+def test_jpeg_decode_restart_interval():
+    """DRI/RSTn support, pinned with a hand-assembled gray 8x16 file:
+    DRI=1 puts an RST0 between the two MCUs, and the DC predictor must
+    RESET at the marker — both blocks carry DIFF=8 ('101'+'1000'+EOB,
+    11 bits, 1-padded to B1 5F), which only decodes to a uniform 136
+    if the second block's prediction restarted from 0 (without the
+    reset it would decode to 144)."""
+    import struct
+
+    from politician_etl_project_spark.operators.multimodal import (
+        _JPEG_AC_LUMA,
+        _JPEG_DC_LUMA,
+        _decode_jpeg,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00] + _JPEG_DC_LUMA[0]) + bytes(_JPEG_DC_LUMA[1]))
+    dht += seg(0xC4, bytes([0x10] + _JPEG_AC_LUMA[0]) + bytes(_JPEG_AC_LUMA[1]))
+    dri = seg(0xDD, struct.pack(">H", 1))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    block = bytes([0xB1, 0x5F])
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos
+        + block + b"\xff\xd0" + block + b"\xff\xd9"
+    )
+    out = _decode_jpeg(payload)
+    np.testing.assert_array_equal(out, np.full((8, 16), 136, np.uint8))
+    # wrong RST index must raise, not silently desync
+    bad = payload.replace(b"\xff\xd0", b"\xff\xd3")
+    with pytest.raises(ValueError, match="expected RST0"):
+        _decode_jpeg(bad)
+
+
+@pytest.mark.skipif(_PIL_MISSING, reason="Pillow not installed in this container")
+def test_jpeg_codec_cross_checks_pil():
+    """Wherever Pillow exists: (a) PIL must read OUR baseline files
+    back to the exact block-constant pixels, and (b) a PIL-written
+    JPEG must decode through _decode_jpeg to within IDCT rounding of
+    PIL's own decode (different conformant IDCTs may differ by a
+    couple of levels)."""
+    import io
+
+    from PIL import Image
+
+    from politician_etl_project_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    vals = np.arange(16, dtype=np.uint8) * 16
+    img = np.kron(vals.reshape(4, 4), np.ones((8, 8), np.uint8))
+    ours = encode_jpeg(img, quant_luma=np.full(64, 8, np.int64))
+    with Image.open(io.BytesIO(ours)) as im:
+        np.testing.assert_array_equal(np.asarray(im.convert("L")), img)
+
+    grad = np.add.outer(np.arange(32), np.arange(32)).astype(np.uint8) * 3
+    buf = io.BytesIO()
+    Image.fromarray(grad, "L").save(buf, format="JPEG", quality=95)
+    theirs = buf.getvalue()
+    with Image.open(io.BytesIO(theirs)) as im:
+        pil_px = np.asarray(im.convert("L")).astype(int)
+    our_px = _decode_jpeg(theirs).astype(int)
+    assert np.abs(our_px - pil_px).max() <= 3
+
+
+def test_jpeg_rejects_malformed():
+    """Corrupt JPEG payloads fail loudly with ValueError: bad SOI, lost
+    marker sync, truncated segments, a truncated entropy stream, 16-bit
+    quant tables, unsupported frame types, and a scan naming a missing
+    Huffman table."""
+    import struct
+
+    from politician_etl_project_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8), 130, np.uint8))
+    with pytest.raises(ValueError, match="bad SOI"):
+        _decode_jpeg(b"\x00\x00" + good[2:])
+    with pytest.raises(ValueError, match="marker sync"):
+        _decode_jpeg(b"\xff\xd8\x00\x00" + good[2:])
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        _decode_jpeg(good[:25])  # cut inside the DQT segment body
+    with pytest.raises(ValueError, match="no SOS scan"):
+        _decode_jpeg(good[:20])  # cut exactly at a segment boundary
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_real(good[:-3])  # cut inside the entropy stream / EOI
+    # 16-bit DQT (Pq=1)
+    dqt16 = struct.pack(">BBH", 0xFF, 0xDB, 2 + 129) + b"\x10" + bytes(128)
+    with pytest.raises(ValueError, match="16-bit quant"):
+        _decode_jpeg(b"\xff\xd8" + dqt16 + good[2:])
+    # lossless frame type (SOF3)
+    sof3 = struct.pack(">BBH", 0xFF, 0xC3, 11) + struct.pack(">BHHB", 8, 8, 8, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    with pytest.raises(ValueError, match="unsupported JPEG frame"):
+        _decode_jpeg(b"\xff\xd8" + sof3 + b"\xff\xd9")
+    # scan referencing a Huffman table no DHT defined: SOI + DQT + SOF
+    # + SOS built explicitly with the DHTs left out
+    dqt = struct.pack(">BBH", 0xFF, 0xDB, 2 + 65) + b"\x00" + bytes(range(1, 65))
+    sof = struct.pack(">BBH", 0xFF, 0xC0, 11) + struct.pack(">BHHB", 8, 8, 8, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    sos = struct.pack(">BBH", 0xFF, 0xDA, 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    with pytest.raises(ValueError, match="missing DHT"):
+        _decode_jpeg(b"\xff\xd8" + dqt + sof + sos + b"\x00\x00\xff\xd9")
+
+
+def test_jpeg_is_actually_compressed_and_quality_scales():
+    """The emitted file must be a real transform-coded stream: a
+    block-constant image compresses far below raw size, and lower
+    quality must produce smaller files AND larger reconstruction error
+    on a noise image (guards against a fake store-everything encoder
+    with a decoder that just echoes)."""
+    from politician_etl_project_spark.operators.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    flat = np.kron(rng.integers(0, 256, (8, 8), dtype=np.uint8), np.ones((8, 8), np.uint8))
+    j = encode_jpeg(flat, quant_luma=np.full(64, 8, np.int64))
+    # ~330 bytes of that are fixed marker/table headers; the entropy
+    # stream itself is ~1 byte per 64-pixel block
+    assert len(j) < flat.size / 4, f"{len(j)} bytes for {flat.size} raw — not compressed"
+
+    noise = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    sizes, errs = [], []
+    for q in (95, 50):
+        jj = encode_jpeg(noise, quality=q)
+        out = decode_real(jj)
+        sizes.append(len(jj))
+        errs.append(float(np.abs(out.astype(int) - noise.astype(int)).mean()))
+    assert sizes[1] < sizes[0], "lower quality must shrink the file"
+    assert errs[1] > errs[0], "lower quality must raise reconstruction error"
 
 
 @pytest.mark.skipif(_PIL_MISSING, reason="Pillow not installed in this container")
@@ -347,6 +590,20 @@ def test_png_rejects_bad_crc_and_unsupported_variants():
     )
     with pytest.raises(ValueError, match="scanline data"):
         decode_real(png)
+
+
+def test_png_truncated_inside_chunk_crc_raises_value_error():
+    """r9 ADVICE: a payload cut inside a chunk's 4 trailing CRC bytes
+    used to surface as struct.error — the body-length guard covered
+    only the body.  decode_real's contract is ValueError for ALL
+    corrupt payloads."""
+    from politician_etl_project_spark.operators.multimodal import encode_png
+
+    good = encode_png(np.arange(24, dtype=np.uint8), 4, color_type=0)
+    # cut 2 bytes into the FINAL chunk's CRC (IEND: 0-byte body, so the
+    # last 4 bytes of a well-formed file are its CRC)
+    with pytest.raises(ValueError, match="missing CRC bytes"):
+        decode_real(good[:-2])
 
 
 def test_png_is_actually_compressed():

@@ -764,3 +764,60 @@ def test_png_roundtrip_property(vals, color_type, width):
     img = decode_real(encode_png(arr, width, color_type=color_type))
     assert img.shape == (h, width, ch)
     np.testing.assert_array_equal(img.reshape(-1), arr[: h * width * ch])
+
+
+@given(
+    vals=st.lists(st.integers(0, 255), min_size=4, max_size=64),
+    color=st.booleans(),
+)
+@settings(**_CODEC_SETTINGS)
+def test_jpeg_block_constant_roundtrip_property(vals, color):
+    """ANY byte sequence survives the q_media_decode_jpeg packing
+    bit-exactly: bytes become block-constant gray levels, go through
+    the full baseline pipeline (DCT, all-8 quantizer, zigzag, Annex-K
+    Huffman, byte stuffing — plus 4:2:0 subsampling, MCU interleave and
+    YCbCr conversion on the color variant) and decode back to the same
+    image.  This is the exactness window the declared query's oracle
+    relies on; arbitrary DC deltas across blocks exercise every DC
+    category the packing can produce."""
+    import numpy as np
+
+    from politician_etl_project_spark.operators.multimodal import decode_real, encode_jpeg
+
+    q8 = np.full(64, 8, np.int64)
+    arr = np.array(vals, dtype=np.uint8)
+    usable = (arr.size // 4) * 4
+    ones = np.ones((8, 8), np.uint8)
+    if color:
+        img = np.repeat(np.kron(arr[:usable].reshape(-1, 2), ones)[:, :, None], 3, axis=2)
+        payload = encode_jpeg(img, subsample="4:2:0", quant_luma=q8, quant_chroma=q8)
+    else:
+        img = np.kron(arr[:usable].reshape(-1, 4), ones)
+        payload = encode_jpeg(img, quant_luma=q8)
+    np.testing.assert_array_equal(decode_real(payload), img)
+
+
+@given(
+    vals=st.lists(st.integers(0, 255), min_size=64, max_size=192),
+    width=st.sampled_from([8, 11, 16]),
+)
+@settings(**_CODEC_SETTINGS)
+def test_jpeg_lossy_error_is_bounded_property(vals, width):
+    """On ARBITRARY (non-block-constant) images the codec is lossy but
+    the error is mathematically bounded: with a quant table of all 2s
+    each coefficient moves at most 1, and the IDCT basis magnitude is
+    <= 1/4, so no pixel can move more than 64 * 1/4 = 16 (pre-rounding;
+    +1 for the two rounding steps).  Catches any systematic distortion
+    (zigzag/dequant/table mix-ups) that the exactness window's
+    permutation-invariant all-8 table cannot see."""
+    import numpy as np
+
+    from politician_etl_project_spark.operators.multimodal import decode_real, encode_jpeg
+
+    arr = np.array(vals, dtype=np.uint8)
+    h = arr.size // width
+    img = arr[: h * width].reshape(h, width)
+    out = decode_real(encode_jpeg(img, quant_luma=np.full(64, 2, np.int64)))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 17, f"max pixel error {err.max()} exceeds the q=2 bound"
