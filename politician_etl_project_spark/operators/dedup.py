@@ -222,6 +222,7 @@ def lsh_bucket_pairs(
     max_bucket: int = 32,
     tokens_col: str = "toks",
     min_jaccard: float = 0.80,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard-verified near-dup pairs in ONE shuffle: sign →
     band-explode → exchange on (band_id, band_key) → [window skew-cap →
@@ -245,14 +246,21 @@ def lsh_bucket_pairs(
     carry through the shuffle."""
     from pyspark.sql import Window as _W
 
-    sigs = df.select(
-        F.col(id_col), F.col(tokens_col), *minhash_signature_from(tokens_col, n_hashes)
-    )
-    bands = sigs.select(
-        F.col(id_col),
-        F.col(tokens_col),
-        F.posexplode(band_key_array(n_hashes, rows_per_band)).alias("band_id", "band_key"),
-    )
+    if bands is None:
+        sigs = df.select(
+            F.col(id_col), F.col(tokens_col), *minhash_signature_from(tokens_col, n_hashes)
+        )
+        bands = sigs.select(
+            F.col(id_col),
+            F.col(tokens_col),
+            F.posexplode(band_key_array(n_hashes, rows_per_band)).alias("band_id", "band_key"),
+        )
+    else:
+        # caller-supplied (id, tokens, band_id, band_key) rows — e.g. a
+        # PERSISTED banding shared with a store probe (ingest.py), so
+        # the minhash pass is paid once; the banding formula must be
+        # the same band_key_array scheme or candidates drift
+        bands = bands.select(id_col, tokens_col, "band_id", "band_key")
     w = _W.partitionBy("band_id", "band_key").orderBy(F.asc(id_col))
     capped = (
         bands.withColumn("_bn", F.row_number().over(w))
@@ -295,13 +303,14 @@ def lsh_bucket_drops(
     max_bucket: int = 32,
     tokens_col: str = "toks",
     min_jaccard: float = 0.80,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup DROP ids — the larger id of each verified pair — via
     :func:`lsh_bucket_pairs` (same one-shuffle plan; the jaccard value is
     already computed for the ≥ filter, so projecting it away costs
     nothing).  Callers ``distinct()`` or aggregate per id."""
     return lsh_bucket_pairs(
-        df, id_col, n_hashes, rows_per_band, max_bucket, tokens_col, min_jaccard
+        df, id_col, n_hashes, rows_per_band, max_bucket, tokens_col, min_jaccard, bands=bands
     ).select("id_b")
 
 

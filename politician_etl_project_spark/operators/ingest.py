@@ -33,14 +33,23 @@ unknown without a scan); pass ``validate_new=True`` for a loud check
 must NOT be combined with replayed delivery — a legitimate replay
 carries stored ids by design).
 
-Cost profile: ``ingest`` is intentionally a MULTI-JOB report operator —
-each per-stage drop count (in-batch exact, exact-vs-store, in-batch
-near, near-vs-store) is its own action over the persisted batch, plus
-two bounded prefix collects and two pruned insert-if-absent anti-joins,
-~8-9 small jobs total (≈5-6 s at sf0.1 steady-state).  Every job is
-O(batch + pruned store slice), so the shape is constant-cost at any
-corpus size; fuse the counts only if the report granularity stops being
-worth one job each.
+Cost profile: a dry-run ``ingest`` is THREE jobs (r9 verdict #4 — it
+was 8-9): one bounded collect fuses both partition IN-lists (fpp + a
+superset bkp, ≤512 values total, and it doubles as the materialization
+of the persisted enrichment/banding caches), then two label-count
+aggregates — stages 1+2 (in-batch exact + exact-vs-store) and stages
+3+4 (in-batch near + near-vs-store, merged by precedence labeling over
+the cached stage-1/2 survivors).  Each stage frame carries its drop
+label as a column and the groupBy(label).count() that materializes its
+cache IS the report — nothing is counted twice or recomputed.  (A pure
+single-action funnel was tried and measured 3x SLOWER: without the
+intermediate caches, every branch of the one action re-paid the scan +
+window + store probes.)  The batch is repartitioned to session
+parallelism before the md5/minhash work — a small batch's parquet
+bin-packs into 1-2 scan partitions and would otherwise single-core the
+whole enrichment.  A real (non-dry) ingest adds the two pruned
+insert-if-absent writes.  Every job is O(batch + pruned store slice),
+so the shape is constant-cost at any corpus size.
 """
 
 from __future__ import annotations
@@ -197,10 +206,16 @@ class DedupIngestTable:
         fps id column and MUST NOT be combined with replayed delivery —
         a legitimate replay carries stored ids by design."""
         id_col = self.id_col
-        enriched = _with_fp(batch, id_col, self.text_col).persist()
-        no_exact = batch_clean = survivors = None
+        # spread the narrow (id, text) batch to the session parallelism
+        # BEFORE the tokenize/fingerprint/minhash work: a small batch
+        # parquet bin-packs into 1-2 scan partitions, which would put
+        # ~4 md5s x every token on one core (measured: 9.4s single-core
+        # vs ~1s spread at sf0.1) — the same lesson as multimodal's
+        # _spread_for_decode, and the shuffle moves only KB of text
+        spread = batch.repartition(self.spark.sparkContext.defaultParallelism)
+        enriched = _with_fp(spread, id_col, self.text_col).persist()
+        bands_all = _bands_of(enriched, id_col).persist()
         try:
-            n_in = enriched.count()
             if validate_new:
                 from pyspark.errors import AnalysisException
 
@@ -218,32 +233,92 @@ class DedupIngestTable:
                             f"needs a rebuild): {[r[0] for r in clash]}"
                         )
 
-            # 1. within-batch exact dedup (keep min id per fingerprint)
-            w_keep = F.row_number().over(Window.partitionBy("fp").orderBy(id_col))
-            batch_kept = enriched.withColumn("_rn", w_keep).filter(F.col("_rn") == 1).drop("_rn")
-            n_kept = batch_kept.count()
-            n_batch_dup = n_in - n_kept
+            # Job 1 (r9 verdict #4 — was jobs 1-6): BOTH partition
+            #    IN-lists in one bounded collect.  fpp comes from the
+            #    whole batch; bkp from the bands of the whole batch — a
+            #    SUPERSET of the prefixes the post-dedup probe docs
+            #    touch (stages only remove docs), so pruning stays
+            #    correct and stays O(batch): ≤256 values per table no
+            #    matter the corpus size.  bands_all is persisted here so
+            #    the store probe below reuses the minhash work.
+            pref = (
+                enriched.select(F.lit("fpp").alias("k"), F.col("fpp").alias("v"))
+                .unionByName(bands_all.select(F.lit("bkp").alias("k"), F.col("bkp").alias("v")))
+                .distinct()
+                .collect()
+            )
+            fpp = [r["v"] for r in pref if r["k"] == "fpp"]
+            bkp = [r["v"] for r in pref if r["k"] == "bkp"]
 
-            # 2. exact dups vs store: partition-pruned join on fp, self
-            #    excluded (a replayed half-indexed doc matches its own
-            #    stored fingerprint and must not count as a dup)
-            fpp = [r["fpp"] for r in batch_kept.select("fpp").distinct().collect()]
+            # Jobs 2-4: a CACHED LABEL CASCADE.  The four dedup stages
+            #    are sequentially dependent (each ranks only the docs
+            #    the previous ones kept), so they cannot collapse into
+            #    one aggregate without re-evaluating the shared parents
+            #    once per branch — measured: a single-action funnel over
+            #    un-persisted parents re-paid the scan + window + store
+            #    probes ~4x (20s vs 7s at sf0.1).  Instead each stage's
+            #    frame carries its drop LABEL as a column, is persisted,
+            #    and is materialized by ONE groupBy(label).count() whose
+            #    output IS that stage's report numbers — the next stage
+            #    then filters the cached frame instead of recomputing
+            #    the lineage.  Counts double as cache materialization;
+            #    nothing is counted twice and nothing is recomputed.
+            counts: dict[str, int] = {}
+
+            def _tally(df: DataFrame) -> None:
+                # 'pass' rows flow to the next stage and are counted by
+                # its terminal label; every doc lands in exactly one of
+                # the five real stages, so n_in = sum(counts.values())
+                for r in df.groupBy("_stage").count().collect():
+                    if r["_stage"] != "pass":
+                        counts[r["_stage"]] = r["count"]
+
+            # Job 2 — stages 1+2 in one pass: in-batch exact (keep min
+            # id per fingerprint) + exact-vs-store (partition-pruned fp
+            # join, SELF excluded: a replayed half-indexed doc matches
+            # its own stored fingerprint and must not count as a dup)
+            w_keep = F.row_number().over(Window.partitionBy("fp").orderBy(id_col))
             stored_fps = self._pruned("fps", "fpp", fpp).select(
                 "fp", F.col(id_col).alias("_sid")
             )
             exact_ids = (
-                batch_kept.join(stored_fps, "fp")
+                enriched.withColumn("_rn", w_keep)
+                .filter(F.col("_rn") == 1)
+                .join(stored_fps, "fp")
                 .filter(F.col("_sid") != F.col(id_col))
                 .select(id_col)
                 .distinct()
             )
-            no_exact = batch_kept.join(exact_ids, id_col, "left_anti").persist()
-            n_after_exact = no_exact.count()
-            n_exact_dup = n_kept - n_after_exact
+            labeled = (
+                enriched.withColumn("_rn", w_keep)
+                .join(exact_ids.withColumn("_ex", F.lit(1)), id_col, "left")
+                .withColumn(
+                    "_stage",
+                    F.when(F.col("_rn") > 1, "n_batch_dup")
+                    .when(F.col("_ex") == 1, "n_exact_dup")
+                    .otherwise("pass"),
+                )
+                .persist()
+            )
+            _tally(labeled)
+            no_exact = labeled.filter(F.col("_stage") == "pass").drop("_rn", "_ex", "_stage")
 
-            # 3. near-dups WITHIN the batch: same capped one-shuffle plan
-            #    as the batch-mode rebuild (lsh_bucket_drops), so a batch
-            #    ingested into an empty index equals the full rebuild
+            # Job 3 — stages 3 AND 4 in one pass.  Both probe the SAME
+            # cached no_exact frame and are independent of each other's
+            # RESULT once precedence labeling is applied: a doc flagged
+            # by stage 3 (in-batch near) never reached stage 4 in the
+            # sequential formulation, so computing the store probe over
+            # the no_exact SUPERSET and letting the when-chain prefer
+            # the stage-3 label is count-identical (the oracle's own
+            # `near` CTE does exactly this — band-join over all
+            # no_exact docs, then intersect with batch_clean).
+            #
+            # Stage 3: near-dups WITHIN the batch, same capped
+            # one-shuffle plan as the batch-mode rebuild
+            # (lsh_bucket_drops) — the bucket cap's ROW_NUMBER ranks
+            # no_exact docs ONLY, so this stays downstream of stages
+            # 1-2 (read from cache, not recomputed).
+            bands_ne = bands_all.join(no_exact.select(id_col), id_col, "semi")
             batch_near = lsh_bucket_drops(
                 no_exact,
                 id_col,
@@ -252,46 +327,63 @@ class DedupIngestTable:
                 max_bucket=_MAX_BUCKET,
                 tokens_col="toks",
                 min_jaccard=self.min_jaccard,
+                # reuse the PERSISTED whole-batch banding (narrowed to
+                # stage-1/2 survivors) — the minhash pass is paid once
+                # for both this in-batch probe and the store probe below
+                bands=bands_ne,
             ).withColumnRenamed("id_b", id_col).distinct()
-            batch_clean = no_exact.join(batch_near, id_col, "left_anti").persist()
-            n_after_batch_near = batch_clean.count()
-            n_batch_near_dup = n_after_exact - n_after_batch_near
 
-            # 4. near-dups vs store: band-key equi-join (partition-pruned),
-            #    Jaccard-verified, self excluded (replay of a doc whose
-            #    bands committed but fps didn't)
-            batch_bands = _bands_of(batch_clean, id_col)
-            bkp = [r["bkp"] for r in batch_bands.select("bkp").distinct().collect()]
+            # Stage 4: near-dups vs store (band-key equi-join,
+            # partition-pruned, Jaccard-verified, self excluded — replay
+            # of a doc whose bands committed but fps didn't), reusing
+            # the persisted whole-batch bands narrowed to no_exact
+            batch_bands = bands_ne
             stored_bands = self._pruned("bands", "bkp", bkp).select(
                 "band_id",
                 "band_key",
                 F.col(id_col).alias("_sid"),
                 F.col("toks").alias("_stoks"),
             )
-            near_ids = (
+            near_store_ids = (
                 batch_bands.join(stored_bands, ["band_id", "band_key"])
                 .filter(F.col("_sid") != F.col(id_col))
                 .filter(jaccard("toks", "_stoks") >= self.min_jaccard)
                 .select(id_col)
                 .distinct()
             )
-            survivors = batch_clean.join(near_ids, id_col, "left_anti").persist()
-            n_ingested = survivors.count()
-            n_near_dup = n_after_batch_near - n_ingested
+            survivors = (
+                no_exact.join(batch_near.withColumn("_bn", F.lit(1)), id_col, "left")
+                .join(near_store_ids.withColumn("_ns", F.lit(1)), id_col, "left")
+                .withColumn(
+                    "_stage",
+                    F.when(F.col("_bn") == 1, "n_batch_near_dup")
+                    .when(F.col("_ns") == 1, "n_near_dup")
+                    .otherwise("n_ingested"),
+                )
+                .persist()
+            )
+            _tally(survivors)
+            n_in = sum(counts.values())
 
-            # 5. write survivor state (insert-if-absent — see _append)
+            # write survivor state (insert-if-absent — see _append)
             if not dry_run:
-                self._append(survivors)
+                self._append(
+                    survivors.filter(F.col("_stage") == "n_ingested").drop(
+                        "_bn", "_ns", "_stage"
+                    )
+                )
             return IngestReport(
                 n_in=n_in,
-                n_batch_dup=n_batch_dup,
-                n_exact_dup=n_exact_dup,
-                n_batch_near_dup=n_batch_near_dup,
-                n_near_dup=n_near_dup,
-                n_ingested=n_ingested,
+                n_batch_dup=counts.get("n_batch_dup", 0),
+                n_exact_dup=counts.get("n_exact_dup", 0),
+                n_batch_near_dup=counts.get("n_batch_near_dup", 0),
+                n_near_dup=counts.get("n_near_dup", 0),
+                n_ingested=counts.get("n_ingested", 0),
             )
         finally:
             enriched.unpersist()
-            for df in (no_exact, batch_clean, survivors):
+            bands_all.unpersist()
+            for name in ("labeled", "survivors"):
+                df = locals().get(name)
                 if df is not None:
                     df.unpersist()
