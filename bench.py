@@ -293,6 +293,32 @@ def main() -> None:
     # user asks about first.
     times["metrics_bundle_parts_sum"] = _bench_bundle_parts(spark, sf_dir)
 
+    # Round-10 (r9 verdict #1): delta-triggered requeue.  The r9 artifact
+    # carried phantom regressions up to 3.8x on UNTOUCHED code that the
+    # pre-block CPU probe missed — the probe samples before a query's
+    # block, but contention that arrives mid-block inflates the timed
+    # runs unprobed, and the min-of-two probe change (281604f) that
+    # halved false positives raised exactly these false negatives.  The
+    # previous round's own published time is the one contention-free
+    # signal we already have: any query that lands >1.25x its
+    # prev-round number gets ONE end-of-suite remeasure (min taken) and
+    # is listed in `delta_requeued`, so every surviving >1.25x mover in
+    # the published artifact is a number that reproduced twice.
+    prev = _load_prev_bench()
+    delta_requeued = _delta_movers(times, prev)
+    if delta_requeued:
+        for name in delta_requeued:
+            if name == "etl_fec_500k":
+                remeasured = bench_etl(spark)[0]
+            elif name == "metrics_bundle_parts_sum":
+                remeasured = _bench_bundle_parts(spark, sf_dir)
+            else:
+                t0 = time.perf_counter()
+                specs[name].fn(spark, overrides.get(name, sf_dir)).collect()
+                remeasured = round(time.perf_counter() - t0, 3)
+                spark.catalog.clearCache()
+            times[name] = min(times[name], remeasured)
+
     # Round-8 (r7 ADVICE): the headline total sums ONLY standard-corpus
     # registry queries + the ETL macro.  The sum-of-parts twin is a
     # comparison axis for q_metrics_bundle_e2e (summing both would
@@ -307,7 +333,6 @@ def main() -> None:
     # lesson: a single ~2.5 KB line got front-clipped → parsed: null), so
     # the regression map goes on its own EARLIER line and the headline
     # summary — compact-separated, ~1.5 KB at 48 queries — prints LAST.
-    prev = _load_prev_bench()
     if prev:
         delta = {
             n: round(times[n] / prev["queries"][n], 2)
@@ -359,8 +384,15 @@ def main() -> None:
         # names whose pre-block CPU probe showed external contention;
         # each got one end-of-suite remeasure (min taken)
         "contended_requeued": sorted(contended),
+        # names that landed >1.25x their prev-round time and got one
+        # end-of-suite remeasure (min taken) — r9 verdict #1: any
+        # surviving >1.25x mover reproduced twice
+        "delta_requeued": delta_requeued,
+        "delta_requeue_vs_round": prev["_round"] if prev else None,
     }
+    write_sidecar(out)
     print(summary_line(out, times))
+    spark.stop()
 
 
 def summary_line(out: dict, times: dict[str, float], budget: int = 1900) -> str:
@@ -370,21 +402,67 @@ def summary_line(out: dict, times: dict[str, float], budget: int = 1900) -> str:
     front-clipped and parsed as null).  Factored out of main() so the
     budget invariant is testable against the real registry size."""
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > budget:
-        slim = dict(
-            out, queries={n: times[n] for n in sorted(times, key=times.get, reverse=True)[:40]}
-        )
-        slim["queries_truncated_to_slowest"] = 40
+    if len(line) <= budget:
+        return line
+    slim = dict(out)
+    for key in ("contended_requeued", "delta_requeued"):
+        if len(slim.get(key, [])) > 8:
+            # a noisy round can flag scores of names; the full lists
+            # alone can outgrow the capture — collapse each to a
+            # sample + count (the full lists live in the
+            # BENCH_r{N}_full.json sidecar)
+            slim[key] = sorted(slim[key])[:8]
+            slim[key + "_n"] = len(out[key])
+    # shrink the per-query map to the slowest N, stepping down until the
+    # line fits (40 has fit every real round; the floor guards the
+    # pathological all-names-requeued worst case in the tests)
+    for cap in (40, 35, 30, 25, 20):
+        slim["queries"] = {n: times[n] for n in sorted(times, key=times.get, reverse=True)[:cap]}
+        slim["queries_truncated_to_slowest"] = cap
         line = json.dumps(slim, separators=(",", ":"))
-    if len(line) > budget and len(slim.get("contended_requeued", [])) > 8:
-        # a noisy round can flag scores of names; the full list alone
-        # can outgrow the capture — collapse it to a count (the names
-        # are recoverable from stderr if ever needed)
-        slim["contended_requeued"] = sorted(slim["contended_requeued"])[:8]
-        slim["contended_requeued_n"] = len(out["contended_requeued"])
-        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) <= budget:
+            break
     return line
-    spark.stop()
+
+
+def _delta_movers(times: dict[str, float], prev: dict | None, ratio: float = 1.25) -> list[str]:
+    """Names whose time exceeds `ratio`x their previous-round number —
+    the requeue set for the r9-verdict-#1 second chance.  Sorted so the
+    remeasure order (and the published list) is deterministic."""
+    if not prev:
+        return []
+    return sorted(
+        n for n in times if prev["queries"].get(n) and times[n] > ratio * prev["queries"][n]
+    )
+
+
+def next_round() -> int:
+    """1 + the highest round number among the driver's committed
+    BENCH_r{N}.json artifacts — i.e. the round this capture will be
+    published as."""
+    import re
+
+    root = Path(__file__).resolve().parent
+    rounds = [0]
+    for p in root.glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def write_sidecar(out: dict, root: Path | None = None) -> Path:
+    """Persist the UNCAPPED bench record as BENCH_r{N}_full.json next to
+    the driver's capped artifacts (r9 verdict #5: the summary line
+    self-truncates the per-query map to the slowest 40 and the requeue
+    list to 8 names to fit the driver's 2000-byte stdout tail, which
+    left the full requeue story recoverable only from stderr).  The
+    sidecar carries every per-query time and both requeue lists in
+    full, so adjudication never depends on a truncated line."""
+    path = (root or Path(__file__).resolve().parent) / f"BENCH_r{next_round()}_full.json"
+    path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    print(json.dumps({"sidecar_written": str(path)}), file=sys.stderr)
+    return path
 
 
 def _load_prev_bench() -> dict | None:
@@ -397,7 +475,11 @@ def _load_prev_bench() -> dict | None:
     for p in root.glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
         if m:
-            rounds.append((int(m.group(1)), p))
+            # prefer the round's UNCAPPED sidecar when committed — the
+            # driver artifact truncates to the slowest 40, which would
+            # silently shrink the delta-requeue's coverage to 40 names
+            full = root / f"BENCH_r{m.group(1)}_full.json"
+            rounds.append((int(m.group(1)), full if full.exists() else p))
     # newest parseable round wins — a clipped/unparseable artifact (r02's
     # front-truncated tail) falls back to the previous round instead of
     # silently dropping the regression axis

@@ -715,10 +715,13 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T7: the full run_all_updates lifecycle under the driver gate ----------
 #
-# The reference's scripts/run_all_updates.py:14-19 runs the whole star
-# schema refresh in FK order (politicians → fec links → bills →
-# cosponsors → votes → donations → committees).  etl.run_all replays
-# that DAG over a parquet Warehouse; here it runs END TO END against a
+# The reference's scripts/run_all_updates.py:14-19 chains only the
+# DAILY update scripts (bills → sponsors/cosponsors → votes →
+# donations); its politician, FEC-link, and committee loaders live in
+# separate one-off update scripts.  etl.run_all is the SUPERSET DAG —
+# the whole star-schema refresh in FK order (politicians → fec links →
+# bills → cosponsors → votes → donations → committees) — replayed over
+# a parquet Warehouse; here it runs END TO END against a
 # deterministic staged fixture chain that exercises every loader edge —
 # fuzzy FEC entity resolution (exact-normalized names so the expected
 # links are hand-derivable), an unknown sponsor (NULL sponsor_id via
@@ -1050,9 +1053,12 @@ def _wh_long_format(spark: SparkSession, root: str) -> DataFrame:
     "q_etl_run_all",
     oracle=_ETL_ORACLE,
     ops=("T7", "S11", "S12", "S13", "S17", "S18", "J9", "J12"),
-    doc="The reference's WHOLE refresh lifecycle under the driver gate "
-    "(scripts/run_all_updates.py:14-19): etl.run_all executes the real "
-    "FK-ordered DAG — members transform + dense surrogate ids, fuzzy "
+    doc="The reference's WHOLE refresh lifecycle under the driver gate: "
+    "etl.run_all is a SUPERSET of scripts/run_all_updates.py:14-19 "
+    "(whose UPDATE_SCRIPTS chain only bills/cosponsors/votes/donations "
+    "daily; the politician, FEC-link, and committee loaders come from "
+    "the reference's other update scripts) executing one FK-ordered "
+    "DAG — members transform + dense surrogate ids, fuzzy "
     "FEC entity resolution (state-blocked levenshtein, exact-normalized "
     "fixture names so links are hand-derivable), billstatus XML with an "
     "unknown sponsor, cosponsor first-wins, vote JSON with the '\"VP\"' "
