@@ -27,41 +27,83 @@ import os
 from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, declared_query
 
 DRIVER_WINDOW = [
-    # --- ROUND-9 WINDOW (driver checks [:50]) ---
-    # Slots 1-3: queries NEW this round — q_etl_run_all (the reference's
-    # whole run_all_updates FK-ordered refresh, T7, promoted from
-    # pytest-only to the driver gate), q_etl_incremental (the day-2
-    # delta refresh: update-wins/first-wins/stable-id properties
-    # hash-proven at lifecycle level), and q_media_decode_png (the
-    # first COMPRESSED image codec ever executed in this container —
-    # pure-stdlib zlib PNG decode; the PIL branch never ran in r1-8).
-    # Slots 4-8: sentinels for code REWRITTEN in round 9 (prior greens
-    # predate the edits): SnapshotTable.compact now repartitions when
-    # the scan bin-packs below target_files (q_compaction_maintenance);
-    # the hash-embedding driver replay now tokenizes with the ENGINES'
-    # ASCII \s+/space-trim semantics (q_semantic_search_e2e);
-    # decode_real's magic dispatch changed (PNG -> stdlib decoder, PIL
-    # now JPEG-only) (q_media_decode_real); and the two live streaming
-    # queries now run under _live_stream_conf (no-data micro-batch off
-    # + per-query state partitions — r8 verdict #7's floor work)
-    # (q_stateful_totals_live, q_stream_interval_join_live).
-    # Slots 9-30: the 22 queries whose latest driver check is ROUND 4 —
-    # the stalest evidence left (r8 verdict #1; floor moves to r5).
-    # Slots 31-50: the alphabetically-first round-5-stale names.
-    # ROUND-10 PLAN (keep rotation mechanical, r8 verdict #8): head =
-    # any new/rewritten queries + the 25 remaining r5-stale names
-    # (q_dedup_incremental, q_domain_stats, q_embed_near_dup,
-    # q_event_dedup .. q_url_canonicalize, alphabetical) + the
-    # alphabetically-first r6-stale names to fill 50.
+    # --- ROUND-10 WINDOW (driver checks [:50]) ---
+    # Slot 1: NEW this round — q_media_decode_jpeg (the LAST gated
+    # codec executed: pure-numpy baseline JPEG — T.81 marker walk,
+    # Annex-K Huffman, DCT/IDCT, 4:2:0 MCU interleave; the PIL gate is
+    # now progressive-only).
+    # Slot 2: q_dedup_incremental — REWRITTEN this round (r9 verdict
+    # #4: the 6 sequential probe actions collapsed into one fused
+    # prefix collect + one funnel aggregate) AND the stalest name (r5).
+    # Slot 3: sentinel — decode_real's JPEG dispatch changed (baseline
+    # goes to _decode_jpeg, PIL is progressive-only), so
+    # q_media_decode_real's r9 green predates the edit.
+    # Slots 4-27: the remaining 24 round-5-stale names (alphabetical) —
+    # with these the r5 floor clears entirely (r9 verdict #2).
+    # Slots 28-50: the alphabetically-first 23 round-6-stale names.
+    # ROUND-11 PLAN (keep rotation mechanical, r8 verdict #8): head =
+    # any new/rewritten queries + the 23 remaining r6-stale names
+    # (q_exists_probe, q_fuzzy_match_topk, q_global_stats .. 
+    # q_union_distinct, alphabetical) + the alphabetically-first
+    # r7-stale names to fill 50.
     # tests/test_window.py asserts this composition mechanically
     # (never-checked ⊆ head; non-sentinel verified head slots no
     # fresher than any verified name outside, judged boundary-aware).
+    "q_media_decode_jpeg",
+    "q_dedup_incremental",
+    "q_media_decode_real",
+    "q_domain_stats",
+    "q_embed_near_dup",
+    "q_event_dedup",
+    "q_fact_dim_rollup",
+    "q_filter_eq_range",
+    "q_frame_sample",
+    "q_hash_split",
+    "q_incremental_rollup",
+    "q_json_extract",
+    "q_junction_hierarchy",
+    "q_k_anonymity",
+    "q_knn_bruteforce",
+    "q_knn_with_metadata",
+    "q_left_join_coalesce",
+    "q_limit1_probe",
+    "q_media_pixel_stats",
+    "q_merge_batch_replay",
+    "q_minhash_calibration",
+    "q_minhash_signatures",
+    "q_pq_rerank",
+    "q_sketch_merge_replay",
+    "q_src_votes_json",
+    "q_time_travel",
+    "q_url_canonicalize",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_volume",
+    "q11_important_value",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q_anti_join",
+    "q_avg_by_segment",
+    "q_bm25_indexed",
+    "q_bm25_topk",
+    "q_conditional_split",
+    "q_count_distinct",
+    "q_dedup_keep_first",
+    "q_dedup_keep_last",
+    "q_dynamic_filters",
+    "q_except",
     "q_etl_run_all",
     "q_etl_incremental",
     "q_media_decode_png",
     "q_compaction_maintenance",
     "q_semantic_search_e2e",
-    "q_media_decode_real",
     "q_stateful_totals_live",
     "q_stream_interval_join_live",
     "q_lm_quality_score",
@@ -106,10 +148,6 @@ DRIVER_WINDOW = [
     "q_curation_funnel",
     "q_date_roundtrip",
     "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_domain_stats",
-    "q_embed_near_dup",
-    "q_event_dedup",
     "q_scope_metrics_e2e",
     "q_dashboard_stats_e2e",
     "q_committee_roster_e2e",
@@ -156,50 +194,6 @@ DRIVER_WINDOW = [
     "q_gap_fill",
     "q_hybrid_rrf",
     "q_inverted_index",
-    "q_fact_dim_rollup",
-    "q_filter_eq_range",
-    "q_frame_sample",
-    "q_hash_split",
-    "q_incremental_rollup",
-    "q_json_extract",
-    "q_junction_hierarchy",
-    "q_k_anonymity",
-    "q_knn_bruteforce",
-    "q_knn_with_metadata",
-    "q_left_join_coalesce",
-    "q_limit1_probe",
-    "q_media_pixel_stats",
-    "q_merge_batch_replay",
-    "q_minhash_calibration",
-    "q_minhash_signatures",
-    "q_pq_rerank",
-    "q_sketch_merge_replay",
-    "q_src_votes_json",
-    "q_time_travel",
-    "q_url_canonicalize",
-    "q02_min_cost_supplier",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_region_volume",
-    "q11_important_value",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q_anti_join",
-    "q_avg_by_segment",
-    "q_bm25_indexed",
-    "q_bm25_topk",
-    "q_conditional_split",
-    "q_count_distinct",
-    "q_dedup_keep_first",
-    "q_dedup_keep_last",
-    "q_dynamic_filters",
-    "q_except",
     "q_exists_probe",
     "q_fuzzy_match_topk",
     "q_global_stats",
@@ -274,11 +268,8 @@ DRIVER_WINDOW = [
 # THIS round (their prior green predates the edit) — exempt from the
 # stalest-first head rule, bounded to keep rotation honest.
 WINDOW_SENTINELS = [
-    "q_compaction_maintenance",
-    "q_semantic_search_e2e",
-    "q_media_decode_real",
-    "q_stateful_totals_live",
-    "q_stream_interval_join_live",
+    "q_dedup_incremental",  # r10: ingest() rewritten as a 2-job funnel (r9 verdict #4)
+    "q_media_decode_real",  # r10: decode_real JPEG dispatch now pure-numpy baseline
 ]
 
 _ORACLE_TABLES = (

@@ -262,12 +262,82 @@ def test_bench_summary_line_fits_driver_capture():
         "load_gate_ok": True,
         # worst case: every name requeued (external contention all run)
         "contended_requeued": sorted(times),
+        # worst case for the r10 delta requeue too: all names moved
+        "delta_requeued": sorted(times),
+        "delta_requeue_vs_round": 9,
     }
     line = bench.summary_line(out, times)
     assert len(line) <= 1900, f"summary line {len(line)} bytes would be front-clipped"
     parsed = json.loads(line)
-    assert parsed.get("queries_truncated_to_slowest") == 40
-    assert len(parsed["queries"]) == 40
-    # worst-case requeue list collapses to a sample + count
+    cap = parsed.get("queries_truncated_to_slowest")
+    assert cap is not None and 20 <= cap <= 40
+    assert len(parsed["queries"]) == cap
+    # worst-case requeue lists collapse to a sample + count
     assert parsed["contended_requeued_n"] == len(names)
     assert len(parsed["contended_requeued"]) == 8
+    assert parsed["delta_requeued_n"] == len(names)
+    assert len(parsed["delta_requeued"]) == 8
+
+
+def test_bench_sidecar_uncapped_and_round_numbered(tmp_path, monkeypatch):
+    """r9 verdict #5: the full bench record must land in
+    BENCH_r{N}_full.json so no measurement is only recoverable from a
+    truncated stdout line — the sidecar keeps EVERY per-query time and
+    both requeue lists even when summary_line truncates, and its query
+    count matches queries_benched (+2 for the etl macro and the
+    bundle-parts twin that main() always appends)."""
+    import json
+
+    import bench
+
+    names = list(load_all()) + ["etl_fec_500k", "metrics_bundle_parts_sum"]
+    times = {n: 12.345 for n in names}
+    out = {
+        "queries": times,
+        "queries_benched": len(names) - 2,
+        "contended_requeued": sorted(times),
+        "delta_requeued": sorted(times),
+    }
+    monkeypatch.setattr(
+        bench, "next_round", lambda: 99
+    )  # don't depend on which BENCH_r*.json are committed
+    path = bench.write_sidecar(out, root=tmp_path)
+    assert path.name == "BENCH_r99_full.json"
+    data = json.loads(path.read_text())
+    assert len(data["queries"]) == data["queries_benched"] + 2
+    assert data["contended_requeued"] == sorted(times)  # uncapped
+    assert data["delta_requeued"] == sorted(times)
+
+
+def test_sweep_log_matches_registry():
+    """r9 verdict #6: the 10x (sf0.1) oracle sweep is a standing
+    per-round artifact — SCALE.md's sweep log must have its NEWEST
+    entry at the current registry size, so growing the registry without
+    re-running tools/sweep_oracle_sf01.py fails loudly."""
+    import re
+
+    text = open(os.path.join(REPO_ROOT, "SCALE.md")).read()
+    entries = re.findall(
+        r"- (\d{4}-\d{2}-\d{2}): (\d+)/(\d+) hash-identical at sf0\.1 \(registry (\d+)",
+        text,
+    )
+    assert entries, "SCALE.md sweep log lost its entries"
+    date, ok, total, registry = max(entries)  # ISO dates sort lexically
+    n = len(load_all())
+    assert int(registry) == n, (
+        f"newest sweep ({date}) ran at registry {registry} but the registry "
+        f"now has {n} queries — rerun tools/sweep_oracle_sf01.py and record it"
+    )
+    assert ok == total, f"newest sweep has failures: {ok}/{total}"
+
+
+def test_bench_delta_movers_selection():
+    """The delta requeue (r9 verdict #1) must flag exactly the >1.25x
+    movers vs the previous round and ignore names the prior round never
+    measured."""
+    import bench
+
+    prev = {"queries": {"a": 1.0, "b": 2.0, "c": 4.0}}
+    times = {"a": 1.26, "b": 2.4, "c": 4.99, "new_query": 9.0}
+    assert bench._delta_movers(times, prev) == ["a"]
+    assert bench._delta_movers(times, None) == []
