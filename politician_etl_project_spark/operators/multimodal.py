@@ -15,11 +15,12 @@ pure numpy + struct with magic-byte dispatch, real header arithmetic
 hypothesis-tested encode/decode round trips.  PNG — a genuinely
 COMPRESSED codec — decodes with nothing beyond the standard library
 (zlib inflate + the spec's five scanline filters, ``_decode_png``),
-and baseline JPEG decodes with pure numpy (marker walk, DHT-driven
-canonical Huffman, dequant, vectorized IDCT, ``_decode_jpeg``); only
-progressive JPEG keeps an import-guarded PIL branch that activates
-wherever PIL exists (this container lacks it, so that branch is
-covered by a skipif test, not a stub).
+and JPEG — sequential AND progressive — decodes with pure numpy
+(marker walk, DHT-driven canonical Huffman, multi-scan coefficient
+accumulation with successive approximation, dequant, vectorized IDCT,
+``_decode_jpeg``).  No codec library is imported anywhere on this
+path; Pillow is used only by optional cross-check tests where it
+happens to exist.
 
 Scale notes:
 - payload columns dominate bytes: push metadata predicates (kind, width)
@@ -649,15 +650,20 @@ def _encode_block(
 ) -> int:
     """Entropy-encode one zigzagged quantized block (T.81 F.1.2): DC
     difference category + bits, AC run/size pairs with ZRL and EOB.
-    Returns the block's DC for the next prediction."""
-    zz = zz.tolist()
-    diff = zz[0] - pred
+    Returns the block's DC for the next prediction.  The Python loop
+    runs only up to the LAST nonzero coefficient (C-speed nonzero scan
+    first) — a sparse block, the dominant case, costs a handful of
+    iterations instead of 63."""
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    vals = zz[: last + 1].tolist()
+    diff = vals[0] - pred
     s = _jpeg_cat(diff)
     bw.write(*dc_codes[s])
     if s:
         bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
     run = 0
-    for v in zz[1:]:
+    for v in vals[1:]:
         if v == 0:
             run += 1
             continue
@@ -668,9 +674,9 @@ def _encode_block(
         bw.write(*ac_codes[(run << 4) | s])
         bw.write(v if v > 0 else v + (1 << s) - 1, s)
         run = 0
-    if run:
-        bw.write(*ac_codes[0x00])  # EOB
-    return zz[0]
+    if last < 63:
+        bw.write(*ac_codes[0x00])  # EOB covers every trailing zero
+    return vals[0]
 
 
 def _seg(marker: int, body: bytes) -> bytes:
@@ -679,20 +685,67 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
+def _encode_dc_only(
+    bw: _JpegBitWriter, dc: int, pred: int, dc_codes: dict[int, tuple[int, int]]
+) -> int:
+    """DC difference coding alone (the progressive DC-first scan's
+    entropy unit; Al=0 in the scans this encoder emits)."""
+    diff = dc - pred
+    s = _jpeg_cat(diff)
+    bw.write(*dc_codes[s])
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return dc
+
+
+def _encode_ac_band(
+    bw: _JpegBitWriter, zz: np.ndarray, ss: int, se: int, ac_codes: dict[int, tuple[int, int]]
+) -> None:
+    """Run/size coding of one block's spectral band [ss..se] for a
+    progressive AC-first scan (Al=0): ZRL for 16-zero runs, EOB (the
+    EOB0 symbol) when the band ends in zeros.  This encoder never emits
+    multi-block EOB runs — EOB0 per block is the always-valid case."""
+    band = zz[ss : se + 1]
+    nz = np.nonzero(band)[0]
+    if nz.size == 0:
+        bw.write(*ac_codes[0x00])
+        return
+    vals = band[: int(nz[-1]) + 1].tolist()
+    run = 0
+    for v in vals:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])
+            run -= 16
+        s = _jpeg_cat(v)
+        bw.write(*ac_codes[(run << 4) | s])
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if len(vals) - 1 < se - ss:
+        bw.write(*ac_codes[0x00])
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 75,
     subsample: str = "4:2:0",
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 -> a real baseline JPEG file
-    (T.81 interchange format: SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Annex-K
-    Huffman tables, byte-stuffed entropy stream).  ``quality`` scales
-    the Annex-K quant tables unless explicit tables are passed (the
+    """(h, w) gray or (h, w, 3) RGB uint8 -> a real JPEG file (T.81
+    interchange format: SOI/APP0/DQT/SOF/DHT/SOS/EOI, Annex-K Huffman
+    tables, byte-stuffed entropy stream).  ``quality`` scales the
+    Annex-K quant tables unless explicit tables are passed (the
     exact-round-trip query passes all-8s so the DC quantizer is
     lossless on block-constant images).  ``subsample`` is '4:2:0' or
-    '4:4:4' (color only)."""
+    '4:4:4' (color only).  ``progressive=True`` emits an SOF2
+    spectral-selection file — one interleaved DC scan, then per-
+    component AC band scans (1-5, 6-63), each its own byte-aligned
+    entropy segment; the quantized coefficients are IDENTICAL to the
+    baseline file's, only their scan order differs."""
     import struct
 
     img = np.asarray(img, dtype=np.uint8)
@@ -744,34 +797,90 @@ def encode_jpeg(
     ac_c = _huff_encode_table(*_JPEG_AC_CHROMA)
     comp_codes = [(dc_l, ac_l)] if gray else [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
 
-    bw = _JpegBitWriter()
-    preds = [0] * len(planes)
-    if gray or subsample == "4:4:4":
-        by, bx = zz[0][1], zz[0][2]
-        for r0 in range(by):
-            for c0 in range(bx):
-                for ci, (blocks, _, _) in enumerate(zz):
-                    preds[ci] = _encode_block(
-                        bw, blocks[r0, c0], preds[ci], *comp_codes[ci]
-                    )
-    else:
-        mby, mbx = zz[1][1], zz[1][2]  # chroma block grid == MCU grid
-        for r0 in range(mby):
-            for c0 in range(mbx):
-                for dy in (0, 1):  # 4 luma blocks, left-right top-bottom
-                    for dx in (0, 1):
-                        preds[0] = _encode_block(
-                            bw, zz[0][0][2 * r0 + dy, 2 * c0 + dx], preds[0], dc_l, ac_l
+    ncomp = 1 if gray else 3
+    scans: list[bytes] = []
+    if not progressive:
+        bw = _JpegBitWriter()
+        preds = [0] * len(planes)
+        if gray or subsample == "4:4:4":
+            by, bx = zz[0][1], zz[0][2]
+            for r0 in range(by):
+                for c0 in range(bx):
+                    for ci, (blocks, _, _) in enumerate(zz):
+                        preds[ci] = _encode_block(
+                            bw, blocks[r0, c0], preds[ci], *comp_codes[ci]
                         )
-                for ci in (1, 2):
-                    preds[ci] = _encode_block(bw, zz[ci][0][r0, c0], preds[ci], dc_c, ac_c)
+        else:
+            mby, mbx = zz[1][1], zz[1][2]  # chroma block grid == MCU grid
+            for r0 in range(mby):
+                for c0 in range(mbx):
+                    for dy in (0, 1):  # 4 luma blocks, left-right top-bottom
+                        for dx in (0, 1):
+                            preds[0] = _encode_block(
+                                bw, zz[0][0][2 * r0 + dy, 2 * c0 + dx], preds[0], dc_l, ac_l
+                            )
+                    for ci in (1, 2):
+                        preds[ci] = _encode_block(bw, zz[ci][0][r0, c0], preds[ci], dc_c, ac_c)
+        sos_body = bytes([ncomp])
+        for ci in range(ncomp):
+            sos_body += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos_body += bytes([0, 63, 0])
+        scans.append(_seg(0xDA, sos_body) + bw.flush())
+    else:
+        # scan 1: DC, all components interleaved (Ss=Se=0, Ah=Al=0)
+        bw = _JpegBitWriter()
+        preds = [0] * len(planes)
+        if gray or subsample == "4:4:4":
+            by, bx = zz[0][1], zz[0][2]
+            for r0 in range(by):
+                for c0 in range(bx):
+                    for ci, (blocks, _, _) in enumerate(zz):
+                        preds[ci] = _encode_dc_only(
+                            bw, int(blocks[r0, c0][0]), preds[ci], comp_codes[ci][0]
+                        )
+        else:
+            mby, mbx = zz[1][1], zz[1][2]
+            for r0 in range(mby):
+                for c0 in range(mbx):
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            preds[0] = _encode_dc_only(
+                                bw, int(zz[0][0][2 * r0 + dy, 2 * c0 + dx][0]), preds[0], dc_l
+                            )
+                    for ci in (1, 2):
+                        preds[ci] = _encode_dc_only(bw, int(zz[ci][0][r0, c0][0]), preds[ci], dc_c)
+        sos_body = bytes([ncomp])
+        for ci in range(ncomp):
+            sos_body += bytes([ci + 1, (0x00 if ci == 0 else 0x11) & 0xF0])  # DC table only
+        sos_body += bytes([0, 0, 0])
+        scans.append(_seg(0xDA, sos_body) + bw.flush())
+        # AC band scans, one component at a time, over the component's
+        # NON-INTERLEAVED block grid (ceil(dim*sampling/hmax / 8)) —
+        # 4:2:0 luma planes are padded to whole MCUs, so the grid can
+        # be one block wider/taller than the non-interleaved dims and
+        # those pad blocks stay DC-only (the decoder expects exactly
+        # this; they are cropped after IDCT)
+        for ci, (blocks, gby, gbx) in enumerate(zz):
+            if gray or subsample == "4:4:4":
+                nby, nbx = gby, gbx
+            elif ci == 0:  # 4:2:0 luma: non-interleaved dims from ORIGINAL size
+                nby, nbx = -(-h // 8), -(-w // 8)
+            else:  # 4:2:0 chroma: ceil(ceil(dim/2)/8) == the MCU grid
+                nby, nbx = gby, gbx
+            for ss_, se_ in ((1, 5), (6, 63)):
+                bw = _JpegBitWriter()
+                for r0 in range(nby):
+                    for c0 in range(nbx):
+                        _encode_ac_band(bw, blocks[r0, c0], ss_, se_, comp_codes[ci][1])
+                sos_body = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
+                sos_body += bytes([ss_, se_, 0])
+                scans.append(_seg(0xDA, sos_body) + bw.flush())
 
     app0 = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
     dqt = _seg(0xDB, b"\x00" + bytes(ql[_JPEG_ZIGZAG].tolist()))
     if not gray:
         dqt += _seg(0xDB, b"\x01" + bytes(qc[_JPEG_ZIGZAG].tolist()))
     samp = (0x11, 0x11, 0x11) if (gray or subsample == "4:4:4") else (0x22, 0x11, 0x11)
-    ncomp = 1 if gray else 3
     sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof_body += bytes([ci + 1, samp[ci], 0 if ci == 0 else 1])
@@ -780,18 +889,13 @@ def encode_jpeg(
     if not gray:
         dht += _seg(0xC4, bytes([0x01] + _JPEG_DC_CHROMA[0]) + bytes(_JPEG_DC_CHROMA[1]))
         dht += _seg(0xC4, bytes([0x11] + _JPEG_AC_CHROMA[0]) + bytes(_JPEG_AC_CHROMA[1]))
-    sos_body = bytes([ncomp])
-    for ci in range(ncomp):
-        sos_body += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos_body += bytes([0, 63, 0])
     return (
         b"\xff\xd8"
         + _seg(0xE0, app0)
         + dqt
-        + _seg(0xC0, sof_body)
+        + _seg(0xC2 if progressive else 0xC0, sof_body)
         + dht
-        + _seg(0xDA, sos_body)
-        + bw.flush()
+        + b"".join(scans)
         + b"\xff\xd9"
     )
 
@@ -895,34 +999,255 @@ def _jpeg_decode_block(
     br: _JpegBitReader, dct: _JpegHuffTable, act: _JpegHuffTable, pred: int, out: np.ndarray
 ) -> int:
     """Decode one block's 64 zigzagged coefficients into ``out``;
-    returns the new DC prediction."""
-    s = _jpeg_decode_symbol(br, dct)
-    dc = pred + (_jpeg_extend(br.bits(s), s) if s else 0)
-    out[0] = dc
-    k = 1
-    while k < 64:
-        rs = _jpeg_decode_symbol(br, act)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("corrupt JPEG: AC run past coefficient 63")
-        out[k] = _jpeg_extend(br.bits(s), s)
-        k += 1
+    returns the new DC prediction.
+
+    This is the sequential scan's hot loop (every block of every
+    baseline image runs through it), so the bit reader is INLINED into
+    local integers — per-bit method calls measured ~3x slower across a
+    media-table decode.  The reader's (p, acc, n) state is pulled into
+    locals, refilled ≥16 bits at a time with the 0xFF00 un-stuffing
+    done inline, and written back on every exit path."""
+    d = br.d
+    ln = len(d)
+    p, acc, n = br.p, br.acc, br.n
+    dc = pred
+    k = 0
+    try:
+        for tab, is_dc in ((dct, True), (act, False)):
+            maxc, minc, vptr, tvals = tab.maxcode, tab.mincode, tab.valptr, tab.vals
+            while True:
+                # refill to 32 bits (a symbol is <=16 and its magnitude
+                # bits <=11 more, consumed before the next refill),
+                # stopping early at a marker
+                while n < 32 and p < ln:
+                    b = d[p]
+                    if b == 0xFF:
+                        if p + 1 < ln and d[p + 1] == 0x00:
+                            p += 2
+                        else:
+                            break  # real marker: no more data bits
+                    else:
+                        p += 1
+                    acc = (acc << 8) | b
+                    n += 8
+                if n < 1:
+                    raise ValueError("truncated JPEG: entropy stream exhausted mid-block")
+                code = (acc >> (n - 1)) & 1
+                length = 1
+                while code > maxc[length]:
+                    length += 1
+                    if length > 16 or length > n:
+                        raise ValueError("corrupt JPEG: bad Huffman code in block")
+                    code = (code << 1) | ((acc >> (n - length)) & 1)
+                n -= length
+                rs = tvals[vptr[length] + code - minc[length]]
+                if is_dc:
+                    s = rs
+                    if s:
+                        if n < s:
+                            raise ValueError("truncated JPEG: DC magnitude bits missing")
+                        v = (acc >> (n - s)) & ((1 << s) - 1)
+                        n -= s
+                        dc = pred + (v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                    out[0] = dc
+                    k = 1
+                    break  # one DC symbol, then the AC loop
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        if k < 64:
+                            continue
+                    break  # EOB (or ZRL landed exactly at 64)
+                k += r
+                if k > 63:
+                    raise ValueError("corrupt JPEG: AC run past coefficient 63")
+                if n < s:
+                    raise ValueError("truncated JPEG: AC magnitude bits missing")
+                v = (acc >> (n - s)) & ((1 << s) - 1)
+                n -= s
+                out[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                k += 1
+                if k > 63:
+                    break
+    finally:
+        br.p, br.acc, br.n = p, acc & ((1 << n) - 1), n
     return dc
 
 
+def _jpeg_ac_first(
+    br: _JpegBitReader, act: _JpegHuffTable, blk: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC 'first' scan for one block's band [ss..se] (T.81
+    G.1.2.2): run/size pairs as in sequential coding, plus EOBn symbols
+    (s=0, r<15) establishing an end-of-band RUN over 2^r + receive(r)
+    blocks.  Returns the remaining eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_symbol(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("corrupt JPEG: AC run past the scan's spectral band")
+            blk[k] = _jpeg_extend(br.bits(s), s) << al
+            k += 1
+    return 0
+
+
+def _jpeg_ac_refine(
+    br: _JpegBitReader, act: _JpegHuffTable, blk: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3):
+    newly nonzero coefficients arrive as run/1 symbols with a sign bit,
+    and every already-nonzero coefficient crossed on the way emits one
+    correction bit (appended at magnitude bit ``al``)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_decode_symbol(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: AC refinement size must be 1")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("corrupt JPEG: refinement run past the band")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and br.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(
+    payload: bytes,
+    pos: int,
+    frame: dict,
+    scomps: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict,
+    restart: int,
+    grids: dict,
+) -> int:
+    """Decode ONE entropy-coded scan (sequential full-band, progressive
+    DC first/refine, or progressive AC first/refine), writing zigzagged
+    coefficients into the per-component ``grids``.  Returns the byte
+    position just past the scan's entropy data, where the marker walk
+    resumes (DHT/DQT may be redefined between scans)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    fh, fw = frame["h"], frame["w"]
+    if len(scomps) > 1:
+        mcux = -(-fw // (8 * hmax))
+        mcuy = -(-fh // (8 * vmax))
+        order = [(c, td, ta, (c["h"], c["v"])) for c, td, ta in scomps]
+    else:
+        # non-interleaved: MCU is one block; component dims = ceil(
+        # frame_dim * sampling / max_sampling), then ceil-to-blocks
+        c = scomps[0][0]
+        mcux = -(-(fw * c["h"] // hmax + ((fw * c["h"]) % hmax > 0)) // 8)
+        mcuy = -(-(fh * c["v"] // vmax + ((fh * c["v"]) % vmax > 0)) // 8)
+        order = [(c, scomps[0][1], scomps[0][2], None)]
+
+    sequential = ss == 0 and se == 63 and ah == 0 and al == 0
+    br = _JpegBitReader(payload, pos)
+    preds = {c["id"]: 0 for c, _, _, _ in order}
+    eobrun = 0
+    n_rst = 0
+    done = 0
+    coef = np.zeros(64, dtype=np.int64)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and done and done % restart == 0:
+                br.align_and_expect_rst(n_rst)
+                n_rst += 1
+                preds = {cid: 0 for cid in preds}
+                eobrun = 0
+            for c, td, ta, hv in order:
+                cid = c["id"]
+                dct = huff.get((0, td))
+                act = huff.get((1, ta))
+                reps = [(0, 0)] if hv is None else [
+                    (dy, dx) for dy in range(hv[1]) for dx in range(hv[0])
+                ]
+                for dy, dx in reps:
+                    gy = my if hv is None else my * hv[1] + dy
+                    gx = mx if hv is None else mx * hv[0] + dx
+                    blk = grids[cid][gy, gx]
+                    if sequential:
+                        if dct is None or act is None:
+                            raise ValueError(
+                                f"corrupt JPEG: scan references missing DHT {td}/{ta}"
+                            )
+                        coef[:] = 0
+                        preds[cid] = _jpeg_decode_block(br, dct, act, preds[cid], coef)
+                        blk[:] = coef
+                    elif ss == 0 and ah == 0:  # progressive DC first
+                        if dct is None:
+                            raise ValueError(f"corrupt JPEG: scan references missing DHT {td}")
+                        s = _jpeg_decode_symbol(br, dct)
+                        preds[cid] += _jpeg_extend(br.bits(s), s) if s else 0
+                        blk[0] = preds[cid] << al
+                    elif ss == 0:  # progressive DC refinement: one bit per block
+                        if br.bit():
+                            blk[0] |= 1 << al
+                    else:  # progressive AC scans are always single-component
+                        if act is None:
+                            raise ValueError(f"corrupt JPEG: scan references missing DHT {ta}")
+                        if ah == 0:
+                            eobrun = _jpeg_ac_first(br, act, blk, ss, se, al, eobrun)
+                        else:
+                            eobrun = _jpeg_ac_refine(br, act, blk, ss, se, al, eobrun)
+            done += 1
+    return br.p
+
+
 def _decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline-JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8, pure
-    numpy: marker walk, DHT-driven canonical Huffman decode, dequant,
-    vectorized 8x8 IDCT, chroma upsample, YCbCr->RGB.  Supports SOF0/
-    SOF1, 1-component and 3-component 4:4:4 / 4:2:0 / 4:2:2 / 4:1:1
-    scans, and restart intervals; SOF2 (progressive) raises the
-    PIL-gate error and every other frame type raises descriptively."""
+    """JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8, pure numpy:
+    marker walk, DHT-driven canonical Huffman decode, dequant,
+    vectorized 8x8 IDCT, chroma upsample, YCbCr->RGB.  Supports
+    SOF0/SOF1 (sequential) AND SOF2 (progressive — spectral selection +
+    successive approximation, DC and AC first/refinement scans,
+    EOB-run coding), 1-component and 3-component 4:4:4 / 4:2:0 / 4:2:2
+    / 4:1:1, restart intervals, and mid-file DHT/DQT redefinition.
+    Arithmetic-coded, lossless, hierarchical, and 12-bit frames raise
+    descriptively."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -930,9 +1255,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _JpegHuffTable] = {}
     frame = None
+    grids: dict[int, np.ndarray] = {}
     restart = 0
     pos = 2
-    scan = None
+    n_scans = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker sync lost at byte {pos}")
@@ -940,7 +1266,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         if marker is None:
             raise ValueError("truncated JPEG: dangling 0xFF at end of payload")
         pos += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
             continue  # standalone / fill bytes
@@ -962,7 +1288,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 tab = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
                 quant[tq] = tab[_JPEG_UNZIGZAG]  # stored zigzagged; keep natural
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG: {prec}-bit precision")
@@ -970,12 +1296,19 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError(
-                "progressive JPEG (SOF2) is beyond the baseline decoder; "
-                "install Pillow to enable the progressive branch"
-            )
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
+            # coefficient grids allocated ONCE at interleaved-padded
+            # dims (ceil to whole MCUs) — progressive scans accumulate
+            # into them across the whole file; non-interleaved scans
+            # address the top-left sub-grid
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            grids = {
+                c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG frame type SOF marker 0x{marker:02x}")
         elif marker == 0xC4:  # DHT — possibly several tables per segment
@@ -989,7 +1322,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows the segment
+        elif marker == 0xDA:  # SOS — decode its entropy data inline,
+            # then resume the marker walk right after it (progressive
+            # files carry many scans, with DHT redefinitions between)
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = body[0]
@@ -1000,68 +1335,28 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 if not match:
                     raise ValueError(f"corrupt JPEG: scan names unknown component {cs}")
                 scomps.append((match[0], tda >> 4, tda & 0x0F))
-            scan = (scomps, pos)
-            break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not frame["progressive"] and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("corrupt JPEG: sequential scan with progressive parameters")
+            if frame["progressive"] and ss > 0 and ns != 1:
+                raise ValueError("corrupt JPEG: progressive AC scan must be single-component")
+            pos = _jpeg_decode_scan(
+                payload, pos, frame, scomps, ss, se, ah, al, huff, restart, grids
+            )
+            n_scans += 1
         # else: APPn / COM / unknown — skipped via seglen
-    if scan is None:
+    if n_scans == 0:
         raise ValueError("JPEG has no SOS scan")
-
-    scomps, data_pos = scan
-    hmax = max(c["h"] for c, _, _ in scomps)
-    vmax = max(c["v"] for c, _, _ in scomps)
-    fh, fw = frame["h"], frame["w"]
-    if len(scomps) == 1:
-        # non-interleaved: MCU is one block of the lone component
-        c = scomps[0][0]
-        # component dims = ceil(frame_dim * sampling / max_sampling),
-        # then ceil-to-blocks (T.81 A.1.1)
-        bx = -(-(fw * c["h"] // hmax + ((fw * c["h"]) % hmax > 0)) // 8)
-        by = -(-(fh * c["v"] // vmax + ((fh * c["v"]) % vmax > 0)) // 8)
-        grids = {c["id"]: np.zeros((by, bx, 64), dtype=np.int64)}
-        order = [(c["id"], scomps[0][1], scomps[0][2], None)]
-        mcuy, mcux = by, bx
-        per_mcu = 1
-    else:
-        mcux = -(-fw // (8 * hmax))
-        mcuy = -(-fh // (8 * vmax))
-        grids = {
-            c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
-            for c, _, _ in scomps
-        }
-        order = [(c["id"], td, ta, (c["h"], c["v"])) for c, td, ta in scomps]
-        per_mcu = sum(c["h"] * c["v"] for c, _, _ in scomps)
-
-    br = _JpegBitReader(payload, data_pos)
-    preds = {cid: 0 for cid, _, _, _ in order}
-    n_rst = 0
-    done = 0
-    coef = np.zeros(64, dtype=np.int64)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and done and done % restart == 0:
-                br.align_and_expect_rst(n_rst)
-                n_rst += 1
-                preds = {cid: 0 for cid in preds}
-            for cid, td, ta, hv in order:
-                dct = huff.get((0, td))
-                act = huff.get((1, ta))
-                if dct is None or act is None:
-                    raise ValueError(f"corrupt JPEG: scan references missing DHT {td}/{ta}")
-                reps = [(0, 0)] if hv is None else [
-                    (dy, dx) for dy in range(hv[1]) for dx in range(hv[0])
-                ]
-                for dy, dx in reps:
-                    coef[:] = 0
-                    preds[cid] = _jpeg_decode_block(br, dct, act, preds[cid], coef)
-                    gy = my if hv is None else my * hv[1] + dy
-                    gx = mx if hv is None else mx * hv[0] + dx
-                    grids[cid][gy, gx] = coef
-            done += 1
 
     # dequant + vectorized IDCT per component, then plane assembly
     t = _dct_matrix()
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    fh, fw = frame["h"], frame["w"]
     planes = {}
-    for c, _, _ in scomps:
+    for c in comps:
         cid = c["id"]
         q = quant.get(c["tq"])
         if q is None:
@@ -1075,10 +1370,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         plane = np.clip(np.round(pix), 0, 255).astype(np.uint8)
         planes[cid] = plane.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
-    if len(scomps) == 1:
-        return planes[scomps[0][0]["id"]][:fh, :fw]
+    if len(comps) == 1:
+        return planes[comps[0]["id"]][:fh, :fw]
+    if len(comps) != 3:
+        raise ValueError(f"unsupported JPEG: {len(comps)} components (1 or 3 only)")
     out = []
-    for c, _, _ in scomps:
+    for c in comps:
         p = planes[c["id"]]
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
@@ -1092,29 +1389,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _pil_available() -> bool:
-    """True when Pillow is importable — checked lazily so the module
-    imports cleanly in codec-free containers like this one."""
-    import importlib.util
-
-    return importlib.util.find_spec("PIL") is not None
-
-
-# magic bytes for the compressed formats the PIL branch handles
+# magic bytes for the compressed formats (both decoded WITHOUT any
+# codec library since round 10 — PNG via stdlib zlib, JPEG via numpy)
 _JPEG_MAGIC = b"\xff\xd8\xff"
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-
-
-def _decode_pil(payload: bytes) -> np.ndarray:
-    """JPEG/PNG -> (h, w, 3) uint8 RGB via Pillow.  Only reached when
-    the magic matched AND PIL is installed; the import lives here (not
-    module level) so workers without Pillow never pay or fail for it."""
-    import io
-
-    from PIL import Image  # import-guarded: caller checked _pil_available()
-
-    with Image.open(io.BytesIO(payload)) as im:
-        return np.asarray(im.convert("RGB"), dtype=np.uint8).copy()
 
 
 def decode_real(payload: bytes, kind: str | None = None) -> np.ndarray:
@@ -1123,15 +1401,17 @@ def decode_real(payload: bytes, kind: str | None = None) -> np.ndarray:
     RIFF/WAVE PCM16 mono -> int16 samples, and PNG (8-bit gray/RGB/RGBA,
     the first COMPRESSED codec on this path) -> (h, w, ch) uint8 via the
     pure-stdlib zlib inflate + scanline unfilter in ``_decode_png``.
-    Baseline JPEG (SOF0/SOF1, gray + 4:4:4/4:2:0/4:2:2 color, restart
-    intervals) decodes with the pure-numpy DCT + Huffman parser in
-    ``_decode_jpeg``; only PROGRESSIVE JPEG still dispatches to Pillow
-    when installed (import-guarded: this container lacks PIL, so that
-    one branch raises a descriptive error here and activates unchanged
-    wherever PIL exists).  ``kind`` is advisory (the magic decides);
-    unknown magics raise so corrupt payloads fail loudly instead of
-    feeding garbage features downstream.  FLAC/mp4 would need
-    soundfile/ffmpeg and stay out of scope."""
+    JPEG — sequential (SOF0/SOF1) AND progressive (SOF2), gray +
+    4:4:4/4:2:0/4:2:2 color, restart intervals, successive
+    approximation — decodes with the pure-numpy DCT + Huffman parser
+    in ``_decode_jpeg``; no codec library is needed for ANY supported
+    format (the last PIL dependency was removed in round 10; the
+    frame types that still raise — arithmetic-coded, lossless,
+    hierarchical, 12-bit — are outside Pillow's decode surface too).
+    ``kind`` is advisory (the magic decides); unknown magics raise so
+    corrupt payloads fail loudly instead of feeding garbage features
+    downstream.  FLAC/mp4 would need soundfile/ffmpeg and stay out of
+    scope."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -1145,15 +1425,12 @@ def decode_real(payload: bytes, kind: str | None = None) -> np.ndarray:
         # channel count, which the stats oracle reasons about exactly)
         return _decode_png(payload)
     if payload[: len(_JPEG_MAGIC)] == _JPEG_MAGIC:
-        # baseline sequential decodes with the pure-numpy DCT + Huffman
-        # parser (round 10 — the PIL gate is now PROGRESSIVE-only);
-        # SOF2 falls through to Pillow where installed
-        try:
-            return _decode_jpeg(payload)
-        except ValueError as exc:
-            if "progressive" in str(exc) and _pil_available():
-                return _decode_pil(payload)
-            raise
+        # both sequential (SOF0/1) and progressive (SOF2) decode with
+        # the pure-numpy DCT + Huffman parser — round 10 removed the
+        # last PIL dependency on this path (the remaining unsupported
+        # frame types, arithmetic-coded/lossless/12-bit, raise
+        # descriptively and are outside Pillow's decode surface too)
+        return _decode_jpeg(payload)
     raise ValueError(f"unrecognized container magic {payload[:4]!r} (kind hint: {kind})")
 
 
@@ -1416,7 +1693,8 @@ def encode_media_jpeg(docs: DataFrame) -> DataFrame:
                 usable = (vals.size // JPEG_BYTES_PER_GROUP) * JPEG_BYTES_PER_GROUP
                 if usable < JPEG_BYTES_PER_GROUP:
                     continue
-                if int(mid) % 2 == 0:
+                m = int(mid) % 3
+                if m == 0:
                     img = np.kron(vals[:usable].reshape(-1, 4), ones)
                     payload = encode_jpeg(img, quant_luma=_JPEG_Q8)
                     container = "jpeg-gray"
@@ -1424,9 +1702,16 @@ def encode_media_jpeg(docs: DataFrame) -> DataFrame:
                     gray = np.kron(vals[:usable].reshape(-1, 2), ones)
                     rgb = np.repeat(gray[:, :, None], 3, axis=2)
                     payload = encode_jpeg(
-                        rgb, subsample="4:2:0", quant_luma=_JPEG_Q8, quant_chroma=_JPEG_Q8
+                        rgb,
+                        subsample="4:2:0",
+                        quant_luma=_JPEG_Q8,
+                        quant_chroma=_JPEG_Q8,
+                        # m == 2: the SAME pixels through the SOF2
+                        # multi-scan spectral-selection path — the
+                        # progressive decoder is driver-gated too
+                        progressive=m == 2,
                     )
-                    container = "jpeg-420"
+                    container = "jpeg-420" if m == 1 else "jpeg-prog"
                 ids.append(int(mid))
                 containers.append(container)
                 payloads.append(payload)

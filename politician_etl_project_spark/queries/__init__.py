@@ -29,21 +29,23 @@ from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, d
 DRIVER_WINDOW = [
     # --- ROUND-10 WINDOW (driver checks [:50]) ---
     # Slot 1: NEW this round — q_media_decode_jpeg (the LAST gated
-    # codec executed: pure-numpy baseline JPEG — T.81 marker walk,
-    # Annex-K Huffman, DCT/IDCT, 4:2:0 MCU interleave; the PIL gate is
-    # now progressive-only).
+    # codec executed: pure-numpy JPEG, sequential AND progressive —
+    # T.81 marker walk, Annex-K Huffman, DCT/IDCT, 4:2:0 MCU
+    # interleave, SOF2 multi-scan; the PIL gate is REMOVED).
     # Slot 2: q_dedup_incremental — REWRITTEN this round (r9 verdict
     # #4: the 6 sequential probe actions collapsed into one fused
     # prefix collect + one funnel aggregate) AND the stalest name (r5).
-    # Slot 3: sentinel — decode_real's JPEG dispatch changed (baseline
-    # goes to _decode_jpeg, PIL is progressive-only), so
-    # q_media_decode_real's r9 green predates the edit.
-    # Slots 4-27: the remaining 24 round-5-stale names (alphabetical) —
+    # Slots 3-4: sentinels — decode_real's JPEG dispatch is now the
+    # pure-numpy decoder (PIL branch deleted) and the whole media-stats
+    # family switched from orderBy (whose range-sampling pass ran the
+    # codec twice) to a single-partition report sort, so the r9 greens
+    # of q_media_decode_real / q_media_decode_png predate the edits.
+    # Slots 5-28: the remaining 24 round-5-stale names (alphabetical) —
     # with these the r5 floor clears entirely (r9 verdict #2).
-    # Slots 28-50: the alphabetically-first 23 round-6-stale names.
+    # Slots 29-50: the alphabetically-first 22 round-6-stale names.
     # ROUND-11 PLAN (keep rotation mechanical, r8 verdict #8): head =
-    # any new/rewritten queries + the 23 remaining r6-stale names
-    # (q_exists_probe, q_fuzzy_match_topk, q_global_stats .. 
+    # any new/rewritten queries + the 24 remaining r6-stale names
+    # (q_except, q_exists_probe, q_fuzzy_match_topk, q_global_stats ..
     # q_union_distinct, alphabetical) + the alphabetically-first
     # r7-stale names to fill 50.
     # tests/test_window.py asserts this composition mechanically
@@ -52,6 +54,7 @@ DRIVER_WINDOW = [
     "q_media_decode_jpeg",
     "q_dedup_incremental",
     "q_media_decode_real",
+    "q_media_decode_png",
     "q_domain_stats",
     "q_embed_near_dup",
     "q_event_dedup",
@@ -98,10 +101,8 @@ DRIVER_WINDOW = [
     "q_dedup_keep_first",
     "q_dedup_keep_last",
     "q_dynamic_filters",
-    "q_except",
     "q_etl_run_all",
     "q_etl_incremental",
-    "q_media_decode_png",
     "q_compaction_maintenance",
     "q_semantic_search_e2e",
     "q_stateful_totals_live",
@@ -194,6 +195,7 @@ DRIVER_WINDOW = [
     "q_gap_fill",
     "q_hybrid_rrf",
     "q_inverted_index",
+    "q_except",
     "q_exists_probe",
     "q_fuzzy_match_topk",
     "q_global_stats",
@@ -268,8 +270,9 @@ DRIVER_WINDOW = [
 # THIS round (their prior green predates the edit) — exempt from the
 # stalest-first head rule, bounded to keep rotation honest.
 WINDOW_SENTINELS = [
-    "q_dedup_incremental",  # r10: ingest() rewritten as a 2-job funnel (r9 verdict #4)
-    "q_media_decode_real",  # r10: decode_real JPEG dispatch now pure-numpy baseline
+    "q_dedup_incremental",  # r10: ingest() rewritten as a cached label cascade (r9 #4)
+    "q_media_decode_real",  # r10: decode_real JPEG dispatch + report sort changed
+    "q_media_decode_png",  # r10: report sort changed (orderBy ran the codec twice)
 ]
 
 _ORACLE_TABLES = (

@@ -32,6 +32,18 @@ from politician_etl_project_spark.queries.registry import declared_query
 _KIND = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
 
+def _ordered_stats(df: DataFrame, col: str = "media_id") -> DataFrame:
+    """Deterministic total order for a REPORT-SHAPED result (one small
+    stat row per media) without orderBy's range-partitioning sample
+    pass — that pass re-evaluates the upstream plan a second time,
+    which for these queries means running the whole Python codec stage
+    TWICE (measured: ~2x the JPEG decode wall).  A shuffle to one
+    partition + in-partition sort evaluates the codec once; right for
+    bounded report output, NOT for large results (there you want
+    orderBy's parallel range sort and you pay its sampling pass)."""
+    return df.repartition(1).sortWithinPartitions(col)
+
+
 @declared_query(
     "q_media_metadata",
     oracle=f"""
@@ -79,7 +91,7 @@ ORDER BY media_id
 )
 def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
-    return pixel_stats(media).orderBy("media_id")
+    return _ordered_stats(pixel_stats(media))
 
 
 @declared_query(
@@ -159,7 +171,7 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") == F.octet_length("text")
     )
-    return decode_real_stats(encode_media_real(docs)).orderBy("media_id")
+    return _ordered_stats(decode_real_stats(encode_media_real(docs)))
 
 
 @declared_query(
@@ -206,7 +218,7 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") == F.octet_length("text"))
         & (F.octet_length("text") >= PNG_ROW_BYTES)
     )
-    return decode_real_stats(encode_media_png(docs)).orderBy("media_id")
+    return _ordered_stats(decode_real_stats(encode_media_png(docs)))
 
 
 @declared_query(
@@ -222,34 +234,41 @@ WITH px AS (
   WHERE length(text) = strlen(text) AND length(text) >= {JPEG_BYTES_PER_GROUP}
 )
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'jpeg-gray' ELSE 'jpeg-420' END AS container,
+       CASE doc_id % 3 WHEN 0 THEN 'jpeg-gray' WHEN 1 THEN 'jpeg-420'
+            ELSE 'jpeg-prog' END AS container,
        CAST((n // {JPEG_BYTES_PER_GROUP}) * {JPEG_BYTES_PER_GROUP} * 64
-            * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) AS INTEGER) AS n_values,
-       CAST((CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 192 END)
+            * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END) AS INTEGER) AS n_values,
+       CAST((CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 192 END)
             * list_sum(p[1 : (n // {JPEG_BYTES_PER_GROUP}) * {JPEG_BYTES_PER_GROUP}])
             AS BIGINT) AS sum_values
 FROM px
 ORDER BY media_id
 """,
     ops=("MM-decode-jpeg", "D3"),
-    doc="REAL transform-codec round trip (baseline JPEG, pure numpy — "
-    "the last gated codec, executed: the PIL branch is now progressive-"
-    "only).  Text bytes become block-constant gray levels pushed "
-    "through the FULL T.81 baseline pipeline — 8x8 DCT, quantization, "
-    "zigzag run-length, Annex-K canonical Huffman, byte-stuffed entropy "
-    "stream, grayscale or interleaved 4:2:0 YCbCr MCUs by doc_id "
-    "parity — in one Arrow-batched mapInPandas stage, then parsed BACK "
-    "by operators/multimodal._decode_jpeg (marker walk, DHT-driven "
-    "Huffman DECODE tables, dequant, vectorized IDCT, chroma upsample, "
-    "YCbCr->RGB) in a second.  JPEG is lossy in general, but a "
-    "block-constant image under an all-8 quant table round-trips "
-    "BIT-EXACTLY (one nonzero coefficient, F00 = 8*(v-128), and 8 | "
-    "F00), so the oracle recomputes decoded counts/sums from ascii() "
-    "arithmetic independent of the codec; the color variant's 3x sum "
-    "relationship proves the MCU interleave, chroma subsampling and "
-    "color conversion really ran (R=G=B requires Cb=Cr=128 to survive "
-    "the whole pipeline).  Reference analog: scripts/hydrate_vectors.py"
-    ":72-95's media-adjacent payload handling.",
+    doc="REAL transform-codec round trip (JPEG, pure numpy — the last "
+    "gated codec, executed; round 10 then removed the PIL gate "
+    "entirely by adding progressive SOF2 decode).  Text bytes become "
+    "block-constant gray levels pushed through the FULL T.81 pipeline "
+    "— 8x8 DCT, quantization, zigzag run-length, Annex-K canonical "
+    "Huffman, byte-stuffed entropy stream — cycling THREE container "
+    "variants by doc_id %% 3: baseline grayscale, baseline interleaved "
+    "4:2:0 YCbCr MCUs, and PROGRESSIVE 4:2:0 (SOF2 spectral-selection "
+    "multi-scan: interleaved DC scan + per-component AC band scans), "
+    "in one Arrow-batched mapInPandas stage, then parsed BACK by "
+    "operators/multimodal._decode_jpeg (marker walk, DHT-driven "
+    "Huffman DECODE tables, multi-scan coefficient accumulation, "
+    "dequant, vectorized IDCT, chroma upsample, YCbCr->RGB) in a "
+    "second.  JPEG is lossy in general, but a block-constant image "
+    "under an all-8 quant table round-trips BIT-EXACTLY (one nonzero "
+    "coefficient, F00 = 8*(v-128), and 8 | F00), so the oracle "
+    "recomputes decoded counts/sums from ascii() arithmetic "
+    "independent of the codec; the color variants' 3x sum relationship "
+    "proves MCU interleave, chroma subsampling and color conversion "
+    "really ran (R=G=B requires Cb=Cr=128 to survive the whole "
+    "pipeline).  Successive-approximation (Ah/Al) decode is pinned by "
+    "a hand-assembled pytest fixture (tests/test_multimodal.py).  "
+    "Reference analog: scripts/hydrate_vectors.py:72-95's "
+    "media-adjacent payload handling.",
 )
 def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same ASCII guard as q_media_decode_real (bytes vs codepoints);
@@ -258,4 +277,4 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") == F.octet_length("text"))
         & (F.octet_length("text") >= JPEG_BYTES_PER_GROUP)
     )
-    return decode_real_stats(encode_media_jpeg(docs)).orderBy("media_id")
+    return _ordered_stats(decode_real_stats(encode_media_jpeg(docs)))

@@ -239,24 +239,32 @@ def test_wav_truncation_raises_not_short_decode():
 _PIL_MISSING = __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None
 
 
-def test_jpeg_progressive_without_pil_fails_descriptively():
-    """Round 10: baseline JPEG decodes with the pure-numpy parser, so
-    the PIL gate is PROGRESSIVE-only — an SOF2 file in a PIL-free
-    container must produce the 'install Pillow' error, not the generic
-    unrecognized-magic one (and never ImportError)."""
+def test_jpeg_exotic_frame_types_fail_descriptively():
+    """Round 10 removed the last PIL dependency: baseline AND
+    progressive decode pure-numpy, so only genuinely exotic frame
+    types remain — arithmetic-coded (SOF9) must raise the descriptive
+    unsupported-frame error (never ImportError), with or without PIL,
+    and a progressive file with zero scans must say so."""
     import struct
 
-    if not _PIL_MISSING:
-        pytest.skip("PIL present: the guarded branch decodes instead")
-    sof2_body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    payload = (
-        b"\xff\xd8"  # _JPEG_MAGIC needs 3 bytes of 0xffd8ff; SOF2's 0xff follows
-        + struct.pack(">BBH", 0xFF, 0xC2, len(sof2_body) + 2)
-        + sof2_body
+    sof9 = (
+        b"\xff\xd8"
+        + struct.pack(">BBH", 0xFF, 0xC9, 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
         + b"\xff\xd9"
     )
-    with pytest.raises(ValueError, match="install Pillow"):
-        decode_real(payload)
+    with pytest.raises(ValueError, match="unsupported JPEG frame"):
+        decode_real(sof9)
+    sof2_only = (
+        b"\xff\xd8"
+        + struct.pack(">BBH", 0xFF, 0xC2, 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="no SOS scan"):
+        decode_real(sof2_only)
 
 
 def test_jpeg_exact_roundtrip_block_constant():
@@ -360,6 +368,91 @@ def test_jpeg_decode_hand_assembled_422():
     np.testing.assert_array_equal(out, np.full((8, 16, 3), 136, np.uint8))
 
 
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """progressive=True reorders the SAME quantized coefficients into
+    an SOF2 spectral-selection scan script (interleaved DC scan, then
+    per-component AC bands 1-5 / 6-63), so the decoded pixels must be
+    IDENTICAL to the baseline file's — gray, 4:4:4 and 4:2:0, odd dims
+    included (pad blocks stay DC-only)."""
+    from politician_etl_project_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        _decode_jpeg(encode_jpeg(gray, quality=75, progressive=True)),
+        _decode_jpeg(encode_jpeg(gray, quality=75)),
+    )
+    rgb = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    for ss in ("4:2:0", "4:4:4"):
+        np.testing.assert_array_equal(
+            _decode_jpeg(encode_jpeg(rgb, quality=85, subsample=ss, progressive=True)),
+            _decode_jpeg(encode_jpeg(rgb, quality=85, subsample=ss)),
+        )
+    # and the exactness window survives the progressive path too
+    vals = rng.integers(0, 256, 16, dtype=np.uint8)
+    img = np.kron(vals.reshape(4, 4), np.ones((8, 8), np.uint8))
+    q8 = np.full(64, 8, np.int64)
+    np.testing.assert_array_equal(
+        decode_real(encode_jpeg(img, quant_luma=q8, progressive=True)), img
+    )
+
+
+def test_jpeg_progressive_successive_approximation_hand_assembled():
+    """Successive approximation (Ah/Al) decode, pinned with a fully
+    hand-computed 4-scan SOF2 file the encoder cannot produce (it only
+    emits spectral selection): one 8x8 gray block, true coefficients
+    DC=7, zz2=-5, zz5=+1 under an all-16 quant table, delivered as
+    DC-first at Al=1 ('011'+'11' => 0x7F), DC-refine ('1' => FF 00,
+    exercising byte stuffing in a refinement scan), AC-first at Al=1
+    (run1/size2 '11011'+'01', EOB '1010' => DB 5F), and AC-refine at
+    Al=0 (symbol 0x31 '111010', sign '1', correction bit '1' for the
+    history-nonzero zz2, EOB => EB AF).  Expected pixels from an
+    explicit cosine-sum IDCT written inline."""
+    import math
+    import struct
+
+    from politician_etl_project_spark.operators.multimodal import (
+        _JPEG_AC_LUMA,
+        _JPEG_DC_LUMA,
+        _decode_jpeg,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([16] * 64))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00] + _JPEG_DC_LUMA[0]) + bytes(_JPEG_DC_LUMA[1]))
+    dht += seg(0xC4, bytes([0x10] + _JPEG_AC_LUMA[0]) + bytes(_JPEG_AC_LUMA[1]))
+    scan1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bytes([0x7F])
+    scan2 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bytes([0xFF, 0x00])
+    scan3 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + bytes([0xDB, 0x5F])
+    scan4 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + bytes([0xEB, 0xAF])
+    payload = b"\xff\xd8" + dqt + sof + dht + scan1 + scan2 + scan3 + scan4 + b"\xff\xd9"
+
+    out = _decode_jpeg(payload)
+    assert out.shape == (8, 8)
+
+    # independent IDCT: F(0,0)=7*16=112, F(1,0)=-5*16=-80 (zigzag 2),
+    # F(0,2)=1*16=16 (zigzag 5)
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    expect = np.zeros((8, 8))
+    coeffs = {(0, 0): 112.0, (1, 0): -80.0, (0, 2): 16.0}
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for (u, v), f in coeffs.items():
+                s += (
+                    c(u) * c(v) * f
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    * math.cos((2 * y + 1) * v * math.pi / 16)
+                )
+            expect[x, y] = s / 4 + 128
+    np.testing.assert_array_equal(out, np.clip(np.round(expect), 0, 255).astype(np.uint8))
+
+
 def test_jpeg_decode_restart_interval():
     """DRI/RSTn support, pinned with a hand-assembled gray 8x16 file:
     DRI=1 puts an RST0 between the two MCUs, and the DC predictor must
@@ -444,8 +537,11 @@ def test_jpeg_rejects_malformed():
         _decode_jpeg(good[:25])  # cut inside the DQT segment body
     with pytest.raises(ValueError, match="no SOS scan"):
         _decode_jpeg(good[:20])  # cut exactly at a segment boundary
-    with pytest.raises(ValueError, match="truncated JPEG"):
-        decode_real(good[:-3])  # cut inside the entropy stream / EOI
+    # cut inside the entropy stream / EOI: the exact failure depends on
+    # what the residual pad bits decode as, but it must be a LOUD
+    # ValueError naming the payload corrupt or truncated
+    with pytest.raises(ValueError, match="truncated JPEG|corrupt JPEG"):
+        decode_real(good[:-3])
     # 16-bit DQT (Pq=1)
     dqt16 = struct.pack(">BBH", 0xFF, 0xDB, 2 + 129) + b"\x10" + bytes(128)
     with pytest.raises(ValueError, match="16-bit quant"):
