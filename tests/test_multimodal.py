@@ -510,13 +510,20 @@ def test_jpeg_codec_cross_checks_pil():
         np.testing.assert_array_equal(np.asarray(im.convert("L")), img)
 
     grad = np.add.outer(np.arange(32), np.arange(32)).astype(np.uint8) * 3
-    buf = io.BytesIO()
-    Image.fromarray(grad, "L").save(buf, format="JPEG", quality=95)
-    theirs = buf.getvalue()
-    with Image.open(io.BytesIO(theirs)) as im:
-        pil_px = np.asarray(im.convert("L")).astype(int)
-    our_px = _decode_jpeg(theirs).astype(int)
-    assert np.abs(our_px - pil_px).max() <= 3
+    for kwargs in ({"quality": 95}, {"quality": 90, "progressive": True}):
+        buf = io.BytesIO()
+        Image.fromarray(grad, "L").save(buf, format="JPEG", **kwargs)
+        theirs = buf.getvalue()
+        with Image.open(io.BytesIO(theirs)) as im:
+            pil_px = np.asarray(im.convert("L")).astype(int)
+        our_px = _decode_jpeg(theirs).astype(int)
+        assert np.abs(our_px - pil_px).max() <= 3, f"mismatch vs PIL for {kwargs}"
+
+    # and PIL must read OUR progressive files back exactly on the
+    # block-constant window
+    pj = encode_jpeg(img, quant_luma=np.full(64, 8, np.int64), progressive=True)
+    with Image.open(io.BytesIO(pj)) as im:
+        np.testing.assert_array_equal(np.asarray(im.convert("L")), img)
 
 
 def test_jpeg_rejects_malformed():
