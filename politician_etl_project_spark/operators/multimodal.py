@@ -1044,6 +1044,11 @@ def _jpeg_decode_block(
                 if is_dc:
                     s = rs
                     if s:
+                        if s > 11:
+                            # a forged DHT can carry any byte as a DC
+                            # "category"; >11 is out of 8-bit spec range
+                            # and would overflow the int64 grid
+                            raise ValueError(f"corrupt JPEG: DC category {s} out of range")
                         if n < s:
                             raise ValueError("truncated JPEG: DC magnitude bits missing")
                         v = (acc >> (n - s)) & ((1 << s) - 1)
@@ -1222,6 +1227,8 @@ def _jpeg_decode_scan(
                         if dct is None:
                             raise ValueError(f"corrupt JPEG: scan references missing DHT {td}")
                         s = _jpeg_decode_symbol(br, dct)
+                        if s > 11:
+                            raise ValueError(f"corrupt JPEG: DC category {s} out of range")
                         preds[cid] += _jpeg_extend(br.bits(s), s) if s else 0
                         blk[0] = preds[cid] << al
                     elif ss == 0:  # progressive DC refinement: one bit per block
@@ -1238,6 +1245,13 @@ def _jpeg_decode_scan(
     return br.p
 
 
+# decode_real's fail-loudly contract: a corrupt payload raises
+# ValueError, period.  8192x8192 bounds the coefficient grids a forged
+# SOF header can make the decoder allocate (a 2-byte dim field can
+# claim 65535x65535 = 34 GB of int64 grid — a decompression-bomb shape).
+_JPEG_MAX_PIXELS = 1 << 26
+
+
 def _decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8, pure numpy:
     marker walk, DHT-driven canonical Huffman decode, dequant,
@@ -1247,7 +1261,19 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     EOB-run coding), 1-component and 3-component 4:4:4 / 4:2:0 / 4:2:2
     / 4:1:1, restart intervals, and mid-file DHT/DQT redefinition.
     Arithmetic-coded, lossless, hierarchical, and 12-bit frames raise
-    descriptively."""
+    descriptively — and so does EVERY malformed byte sequence: the
+    whole parse is wrapped so struct/index errors from truncated or
+    fuzzed segments surface as ValueError (the decode_real contract),
+    property-tested by random byte-corruption fuzzing."""
+    import struct
+
+    try:
+        return _decode_jpeg_inner(payload)
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"corrupt JPEG: malformed segment structure ({exc})") from exc
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -1292,10 +1318,24 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG: {prec}-bit precision")
+            if fh < 1 or fw < 1 or nc < 1:
+                raise ValueError("corrupt JPEG: zero frame dimensions or components")
+            if fh * fw > _JPEG_MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {fw}x{fh} exceed the decoder's "
+                    f"{_JPEG_MAX_PIXELS}-pixel bound (decompression-bomb guard)"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"corrupt JPEG: sampling factors {ch}x{cv} out of range")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            hs = max(c["h"] for c in comps)
+            vs = max(c["v"] for c in comps)
+            if any(hs % c["h"] or vs % c["v"] for c in comps):
+                raise ValueError("unsupported JPEG: non-integer chroma subsampling ratio")
             frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
             # coefficient grids allocated ONCE at interleaved-padded
             # dims (ceil to whole MCUs) — progressive scans accumulate

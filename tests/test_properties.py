@@ -798,6 +798,62 @@ def test_jpeg_block_constant_roundtrip_property(vals, color):
 
 
 @given(
+    vals=st.lists(st.integers(0, 255), min_size=64, max_size=256),
+    width=st.sampled_from([8, 11, 16]),
+    color=st.booleans(),
+)
+@settings(**_CODEC_SETTINGS)
+def test_jpeg_progressive_equals_baseline_property(vals, width, color):
+    """For ANY image, progressive=True reorders the same quantized
+    coefficients into an SOF2 multi-scan file — decoded pixels must be
+    IDENTICAL to the baseline file's, across gray/color, odd dims, and
+    every spectral band population the input happens to produce."""
+    import numpy as np
+
+    from politician_etl_project_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    arr = np.array(vals, dtype=np.uint8)
+    ch = 3 if color else 1
+    h = arr.size // (width * ch)
+    if h < 1:
+        return
+    img = arr[: h * width * ch].reshape(h, width, ch).squeeze()
+    base = _decode_jpeg(encode_jpeg(img, quality=80))
+    prog = _decode_jpeg(encode_jpeg(img, quality=80, progressive=True))
+    np.testing.assert_array_equal(prog, base)
+
+
+@given(
+    flips=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 255)), min_size=1, max_size=4
+    ),
+    trunc=st.integers(0, 64),
+)
+@settings(**_CODEC_SETTINGS)
+def test_jpeg_corruption_fuzz_never_leaks_other_exceptions(flips, trunc):
+    """decode_real's contract: a corrupt payload raises ValueError —
+    never struct.error / IndexError / a runaway allocation.  Fuzz a
+    valid JPEG with random byte flips and truncation; decoding must
+    either still succeed (flips in padding or APP0 are benign) or raise
+    ValueError, and nothing else."""
+    import numpy as np
+
+    from politician_etl_project_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    good = bytearray(encode_jpeg(img, quality=80))
+    for pos, delta in flips:
+        good[pos % len(good)] = (good[pos % len(good)] + delta) & 0xFF
+    payload = bytes(good[: max(2, len(good) - trunc)])
+    try:
+        out = _decode_jpeg(payload)
+        assert isinstance(out, np.ndarray)
+    except ValueError:
+        pass  # the contract: loud, typed failure
+
+
+@given(
     vals=st.lists(st.integers(0, 255), min_size=64, max_size=192),
     width=st.sampled_from([8, 11, 16]),
 )
