@@ -67,6 +67,13 @@ SERVING_QUERIES = [
     #                            data-bound by construction; the sweep
     #                            shows the spread keeps growth ~linear
     #                            in docs, not serialized on 2 partitions
+    "q_media_decode_jpeg",     # DCT+Huffman codec (round 10): same
+    #                            worker-spread shape, ~4x the per-byte
+    #                            CPU of PNG — the sweep checks growth
+    #                            stays linear-in-docs here too
+    "q_dedup_incremental",     # stored-index ingest probe (round-10
+    #                            label cascade): O(batch + pruned
+    #                            slice), should grow in BATCH size only
 ]
 
 
