@@ -237,6 +237,18 @@ def main() -> None:
     # once at suite end (where the contention has usually passed), min
     # taken.  The published line lists the requeued names so a judge
     # can see exactly which numbers had a second chance and why.
+    # Pilot warm-up (round 10): the FIRST benched query absorbs the
+    # Python-worker-pool spawn + Arrow init that the rest of the suite
+    # never pays again — and window rotation puts each round's NEW
+    # queries first, so debut numbers read systematically inflated
+    # (q_media_decode_jpeg: 4.9 s first-in-suite vs 3.0 s with a warm
+    # pool, same session discipline).  One trivial scan + one tiny
+    # mapInPandas action spin the pool up before any timed block.
+    pilot = spark.read.parquet(f"{sf_dir}/region.parquet")
+    pilot.count()
+    pilot.limit(4).mapInPandas(lambda it: it, pilot.schema).count()
+    spark.catalog.clearCache()
+
     probe_base = min(_cpu_probe() for _ in range(3))
     contended: list[str] = []
     for name in names:
