@@ -149,13 +149,30 @@ class DedupIngestTable:
         in the ingest probes, an at-least-once replay that finds a doc
         half-indexed (fps written, bands not — or the reverse) completes
         exactly the missing table instead of double-appending or
-        dropping the doc as a dup of itself."""
+        dropping the doc as a dup of itself.
+
+        Rows are repartitioned BY the partition column before the write
+        so each ``fpp=``/``bkp=`` directory receives exactly one file
+        per write (each prefix hashes to one shuffle task) — without
+        this, every upstream scan partition emits a sliver into every
+        prefix it touches and the store accumulates thousands of tiny
+        files whose listing dominated the probe cost (r10 verdict #1:
+        the 4.8-7.6s page-cache-sensitive day band).  After the write,
+        the prefix manifest is refreshed (one root listing) so probes
+        never list directories at all."""
         mode = "overwrite" if overwrite else "append"
         if enriched.isEmpty():
             return
         fps_rows = enriched.select(self.id_col, "fp", "fpp")
         band_rows = _bands_of(enriched, self.id_col)
         if not overwrite:
+            # re-ground the manifests before the insert-if-absent probes:
+            # a crash between a prior append's data writes and its
+            # manifest refresh leaves the manifest stale, and a stale
+            # manifest here would hide existing rows from the anti-join
+            # (double-append on replay) — one root listing each heals it
+            for table in ("fps", "bands"):
+                self._refresh_manifest(table)
             fpp = [r["fpp"] for r in fps_rows.select("fpp").distinct().collect()]
             fps_rows = fps_rows.join(
                 self._pruned("fps", "fpp", fpp).select(self.id_col),
@@ -168,18 +185,88 @@ class DedupIngestTable:
                 self.id_col,
                 "left_anti",
             )
-        fps_rows.write.partitionBy("fpp").mode(mode).parquet(f"{self.path}/fps")
-        band_rows.write.partitionBy("bkp").mode(mode).parquet(f"{self.path}/bands")
+        fps_rows.repartition(F.col("fpp")).write.partitionBy("fpp").mode(mode).parquet(
+            f"{self.path}/fps"
+        )
+        band_rows.repartition(F.col("bkp")).write.partitionBy("bkp").mode(mode).parquet(
+            f"{self.path}/bands"
+        )
+        for table in ("fps", "bands"):
+            self._refresh_manifest(table)
 
-    def _pruned(self, table: str, part_col: str, prefixes: list[str]) -> DataFrame:
-        from pyspark.errors import AnalysisException
+    # -- prefix manifest -------------------------------------------------
+    # `_prefixes.json` sits at the table root (the leading underscore
+    # hides it from Spark's file index, like _SUCCESS) and records which
+    # partition directories exist.  Probes intersect the batch's prefix
+    # IN-list with it and read ONLY those directories with an explicit
+    # schema — zero directory listings and zero footer-based schema
+    # inference per probe.  At cluster scale the same file spares the
+    # object-store LIST storm; locally it removes the page-cache-
+    # sensitive stat() cost the r10 verdict measured (day band 4.8-7.6s).
+
+    def _manifest_file(self, table: str) -> str:
+        return f"{self.path}/{table}/_prefixes.json"
+
+    def _refresh_manifest(self, table: str) -> None:
+        """Rewrite the manifest from one atomic root listing (written
+        via tempfile + os.replace so concurrent readers never see a
+        torn file)."""
+        import json
+        import os
+        import tempfile
+
+        root = f"{self.path}/{table}"
+        try:
+            names = os.listdir(root)
+        except FileNotFoundError:
+            return
+        prefixes = sorted(
+            n.split("=", 1)[1] for n in names if "=" in n and not n.startswith((".", "_"))
+        )
+        fd, tmp = tempfile.mkstemp(dir=root, prefix="_prefixes_", suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(prefixes, fh)
+        os.replace(tmp, self._manifest_file(table))
+
+    def _live_prefixes(self, table: str) -> list[str] | None:
+        """Partition prefixes present in the store: manifest if present,
+        else ONE driver-side root listing (a store built by an older
+        code version has no manifest yet; the listing is the ground
+        truth the manifest caches).  A manifest left STALE by a crash
+        mid-append is healed by :meth:`_append`'s pre-probe refresh on
+        the replay, before any write decision trusts it.  None = store
+        absent."""
+        import json
+        import os
 
         try:
-            df = self.spark.read.parquet(f"{self.path}/{table}")
-        except AnalysisException:  # index not yet materialized: empty store
-            schema = self._SCHEMAS[table].format(id=self.id_col)
+            with open(self._manifest_file(table)) as fh:
+                return list(json.load(fh))
+        except (OSError, json.JSONDecodeError):
+            pass
+        root = f"{self.path}/{table}"
+        try:
+            names = os.listdir(root)
+        except FileNotFoundError:
+            return None
+        return [n.split("=", 1)[1] for n in names if "=" in n and not n.startswith((".", "_"))]
+
+    def _pruned(self, table: str, part_col: str, prefixes: list[str]) -> DataFrame:
+        """The store slice under exactly the partition directories in
+        ``prefixes`` that exist — an explicit-path, explicit-schema read
+        (basePath keeps the partition column), so the probe's only
+        filesystem work is the data files it will actually scan."""
+        schema = self._SCHEMAS[table].format(id=self.id_col)
+        live = self._live_prefixes(table)
+        hit = sorted(set(prefixes) & set(live)) if live is not None else []
+        if not hit:  # store absent, or the batch touches no stored prefix
             return self.spark.createDataFrame([], schema)
-        return df.filter(F.col(part_col).isin(prefixes) if prefixes else F.lit(False))
+        root = f"{self.path}/{table}"
+        return (
+            self.spark.read.option("basePath", root)
+            .schema(schema)
+            .parquet(*[f"{root}/{part_col}={p}" for p in hit])
+        )
 
     # -- ingest --------------------------------------------------------
     def ingest(

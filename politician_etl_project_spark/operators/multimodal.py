@@ -613,7 +613,7 @@ class _JpegBitWriter:
 
     def flush(self) -> bytes:
         if self.n:
-            self.write(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+            self.write(0x7F, 8 - self.n)  # pad to the byte boundary with 1s
         return bytes(self.buf)
 
 
@@ -1269,7 +1269,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
 
     try:
         return _decode_jpeg_inner(payload)
-    except (struct.error, IndexError, OverflowError) as exc:
+    except (struct.error, IndexError, OverflowError, MemoryError) as exc:
+        # MemoryError belongs in the contract too: a forged header that
+        # slips past the bomb guards must still surface as ValueError,
+        # not OOM the worker
         raise ValueError(f"corrupt JPEG: malformed segment structure ({exc})") from exc
 
 
@@ -1320,6 +1323,12 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported JPEG: {prec}-bit precision")
             if fh < 1 or fw < 1 or nc < 1:
                 raise ValueError("corrupt JPEG: zero frame dimensions or components")
+            if nc not in (1, 3):
+                # reject at parse time, BEFORE grid allocation: a forged
+                # SOF with nc up to 255 x 4x4 sampling would otherwise
+                # request nc*16x the pixel bound in coefficient grids
+                # (the decoder only supports grayscale/YCbCr anyway)
+                raise ValueError(f"unsupported JPEG: {nc} components (only 1 or 3)")
             if fh * fw > _JPEG_MAX_PIXELS:
                 raise ValueError(
                     f"JPEG dimensions {fw}x{fh} exceed the decoder's "
@@ -1345,6 +1354,19 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             vmax = max(c["v"] for c in comps)
             mcux = -(-fw // (8 * hmax))
             mcuy = -(-fh // (8 * vmax))
+            total_cells = sum(mcuy * c["v"] * mcux * c["h"] * 64 for c in comps)
+            if total_cells > 2 * _JPEG_MAX_PIXELS:
+                # second bomb bound: fh*fw alone doesn't cap the grids —
+                # a forged SOF with every component at 4x4 sampling pads
+                # each grid to the full padded frame, so cap the summed
+                # int64 coefficient cells at 2x the pixel bound (1 GiB):
+                # admits max-pixel grayscale and 4:2:0/4:2:2; 4:4:4 tops
+                # out at ~44M pixels instead of 67M
+                raise ValueError(
+                    f"JPEG coefficient grids ({total_cells} cells) exceed the "
+                    f"decoder's {2 * _JPEG_MAX_PIXELS}-cell bound "
+                    "(decompression-bomb guard)"
+                )
             grids = {
                 c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
                 for c in comps

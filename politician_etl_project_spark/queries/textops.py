@@ -1218,7 +1218,9 @@ def _ingest_index_path(spark, sf_dir: str) -> str:
         fp = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         fp = "unknown"
-    key = _hashlib.md5(f"{sf_dir}|ingest-v1|{fp}".encode()).hexdigest()[:12]
+    # v2: the store layout changed in r11 (one file per partition dir +
+    # prefix manifest) — new key so cached v1 stores rebuild
+    key = _hashlib.md5(f"{sf_dir}|ingest-v2|{fp}".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_{key}")
 
     def _build(staging: str) -> None:

@@ -570,6 +570,63 @@ def test_jpeg_rejects_malformed():
         _decode_jpeg(b"\xff\xd8" + dqt + sof + sos + b"\x00\x00\xff\xd9")
 
 
+def test_jpeg_forged_sof_bomb_rejected_before_allocation():
+    """A ~30-byte forged SOF claiming 8192x8192 with nc=64 at 4x4
+    sampling would request hundreds of GB of coefficient grids if the
+    bomb guard only bounded fh*fw: nc must be rejected at parse time
+    (only 1 or 3 supported), and a 3-component 4x4-sampled frame whose
+    summed grid cells exceed the cell bound must also fail loudly —
+    both as ValueError, never MemoryError."""
+    import resource
+    import struct
+
+    from politician_etl_project_spark.operators.multimodal import _decode_jpeg
+
+    def forged_sof(fh, fw, nc, hv):
+        body = struct.pack(">BHHB", 8, fh, fw, nc) + b"".join(
+            bytes([ci + 1, hv, 0]) for ci in range(nc)
+        )
+        return (
+            b"\xff\xd8"
+            + struct.pack(">BBH", 0xFF, 0xC0, 2 + len(body))
+            + body
+            + b"\xff\xd9"
+        )
+
+    # cap the test's own address space so a guard regression surfaces
+    # as a failed allocation, not a 100 GB host allocation
+    soft, hard = resource.getrlimit(resource.RLIMIT_AS)
+    resource.setrlimit(resource.RLIMIT_AS, (2 << 30, hard))
+    try:
+        with pytest.raises(ValueError, match="components"):
+            _decode_jpeg(forged_sof(8192, 8192, 64, 0x44))
+        with pytest.raises(ValueError, match="components"):
+            _decode_jpeg(forged_sof(8, 8, 2, 0x11))
+        with pytest.raises(ValueError, match="cell bound|coefficient grids"):
+            _decode_jpeg(forged_sof(8192, 8192, 3, 0x44))
+    finally:
+        resource.setrlimit(resource.RLIMIT_AS, (soft, hard))
+
+
+def test_jpeg_bitwriter_pads_final_byte_with_ones():
+    """T.81 F.1.2.3: the final partial byte is padded with 1-bits to
+    the boundary — one leftover 1-bit must flush to 0xFF (the prior
+    off-by-one emitted data+0111111 = 0xBF and dropped a surplus pad
+    bit), and a full byte must flush with no pad at all."""
+    from politician_etl_project_spark.operators.multimodal import _JpegBitWriter
+
+    w = _JpegBitWriter()
+    w.write(1, 1)
+    out = w.flush()
+    assert out == b"\xff\x00"  # 1 + seven 1-pads = 0xFF, then stuffed 0x00
+    w2 = _JpegBitWriter()
+    w2.write(0, 3)  # 000 + five 1-pads = 0x1F
+    assert w2.flush() == b"\x1f"
+    w3 = _JpegBitWriter()
+    w3.write(0xA5, 8)  # already byte-aligned: flush adds nothing
+    assert w3.flush() == b"\xa5"
+
+
 def test_jpeg_is_actually_compressed_and_quality_scales():
     """The emitted file must be a real transform-coded stream: a
     block-constant image compresses far below raw size, and lower

@@ -19,7 +19,18 @@ def test_oracle_parity(spark, sf_dir, name):
     compare(spark, SPECS[name], sf_dir)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize(
+    "name",
+    ROWS_ONLY
+    or [
+        pytest.param(
+            "none",
+            marks=pytest.mark.skip(
+                reason="no rows-only oracles — all declared queries are hash-checked"
+            ),
+        )
+    ],
+)
 def test_rows_only_runs(spark, sf_dir, name):
     df = SPECS[name].fn(spark, sf_dir)
     assert df.count() >= 0

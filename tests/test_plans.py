@@ -302,17 +302,25 @@ def test_dedup_ingest_probe_prunes_partitions(spark, tmp_path):
     )
     prefixes = [r["fpp"] for r in batch.select("fpp").distinct().collect()]
     probe = t._pruned("fps", "fpp", prefixes)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        probe.explain("formatted")
-    plan = buf.getvalue()
-    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
-    assert part_lines, plan
-    # a 1-prefix IN-list constant-folds to equality; either form prunes
-    assert any(
-        "fpp" in ln and ("IN" in ln or "in(" in ln.lower() or "= x" in ln)
-        for ln in part_lines
-    ), part_lines
+    # r11: pruning moved from a PartitionFilter over a full-store file
+    # index to manifest-intersected EXPLICIT paths — the probe's file
+    # index contains only the batch's prefix directories, so the store's
+    # other ~20 prefixes are never even stat()ed.  Assert at the file
+    # level: every input file sits under a probed prefix, and the probe
+    # touches at most |batch prefixes| directories while the store holds
+    # many more.
+    store_prefixes = t._live_prefixes("fps")
+    assert store_prefixes is not None and len(store_prefixes) > 5
+    files = probe.inputFiles()
+    assert all(any(f"/fpp={p}/" in f for p in prefixes) for f in files), files
+    touched_dirs = {f.rsplit("/", 1)[0] for f in files}
+    assert len(touched_dirs) <= len(prefixes)
+    # the probe result is still partition-column-complete (basePath keeps
+    # fpp) and typed per the declared schema
+    assert probe.schema.simpleString() == "struct<doc_id:bigint,fp:string,fpp:string>"
+    # and the store layout is one file per prefix directory (the listing
+    # cost the manifest protects is bounded by design, not by luck)
+    assert all(len({f for f in files if f.rsplit("/", 1)[0] == d}) == 1 for d in touched_dirs)
 
 
 def test_outlier_zscore_broadcasts_params(spark, specs):

@@ -341,3 +341,75 @@ def test_bench_delta_movers_selection():
     times = {"a": 1.26, "b": 2.4, "c": 4.99, "new_query": 9.0}
     assert bench._delta_movers(times, prev) == ["a"]
     assert bench._delta_movers(times, None) == []
+
+
+def test_bench_prev_baseline_merges_round_captures(tmp_path, monkeypatch):
+    """r10 verdict #1: a round can commit TWO captures (the driver's
+    possibly-contended artifact and the builder's clean sidecar); the
+    delta baseline must be the per-query MIN across both, so a
+    contended driver number can't manufacture phantom movers the same
+    round's clean capture disproves — and an unparseable newest round
+    must fall back to the previous one."""
+    import json
+
+    import bench
+
+    # the loader derives the root from __file__ — point it at tmp_path
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"queries": {"a": 3.50, "b": 1.0}, "value": 4.5})
+    )
+    (tmp_path / "BENCH_r07_full.json").write_text(
+        json.dumps({"queries": {"a": 2.29, "c": 0.5}, "value": 2.79})
+    )
+    prev = bench._load_prev_bench()
+    assert prev["_round"] == 7
+    assert prev["_artifacts_merged"] == 2
+    assert prev["queries"] == {"a": 2.29, "b": 1.0, "c": 0.5}
+    # unparseable newest round falls back
+    (tmp_path / "BENCH_r08.json").write_text("{clipped and broken")
+    prev = bench._load_prev_bench()
+    assert prev["_round"] == 7
+
+
+def test_bench_mover_adjudication(monkeypatch):
+    """Every surviving >1.25x mover must carry a variance|source_changed
+    tag (r10 verdict #2): untouched-since-prev-artifact source reads
+    `variance`, newer source reads `source_changed`, and a remeasure
+    that lands back under 1.25x reads `cleared`."""
+    import bench
+
+    detail = {
+        "untouched": {"original": 3.5, "remeasured": 3.4, "prev": 2.0},
+        "touched": {"original": 3.5, "remeasured": 3.4, "prev": 2.0},
+        "recovered": {"original": 3.5, "remeasured": 2.1, "prev": 2.0},
+    }
+    ts = {"BENCH": 1000, "untouched": 900, "touched": 1100}
+
+    def fake_ts(paths):
+        key = "BENCH" if any("BENCH_r" in p for p in paths) else None
+        if key is None:
+            key = "untouched" if any("untouched" in p for p in paths) else "touched"
+        return ts[key]
+
+    class Spec:
+        def __init__(self, marker):
+            self.fn = lambda *a: None
+            self._marker = marker
+
+    specs = {n: Spec(n) for n in detail}
+    import inspect as _inspect
+
+    monkeypatch.setattr(bench, "_source_commit_ts", fake_ts)
+    monkeypatch.setattr(
+        _inspect,
+        "getfile",
+        lambda fn: str(
+            bench.Path(bench.__file__).resolve().parent
+            / ("untouched.py" if fn is specs["untouched"].fn else "touched.py")
+        ),
+    )
+    bench._adjudicate_movers(detail, {"_round": 7}, specs)
+    assert detail["recovered"]["adjudication"] == "cleared"
+    assert detail["untouched"]["adjudication"] == "variance"
+    assert detail["touched"]["adjudication"] == "source_changed"
