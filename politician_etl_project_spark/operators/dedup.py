@@ -378,7 +378,7 @@ def segment_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     seg_tokens: int = 3,
-    key: str = "direct",
+    key: str = "digest",
 ) -> DataFrame:
     """Corpus-level EXACT segment deduplication — the line/paragraph
     dedup stage of public pretraining pipelines (C4 drops repeated
@@ -404,24 +404,24 @@ def segment_dedup(
 
     ``key`` picks what the winner exchange carries:
 
-    - ``'direct'`` (default): the raw segment text is the groupBy key.
-      Right for SHORT segments (the 3-token width here is already
-      digest-sized; measured 2.8x on the sweep's final 10x step —
-      data-bound but spread by the same exchange a cluster
-      parallelizes).
-    - ``'digest'``: the winner agg keys on a 16-byte MD5 of the
+    - ``'digest'`` (default since r11 — the builder's own 5x sweep
+      step caught the direct form's winner exchange growing 4.17x on
+      raw segment text, the fattest shuffle in the engine, while the
+      digest form shuffles O(segments x 16B)): the winner agg keys on
+      a 16-byte MD5 of the
       segment, so the hot exchange carries digests + ids — never
       segment text.  Survivor text is then RE-DERIVED ROW-LOCALLY by
       re-slicing each doc's own token array at the surviving indices
       (a winner is fully identified by (doc, seg_idx)), which also
       replaces the direct form's text-carrying reassembly groupBy
-      with an ids-only one.  Right for LONG segments (paragraph-level
-      dedup at 100 TB): total shuffled bytes drop from O(corpus text)
-      to O(segments x 16B) + one doc-keyed join, and no segment-text
-      key can ever hot-spot an exchange.  128-bit digests make
-      collisions ignorable at any corpus size (~2^64 segments for a
-      50% birthday bound).  Hash-proven equal to the direct form
-      (tests + the shared DuckDB oracle of q_segment_dedup_digest).
+      with an ids-only one.  No segment-text key can ever hot-spot an
+      exchange, and 128-bit digests make collisions ignorable at any
+      corpus size (~2^64 segments for a 50% birthday bound).
+      Hash-proven equal to the direct form (tests + the shared DuckDB
+      oracle of q_segment_dedup_direct).
+    - ``'direct'``: the raw segment text is the groupBy key — one
+      fewer projection, fine when segments are short AND the corpus
+      is small; kept as the documented comparison twin.
 
     Reference analog: no dedup tier exists in the reference
     (documents are served verbatim, app/database.py); this is part of

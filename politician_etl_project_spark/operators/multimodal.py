@@ -593,28 +593,46 @@ def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int,
 class _JpegBitWriter:
     """MSB-first bit accumulator with the entropy stream's 0xFF byte
     stuffing; flush pads the final partial byte with 1-bits (T.81
-    F.1.2.3)."""
+    F.1.2.3).
+
+    ``write`` only RECORDS the (value, length) field — two list
+    appends; all bit packing and byte stuffing happen vectorized in
+    one numpy pass at ``flush`` (the per-call shift/mask/stuff loop
+    was the encoder's single largest profile line at media-table
+    symbol counts: ~190k calls per 150 images)."""
 
     def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.n = 0
+        self.codes: list[int] = []
+        self.lens: list[int] = []
 
     def write(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.n += length
-        while self.n >= 8:
-            b = (self.acc >> (self.n - 8)) & 0xFF
-            self.n -= 8
-            self.buf.append(b)
-            if b == 0xFF:
-                self.buf.append(0x00)
-        self.acc &= (1 << self.n) - 1
+        self.codes.append(code)
+        self.lens.append(length)
 
     def flush(self) -> bytes:
-        if self.n:
-            self.write(0x7F, 8 - self.n)  # pad to the byte boundary with 1s
-        return bytes(self.buf)
+        lens = np.array(self.lens, dtype=np.int64)
+        total = int(lens.sum())
+        if not total:
+            return b""
+        pad = -total % 8
+        if pad:  # fill the final byte with 1-bits
+            self.codes.append((1 << pad) - 1)
+            lens = np.append(lens, pad)
+            total += pad
+        vals = np.array(self.codes, dtype=np.int64) & ((1 << lens) - 1)
+        # bit-expand: bit i of the stream belongs to field fi[i] and is
+        # that field's (end - 1 - i)-th value bit
+        ends = np.cumsum(lens)
+        fi = np.repeat(np.arange(lens.size), lens)
+        bits = (vals[fi] >> (ends[fi] - 1 - np.arange(total))) & 1
+        by = np.packbits(bits.astype(np.uint8))
+        # byte stuffing: a 0x00 after every 0xFF
+        ff = by == 0xFF
+        if ff.any():
+            out = np.zeros(by.size + int(ff.sum()), dtype=np.uint8)
+            out[np.arange(by.size) + np.cumsum(ff) - ff] = by
+            by = out
+        return by.tobytes()
 
 
 def _jpeg_cat(v: int) -> int:
@@ -636,7 +654,10 @@ def _quantized_blocks(plane: np.ndarray, quant: np.ndarray) -> tuple[np.ndarray,
         - 128.0
     )
     t = _dct_matrix()
-    coef = np.einsum("ux,nxy,vy->nuv", t, blocks, t, optimize=True)
+    # t @ f @ t.T per block — batched matmul instead of einsum: einsum
+    # re-ran its contraction-path search on every call (measured ~25%
+    # of the per-image encode at media-table block counts)
+    coef = np.matmul(np.matmul(t, blocks), t.T)
     q = np.round(coef / quant.reshape(8, 8)).astype(np.int64)
     return q.reshape(by, bx, 64)[:, :, _JPEG_ZIGZAG], by, bx
 
@@ -647,21 +668,31 @@ def _encode_block(
     pred: int,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
+    last: int | None = None,
 ) -> int:
     """Entropy-encode one zigzagged quantized block (T.81 F.1.2): DC
     difference category + bits, AC run/size pairs with ZRL and EOB.
     Returns the block's DC for the next prediction.  The Python loop
-    runs only up to the LAST nonzero coefficient (C-speed nonzero scan
-    first) — a sparse block, the dominant case, costs a handful of
-    iterations instead of 63."""
-    nz = np.nonzero(zz[1:])[0]
-    last = int(nz[-1]) + 1 if nz.size else 0
+    runs only up to the LAST nonzero coefficient (index ``last``,
+    0 = no AC) — encode_jpeg precomputes it for ALL blocks in one
+    vectorized pass (a per-block np.nonzero was the encoder's
+    second-largest profile line); None recomputes it here for direct
+    callers."""
+    if last is None:
+        nz = np.nonzero(zz[1:])[0]
+        last = int(nz[-1]) + 1 if nz.size else 0
     vals = zz[: last + 1].tolist()
     diff = vals[0] - pred
     s = _jpeg_cat(diff)
-    bw.write(*dc_codes[s])
+    c, ln = dc_codes[s]
     if s:
-        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        # code and magnitude bits fused into ONE writer field — write()
+        # is the encoder's hottest call site and the packer handles any
+        # length, so pairing halves its call count
+        mag = (diff if diff > 0 else diff + (1 << s) - 1) & ((1 << s) - 1)
+        bw.write((c << s) | mag, ln + s)
+    else:
+        bw.write(c, ln)
     run = 0
     for v in vals[1:]:
         if v == 0:
@@ -671,8 +702,9 @@ def _encode_block(
             bw.write(*ac_codes[0xF0])  # ZRL: 16 zeros
             run -= 16
         s = _jpeg_cat(v)
-        bw.write(*ac_codes[(run << 4) | s])
-        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        c, ln = ac_codes[(run << 4) | s]
+        mag = (v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+        bw.write((c << s) | mag, ln + s)
         run = 0
     if last < 63:
         bw.write(*ac_codes[0x00])  # EOB covers every trailing zero
@@ -685,6 +717,16 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
+def _last_nonzero(blocks: np.ndarray, lo: int, hi: int) -> list:
+    """(by, bx, 64) coefficient grid -> nested (by, bx) Python lists of
+    the index RELATIVE TO ``lo`` of the last nonzero coefficient in the
+    zigzag slice [lo..hi], -1 when the slice is all zero — ONE
+    vectorized pass replacing a per-block np.nonzero in the encode
+    loops."""
+    m = blocks[:, :, lo : hi + 1] != 0
+    return np.where(m.any(-1), m.shape[-1] - 1 - np.argmax(m[:, :, ::-1], -1), -1).tolist()
+
+
 def _encode_dc_only(
     bw: _JpegBitWriter, dc: int, pred: int, dc_codes: dict[int, tuple[int, int]]
 ) -> int:
@@ -692,25 +734,38 @@ def _encode_dc_only(
     entropy unit; Al=0 in the scans this encoder emits)."""
     diff = dc - pred
     s = _jpeg_cat(diff)
-    bw.write(*dc_codes[s])
+    c, ln = dc_codes[s]
     if s:
-        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        mag = (diff if diff > 0 else diff + (1 << s) - 1) & ((1 << s) - 1)
+        bw.write((c << s) | mag, ln + s)
+    else:
+        bw.write(c, ln)
     return dc
 
 
 def _encode_ac_band(
-    bw: _JpegBitWriter, zz: np.ndarray, ss: int, se: int, ac_codes: dict[int, tuple[int, int]]
+    bw: _JpegBitWriter,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    ac_codes: dict[int, tuple[int, int]],
+    last: int | None = None,
 ) -> None:
     """Run/size coding of one block's spectral band [ss..se] for a
     progressive AC-first scan (Al=0): ZRL for 16-zero runs, EOB (the
     EOB0 symbol) when the band ends in zeros.  This encoder never emits
-    multi-block EOB runs — EOB0 per block is the always-valid case."""
+    multi-block EOB runs — EOB0 per block is the always-valid case.
+    ``last`` is the band-relative index of the last nonzero value
+    (-1 = none), precomputed vectorized by encode_jpeg; None recomputes
+    it here for direct callers."""
     band = zz[ss : se + 1]
-    nz = np.nonzero(band)[0]
-    if nz.size == 0:
+    if last is None:
+        nz = np.nonzero(band)[0]
+        last = int(nz[-1]) if nz.size else -1
+    if last < 0:
         bw.write(*ac_codes[0x00])
         return
-    vals = band[: int(nz[-1]) + 1].tolist()
+    vals = band[: last + 1].tolist()
     run = 0
     for v in vals:
         if v == 0:
@@ -720,8 +775,9 @@ def _encode_ac_band(
             bw.write(*ac_codes[0xF0])
             run -= 16
         s = _jpeg_cat(v)
-        bw.write(*ac_codes[(run << 4) | s])
-        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        c, ln = ac_codes[(run << 4) | s]
+        mag = (v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+        bw.write((c << s) | mag, ln + s)
         run = 0
     if len(vals) - 1 < se - ss:
         bw.write(*ac_codes[0x00])
@@ -802,13 +858,20 @@ def encode_jpeg(
     if not progressive:
         bw = _JpegBitWriter()
         preds = [0] * len(planes)
+        # last-AC index per block (zigzag position, 0 = DC-only),
+        # vectorized once per component: rel-to-1 index + 1
+        lasts = [
+            [[v + 1 for v in row] for row in _last_nonzero(blocks, 1, 63)]
+            for (blocks, _, _) in zz
+        ]
         if gray or subsample == "4:4:4":
             by, bx = zz[0][1], zz[0][2]
             for r0 in range(by):
                 for c0 in range(bx):
                     for ci, (blocks, _, _) in enumerate(zz):
                         preds[ci] = _encode_block(
-                            bw, blocks[r0, c0], preds[ci], *comp_codes[ci]
+                            bw, blocks[r0, c0], preds[ci], *comp_codes[ci],
+                            last=lasts[ci][r0][c0],
                         )
         else:
             mby, mbx = zz[1][1], zz[1][2]  # chroma block grid == MCU grid
@@ -817,10 +880,14 @@ def encode_jpeg(
                     for dy in (0, 1):  # 4 luma blocks, left-right top-bottom
                         for dx in (0, 1):
                             preds[0] = _encode_block(
-                                bw, zz[0][0][2 * r0 + dy, 2 * c0 + dx], preds[0], dc_l, ac_l
+                                bw, zz[0][0][2 * r0 + dy, 2 * c0 + dx], preds[0], dc_l, ac_l,
+                                last=lasts[0][2 * r0 + dy][2 * c0 + dx],
                             )
                     for ci in (1, 2):
-                        preds[ci] = _encode_block(bw, zz[ci][0][r0, c0], preds[ci], dc_c, ac_c)
+                        preds[ci] = _encode_block(
+                            bw, zz[ci][0][r0, c0], preds[ci], dc_c, ac_c,
+                            last=lasts[ci][r0][c0],
+                        )
         sos_body = bytes([ncomp])
         for ci in range(ncomp):
             sos_body += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -869,9 +936,13 @@ def encode_jpeg(
                 nby, nbx = gby, gbx
             for ss_, se_ in ((1, 5), (6, 63)):
                 bw = _JpegBitWriter()
+                band_last = _last_nonzero(blocks, ss_, se_)
                 for r0 in range(nby):
                     for c0 in range(nbx):
-                        _encode_ac_band(bw, blocks[r0, c0], ss_, se_, comp_codes[ci][1])
+                        _encode_ac_band(
+                            bw, blocks[r0, c0], ss_, se_, comp_codes[ci][1],
+                            last=band_last[r0][c0],
+                        )
                 sos_body = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
                 sos_body += bytes([ss_, se_, 0])
                 scans.append(_seg(0xDA, sos_body) + bw.flush())
@@ -902,19 +973,33 @@ def encode_jpeg(
 
 class _JpegHuffTable:
     """Canonical-Huffman DECODE tables (T.81 F.2.2.3): per code length,
-    the smallest/largest code and the offset into HUFFVAL."""
+    the smallest/largest code and the offset into HUFFVAL — plus an
+    8-bit first-level lookup table (the classic fast-Huffman layout):
+    ``lut[next 8 bits] = (length << 8) | symbol`` for every code of
+    length <= 8, 0 for longer codes (which fall back to the canonical
+    walk).  JPEG's standard tables put all the hot symbols (DC
+    categories, EOB, low run/size pairs) well inside 8 bits, so the
+    per-symbol cost drops from a per-bit compare loop to one peek +
+    one list index."""
 
     def __init__(self, bits: list[int], vals: list[int]):
         self.vals = list(vals)
         self.mincode = [0] * 17
         self.maxcode = [-1] * 17
         self.valptr = [0] * 17
+        self.lut = [0] * 256
         code, k = 0, 0
         for length in range(1, 17):
             n = bits[length - 1]
             if n:
                 self.valptr[length] = k
                 self.mincode[length] = code
+                if length <= 8:
+                    for i in range(n):
+                        lo = (code + i) << (8 - length)
+                        entry = (length << 8) | (vals[k + i] & 0xFF)
+                        for j in range(lo, lo + (1 << (8 - length))):
+                            self.lut[j] = entry
                 code += n
                 k += n
                 self.maxcode[length] = code - 1
@@ -926,7 +1011,15 @@ class _JpegHuffTable:
 class _JpegBitReader:
     """MSB-first bit reader over the entropy segment: un-stuffs
     0xFF00, stops at any real marker (exposing it for the restart
-    handler), and raises on truncation."""
+    handler), and raises on truncation.
+
+    Refills in BULK (a 32-bit quantum per ``_fill_to``) and masks the
+    accumulator down to the live bits on every refill — the original
+    byte-at-a-time fill paid a Python method call per 8 bits AND let
+    ``acc`` grow into an unbounded bigint (consumed high bits were
+    never shed, so every shift got slower as the scan progressed).
+    Read-ahead is safe: the fill stops at any real marker, so the
+    post-scan byte position still lands exactly on the next marker."""
 
     def __init__(self, data: bytes, pos: int):
         self.d = data
@@ -935,44 +1028,73 @@ class _JpegBitReader:
         self.n = 0
         self.marker: int | None = None
 
-    def _fill(self) -> None:
-        if self.marker is not None:
-            raise ValueError("truncated JPEG: entropy stream ended at a marker")
-        if self.p >= len(self.d):
-            raise ValueError("truncated JPEG: entropy stream ran off the payload")
-        b = self.d[self.p]
-        if b == 0xFF:
-            if self.p + 1 >= len(self.d):
-                raise ValueError("truncated JPEG: dangling 0xFF in entropy stream")
-            nxt = self.d[self.p + 1]
-            if nxt == 0x00:
-                self.p += 2
+    def _fill_to(self, want: int) -> None:
+        """Refill until >= max(want, 32) bits are buffered, stopping
+        early (without raising) at a real marker or the payload end —
+        callers check ``n`` and use :meth:`_raise_end` for the loud
+        truncation contract."""
+        d, ln = self.d, len(self.d)
+        p, n = self.p, self.n
+        acc = self.acc & ((1 << n) - 1)  # shed consumed high bits
+        want = want if want > 32 else 32
+        while n < want:
+            if self.marker is not None or p >= ln:
+                break
+            b = d[p]
+            if b == 0xFF:
+                if p + 1 >= ln:
+                    break  # dangling 0xFF: surfaces as truncation
+                nxt = d[p + 1]
+                if nxt == 0x00:
+                    p += 2
+                else:
+                    self.marker = nxt
+                    break
             else:
-                self.marker = nxt
-                raise ValueError(
-                    f"truncated JPEG: hit marker 0x{nxt:02x} inside an entropy run"
-                )
-        else:
-            self.p += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+                p += 1
+            acc = (acc << 8) | b
+            n += 8
+        self.p, self.acc, self.n = p, acc, n
+
+    def _raise_end(self) -> None:
+        if self.marker is not None:
+            raise ValueError(
+                f"truncated JPEG: hit marker 0x{self.marker:02x} inside an entropy run"
+            )
+        raise ValueError("truncated JPEG: entropy stream ran off the payload")
 
     def bit(self) -> int:
-        if not self.n:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        n = self.n
+        if not n:
+            self._fill_to(1)
+            n = self.n
+            if not n:
+                self._raise_end()
+        n -= 1
+        self.n = n
+        return (self.acc >> n) & 1
 
     def bits(self, count: int) -> int:
-        v = 0
-        for _ in range(count):
-            v = (v << 1) | self.bit()
-        return v
+        if not count:
+            return 0
+        n = self.n
+        if n < count:
+            self._fill_to(count)
+            n = self.n
+            if n < count:
+                self._raise_end()
+        n -= count
+        self.n = n
+        return (self.acc >> n) & ((1 << count) - 1)
 
     def align_and_expect_rst(self, which: int) -> None:
         """Byte-align and consume the next RSTn marker (restart
-        intervals reset the bit phase and DC predictions)."""
+        intervals reset the bit phase and DC predictions).  Bulk
+        read-ahead may already have parked on the marker (``marker``
+        set, ``p`` at its 0xFF) — clear it so the next interval's
+        fills proceed."""
         self.n = 0
+        self.marker = None
         if self.p + 1 >= len(self.d) or self.d[self.p] != 0xFF:
             raise ValueError("JPEG restart interval: expected RST marker")
         m = self.d[self.p + 1]
@@ -982,6 +1104,26 @@ class _JpegBitReader:
 
 
 def _jpeg_decode_symbol(br: _JpegBitReader, tab: _JpegHuffTable) -> int:
+    # fast path: one 8-bit peek into the table's first-level LUT
+    n = br.n
+    if n < 16:
+        br._fill_to(16)
+        n = br.n
+    if n >= 8:
+        e = tab.lut[(br.acc >> (n - 8)) & 0xFF]
+        if e:
+            br.n = n - (e >> 8)
+            return e & 0xFF
+    elif n:
+        # stream tail: left-align what's left; a LUT hit is only valid
+        # if the code fits the remaining bits
+        e = tab.lut[(br.acc << (8 - n)) & 0xFF]
+        if e and (e >> 8) <= n:
+            br.n = n - (e >> 8)
+            return e & 0xFF
+    # slow path: canonical per-length walk (codes longer than 8 bits,
+    # or a tail too short for the fast path — the walk raises the
+    # loud truncation/corruption errors)
     code, length = br.bit(), 1
     while code > tab.maxcode[length]:
         length += 1
@@ -1197,6 +1339,26 @@ def _jpeg_decode_scan(
     n_rst = 0
     done = 0
     coef = np.zeros(64, dtype=np.int64)
+    # per-component invariants hoisted out of the MCU loop (the reps
+    # list and two table lookups were rebuilt per component per MCU —
+    # measured as the scan loop's largest own-time line), and the
+    # missing-DHT checks run ONCE per scan instead of per block
+    comp_plan = []
+    for c, td, ta, hv in order:
+        dct = huff.get((0, td))
+        act = huff.get((1, ta))
+        if sequential and (dct is None or act is None):
+            raise ValueError(f"corrupt JPEG: scan references missing DHT {td}/{ta}")
+        if not sequential and ss == 0 and ah == 0 and dct is None:
+            raise ValueError(f"corrupt JPEG: scan references missing DHT {td}")
+        if not sequential and ss != 0 and act is None:
+            raise ValueError(f"corrupt JPEG: scan references missing DHT {ta}")
+        reps = (
+            ((0, 0),)
+            if hv is None
+            else tuple((dy, dx) for dy in range(hv[1]) for dx in range(hv[0]))
+        )
+        comp_plan.append((c["id"], dct, act, hv, reps, grids[c["id"]]))
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and done and done % restart == 0:
@@ -1204,28 +1366,16 @@ def _jpeg_decode_scan(
                 n_rst += 1
                 preds = {cid: 0 for cid in preds}
                 eobrun = 0
-            for c, td, ta, hv in order:
-                cid = c["id"]
-                dct = huff.get((0, td))
-                act = huff.get((1, ta))
-                reps = [(0, 0)] if hv is None else [
-                    (dy, dx) for dy in range(hv[1]) for dx in range(hv[0])
-                ]
+            for cid, dct, act, hv, reps, grid in comp_plan:
                 for dy, dx in reps:
                     gy = my if hv is None else my * hv[1] + dy
                     gx = mx if hv is None else mx * hv[0] + dx
-                    blk = grids[cid][gy, gx]
+                    blk = grid[gy, gx]
                     if sequential:
-                        if dct is None or act is None:
-                            raise ValueError(
-                                f"corrupt JPEG: scan references missing DHT {td}/{ta}"
-                            )
                         coef[:] = 0
                         preds[cid] = _jpeg_decode_block(br, dct, act, preds[cid], coef)
                         blk[:] = coef
                     elif ss == 0 and ah == 0:  # progressive DC first
-                        if dct is None:
-                            raise ValueError(f"corrupt JPEG: scan references missing DHT {td}")
                         s = _jpeg_decode_symbol(br, dct)
                         if s > 11:
                             raise ValueError(f"corrupt JPEG: DC category {s} out of range")
@@ -1235,8 +1385,6 @@ def _jpeg_decode_scan(
                         if br.bit():
                             blk[0] |= 1 << al
                     else:  # progressive AC scans are always single-component
-                        if act is None:
-                            raise ValueError(f"corrupt JPEG: scan references missing DHT {ta}")
                         if ah == 0:
                             eobrun = _jpeg_ac_first(br, act, blk, ss, se, al, eobrun)
                         else:
@@ -1428,7 +1576,10 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         # g holds zigzag-order coefficients; q is ALREADY natural order
         # (un-zigzagged at DQT parse) — permute only the coefficients
         deq = (g[:, :, _JPEG_UNZIGZAG].astype(np.float64) * q).reshape(by, bx, 8, 8)
-        pix = np.einsum("xu,nmuv,yv->nmxy", t.T, deq, t.T, optimize=True) + 128.0
+        # t.T @ F @ t per block (the exact inverse of the encoder's
+        # t @ f @ t.T) — batched matmul for the same path-search reason
+        # as _quantized_blocks
+        pix = np.matmul(np.matmul(t.T, deq), t) + 128.0
         plane = np.clip(np.round(pix), 0, 255).astype(np.uint8)
         planes[cid] = plane.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 

@@ -27,32 +27,78 @@ import os
 from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, declared_query
 
 DRIVER_WINDOW = [
-    # --- ROUND-10 WINDOW (driver checks [:50]) ---
-    # Slot 1: NEW this round — q_media_decode_jpeg (the LAST gated
-    # codec executed: pure-numpy JPEG, sequential AND progressive —
-    # T.81 marker walk, Annex-K Huffman, DCT/IDCT, 4:2:0 MCU
-    # interleave, SOF2 multi-scan; the PIL gate is REMOVED).
-    # Slot 2: q_dedup_incremental — REWRITTEN this round (r9 verdict
-    # #4: the 6 sequential probe actions collapsed into one fused
-    # prefix collect + one funnel aggregate) AND the stalest name (r5).
-    # Slots 3-4: sentinels — decode_real's JPEG dispatch is now the
-    # pure-numpy decoder (PIL branch deleted) and the whole media-stats
-    # family switched from orderBy (whose range-sampling pass ran the
-    # codec twice) to a single-partition report sort, so the r9 greens
-    # of q_media_decode_real / q_media_decode_png predate the edits.
-    # Slots 5-28: the remaining 24 round-5-stale names (alphabetical) —
-    # with these the r5 floor clears entirely (r9 verdict #2).
-    # Slots 29-50: the alphabetically-first 22 round-6-stale names.
-    # ROUND-11 PLAN (keep rotation mechanical, r8 verdict #8): head =
-    # any new/rewritten queries + the 24 remaining r6-stale names
-    # (q_except, q_exists_probe, q_fuzzy_match_topk, q_global_stats ..
-    # q_union_distinct, alphabetical) + the alphabetically-first
-    # r7-stale names to fill 50.
+    # --- ROUND-11 WINDOW (driver checks [:50]) ---
+    # Slot 1: q_segment_dedup_direct — NEW NAME (the string-keyed
+    # segment-dedup twin, formerly q_segment_dedup_digest whose digest
+    # plan is now the DEFAULT; never driver-checked under this name).
+    # Slots 2-4: sentinels, all REWRITTEN this round — q_segment_dedup
+    # (digest-keyed winner exchange is now the default plan, r10
+    # verdict #5), q_dedup_incremental (manifest-backed store probes +
+    # one-file-per-prefix store layout, r10 verdict #1),
+    # q_media_decode_jpeg (codec rewrite: bulk-refill bit reader,
+    # 8-bit-LUT Huffman decode, vectorized bit-pack encoder, matmul
+    # DCT/IDCT — r10 verdict #3 + both ADVICE fixes).
+    # Slots 5-27: the remaining 23 round-6-stale names (alphabetical)
+    # — the r6 floor clears entirely (r10 verdict #4).
+    # Slots 28-50: the alphabetically-first 23 round-7-stale names.
+    # ROUND-12 PLAN (keep rotation mechanical, r8 verdict #8): head =
+    # any new/rewritten queries + the 21 remaining r7-stale names
+    # (q_pivot_status_matrix, q_range_join, q_repetition_filter,
+    # q_retention_cohorts .. q_watermark_latedrop, alphabetical) + the
+    # alphabetically-first r8-stale names to fill 50.
     # tests/test_window.py asserts this composition mechanically
     # (never-checked ⊆ head; non-sentinel verified head slots no
     # fresher than any verified name outside, judged boundary-aware).
-    "q_media_decode_jpeg",
+    "q_segment_dedup_direct",
+    "q_segment_dedup",
     "q_dedup_incremental",
+    "q_media_decode_jpeg",
+    "q_except",
+    "q_exists_probe",
+    "q_fuzzy_match_topk",
+    "q_global_stats",
+    "q_in_list_dim",
+    "q_intersect",
+    "q_like_keyword",
+    "q_max_regex_extract",
+    "q_monthly_timeline",
+    "q_multikey_sort",
+    "q_name_split_map",
+    "q_near_dup_pairs_capped",
+    "q_pagination",
+    "q_pct_of_total",
+    "q_pretrain_e2e",
+    "q_proj_concat",
+    "q_recent_n",
+    "q_salted_agg",
+    "q_scalar_kitchen",
+    "q_semi_join",
+    "q_src_jdbc",
+    "q_topk_customers",
+    "q_union_distinct",
+    "q_ann_batch",
+    "q_approx_sketches",
+    "q_boilerplate_shingles",
+    "q_bpe_merge_candidates",
+    "q_bpe_token_count",
+    "q_child_roster_page",
+    "q_context_windows",
+    "q_corpus_stats",
+    "q_cube_matrix",
+    "q_decontamination",
+    "q_entity_navigation",
+    "q_event_funnel",
+    "q_format_report",
+    "q_grouping_sets",
+    "q_hll_mergeable",
+    "q_label_centroid",
+    "q_lang_id",
+    "q_list_endpoint_page",
+    "q_media_metadata",
+    "q_near_dup_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_percentiles",
+    "q_pii_scrub",
     "q_media_decode_real",
     "q_media_decode_png",
     "q_domain_stats",
@@ -118,7 +164,6 @@ DRIVER_WINDOW = [
     "q_quantile_normalize",
     "q_schema_drift",
     "q_schema_evolution",
-    "q_segment_dedup",
     "q_simhash_banded",
     "q_simhash_near_pairs",
     "q_skew_diagnostic",
@@ -195,53 +240,6 @@ DRIVER_WINDOW = [
     "q_gap_fill",
     "q_hybrid_rrf",
     "q_inverted_index",
-    "q_except",
-    "q_exists_probe",
-    "q_fuzzy_match_topk",
-    "q_global_stats",
-    "q_in_list_dim",
-    "q_intersect",
-    "q_like_keyword",
-    "q_max_regex_extract",
-    "q_monthly_timeline",
-    "q_multikey_sort",
-    "q_name_split_map",
-    "q_near_dup_pairs_capped",
-    "q_pagination",
-    "q_pct_of_total",
-    "q_pretrain_e2e",
-    "q_proj_concat",
-    "q_recent_n",
-    "q_salted_agg",
-    "q_scalar_kitchen",
-    "q_segment_dedup_digest",
-    "q_semi_join",
-    "q_src_jdbc",
-    "q_topk_customers",
-    "q_union_distinct",
-    "q_ann_batch",
-    "q_approx_sketches",
-    "q_boilerplate_shingles",
-    "q_bpe_merge_candidates",
-    "q_bpe_token_count",
-    "q_child_roster_page",
-    "q_context_windows",
-    "q_corpus_stats",
-    "q_cube_matrix",
-    "q_decontamination",
-    "q_entity_navigation",
-    "q_event_funnel",
-    "q_format_report",
-    "q_grouping_sets",
-    "q_hll_mergeable",
-    "q_label_centroid",
-    "q_lang_id",
-    "q_list_endpoint_page",
-    "q_media_metadata",
-    "q_near_dup_pairs",
-    "q_ngram_jaccard_pairs",
-    "q_percentiles",
-    "q_pii_scrub",
     "q_pivot_status_matrix",
     "q_range_join",
     "q_repetition_filter",
@@ -270,9 +268,9 @@ DRIVER_WINDOW = [
 # THIS round (their prior green predates the edit) — exempt from the
 # stalest-first head rule, bounded to keep rotation honest.
 WINDOW_SENTINELS = [
-    "q_dedup_incremental",  # r10: ingest() rewritten as a cached label cascade (r9 #4)
-    "q_media_decode_real",  # r10: decode_real JPEG dispatch + report sort changed
-    "q_media_decode_png",  # r10: report sort changed (orderBy ran the codec twice)
+    "q_segment_dedup",  # r11: digest-keyed winner exchange became the default plan
+    "q_dedup_incremental",  # r11: manifest-backed probes + one-file-per-prefix store
+    "q_media_decode_jpeg",  # r11: codec rewrite (LUT Huffman, bulk refill, vector bit-pack, matmul)
 ]
 
 _ORACLE_TABLES = (

@@ -1760,7 +1760,13 @@ ORDER BY t.doc_id
     "segment is min(struct(doc_id, seg_idx)) under a plain groupBy — "
     "map-side combine collapses boilerplate-hot segments BEFORE the "
     "exchange, where the oracle's row_number window (fine at oracle "
-    "scale) would sort a 100 TB hot key on one task.  operators/"
+    "scale) would sort a 100 TB hot key on one task.  DIGEST-KEYED "
+    "since r11 (the operator default): the winner exchange carries a "
+    "16-byte MD5 + ids instead of segment text — the builder's own "
+    "sf0.5 sweep caught the direct form's winner exchange growing "
+    "4.17x on raw text, the fattest shuffle in the engine — and "
+    "survivor text is re-derived row-locally by re-slicing each doc's "
+    "own token array at the surviving indices.  operators/"
     "dedup.segment_dedup.",
 )
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1774,25 +1780,23 @@ _SEGMENT_DEDUP_ORACLE = REGISTRY["q_segment_dedup"].oracle
 
 
 @declared_query(
-    "q_segment_dedup_digest",
+    "q_segment_dedup_direct",
     oracle=_SEGMENT_DEDUP_ORACLE,
     ops=("DEDUP-segment", "A14", "U2"),
-    doc="q_segment_dedup's DIGEST-KEYED twin (segment_dedup(key="
-    "'digest')): the winner aggregate keys on a 16-byte MD5, so the "
-    "hot exchange carries digests + ids instead of segment text, and "
-    "survivor text is re-derived row-locally by re-slicing each doc's "
-    "own token array at the surviving indices.  Shares q_segment_dedup"
-    "'s oracle verbatim — a green hash here IS the proof the digest "
-    "path loses nothing vs the direct form.  This is the long-segment "
-    "scale lever: at paragraph width on 100 TB the direct form's "
-    "winner exchange is output-bound on segment text (the fattest "
-    "measured shuffle in the engine, SCALE.md), while the digest form "
-    "shuffles O(segments x 16B).",
+    doc="q_segment_dedup's STRING-KEYED twin (segment_dedup(key="
+    "'direct'), the pre-r11 default): the raw segment text is the "
+    "winner groupBy key — one fewer projection, fine at short segment "
+    "width on a small corpus, but its winner exchange is output-bound "
+    "on segment text at scale (4.17x growth on the sweep's 5x step, "
+    "SCALE.md), which is why the digest form is now the default.  "
+    "Shares q_segment_dedup's oracle verbatim — a green hash on BOTH "
+    "twins IS the proof the digest path loses nothing vs the direct "
+    "form.",
 )
-def q_segment_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_segment_dedup_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from politician_etl_project_spark.operators.dedup import segment_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return segment_dedup(docs, "doc_id", "text", seg_tokens=3, key="digest").orderBy(
+    return segment_dedup(docs, "doc_id", "text", seg_tokens=3, key="direct").orderBy(
         "doc_id"
     )

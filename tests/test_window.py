@@ -329,6 +329,21 @@ def test_sweep_log_matches_registry():
         f"now has {n} queries — rerun tools/sweep_oracle_sf01.py and record it"
     )
     assert ok == total, f"newest sweep has failures: {ok}/{total}"
+    # r10 verdict #6: incremental (--changed-since) sweeps are allowed,
+    # but a FULL-registry sweep must be at most 2 rounds old.  Lines
+    # from r11 on carry a mode tag; if any tagged line exists, the
+    # newest full tag must be within 2 rounds of the newest tag of any
+    # mode (untagged legacy lines were all full sweeps and predate the
+    # tagged era, so they don't satisfy recency once tags exist).
+    tags = re.findall(r"\[(full|changed-since-r\d+) r(\d+)", text)
+    if tags:
+        latest_round = max(int(r) for _, r in tags)
+        fulls = [int(r) for m, r in tags if m == "full"]
+        assert fulls, "sweep log has incremental entries but no tagged full sweep"
+        assert latest_round - max(fulls) <= 2, (
+            f"newest full sweep is r{max(fulls)} but the log reaches "
+            f"r{latest_round} — run a full sweep (no --changed-since)"
+        )
 
 
 def test_bench_delta_movers_selection():

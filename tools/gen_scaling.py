@@ -36,7 +36,7 @@ QUERIES = [
     "q_triangle_count",      # degree-oriented wedge joins
     "q_time_travel",         # manifest reads across three versions
     "q_segment_dedup",       # corpus keep-first segment aggregate
-    "q_segment_dedup_digest",  # digest-keyed twin (16B winner exchange)
+    "q_segment_dedup_direct",  # string-keyed twin (text winner exchange)
     "q_url_canonicalize",    # regexp-chain map + canonical-key shuffle
     "q_bigram_lm_score",     # in-row zip + model joins
     "q_stats_prune",         # manifest min/max file skipping
@@ -61,7 +61,7 @@ SERVING_QUERIES = [
     "q_pq_rerank",             # PQ candidates -> exact re-rank serving
     "q_dedup_exact",           # fingerprint groupBy (data-bound reference line)
     "q_segment_dedup",         # direct form: winner exchange carries text
-    "q_segment_dedup_digest",  # digest form: 16B winner exchange
+    "q_segment_dedup_direct",  # direct form: text winner exchange
     "q_url_canonicalize",      # pure-expression map + canonical-key shuffle
     "q_media_decode_png",      # zlib codec, worker-spread mapInPandas:
     #                            data-bound by construction; the sweep
