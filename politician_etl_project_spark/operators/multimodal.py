@@ -604,22 +604,40 @@ class _JpegBitWriter:
     def __init__(self) -> None:
         self.codes: list[int] = []
         self.lens: list[int] = []
+        self._chunks: list[tuple[np.ndarray, np.ndarray]] = []
 
     def write(self, code: int, length: int) -> None:
         self.codes.append(code)
         self.lens.append(length)
 
+    def write_fields(self, codes: np.ndarray, lens: np.ndarray) -> None:
+        """Record a whole (code, length) field ARRAY in one call — the
+        vectorized scan encoder emits every field of a scan at once, so
+        the per-symbol ``write`` call disappears from the hot path."""
+        if self.codes:  # preserve interleaving with any scalar writes
+            self._chunks.append(
+                (np.array(self.codes, dtype=np.int64), np.array(self.lens, dtype=np.int64))
+            )
+            self.codes, self.lens = [], []
+        self._chunks.append((np.asarray(codes, np.int64), np.asarray(lens, np.int64)))
+
     def flush(self) -> bytes:
-        lens = np.array(self.lens, dtype=np.int64)
+        if self._chunks:
+            self.write_fields(np.empty(0, np.int64), np.empty(0, np.int64))
+            codes = np.concatenate([c for c, _ in self._chunks])
+            lens = np.concatenate([l for _, l in self._chunks])
+        else:
+            codes = np.array(self.codes, dtype=np.int64)
+            lens = np.array(self.lens, dtype=np.int64)
         total = int(lens.sum())
         if not total:
             return b""
         pad = -total % 8
         if pad:  # fill the final byte with 1-bits
-            self.codes.append((1 << pad) - 1)
+            codes = np.append(codes, (1 << pad) - 1)
             lens = np.append(lens, pad)
             total += pad
-        vals = np.array(self.codes, dtype=np.int64) & ((1 << lens) - 1)
+        vals = codes & ((1 << lens) - 1)
         # bit-expand: bit i of the stream belongs to field fi[i] and is
         # that field's (end - 1 - i)-th value bit
         ends = np.cumsum(lens)
@@ -783,6 +801,145 @@ def _encode_ac_band(
         bw.write(*ac_codes[0x00])
 
 
+def _huff_code_arrays(tab: dict[int, tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
+    """symbol -> (code, length) dict as gatherable arrays (length 0 =
+    symbol absent, the vectorized encoder's KeyError stand-in)."""
+    codes = np.zeros(256, np.int64)
+    lens = np.zeros(256, np.int64)
+    for sym, (c, ln) in tab.items():
+        codes[sym], lens[sym] = c, ln
+    return codes, lens
+
+
+_JPEG_ENC_ARRAYS: tuple | None = None
+
+
+def _jpeg_enc_arrays() -> tuple:
+    """The four standard-table (codes, lens) gather arrays, built once
+    (the Huffman tables are spec constants; only quant varies per call)."""
+    global _JPEG_ENC_ARRAYS
+    if _JPEG_ENC_ARRAYS is None:
+        _JPEG_ENC_ARRAYS = tuple(
+            _huff_code_arrays(_huff_encode_table(*spec))
+            for spec in (_JPEG_DC_LUMA, _JPEG_AC_LUMA, _JPEG_DC_CHROMA, _JPEG_AC_CHROMA)
+        )
+    return _JPEG_ENC_ARRAYS
+
+
+def _cat_vec(v: np.ndarray) -> np.ndarray:
+    """Vectorized magnitude category (bit length of |v|, T.81 F.1.2)."""
+    a = np.abs(v)
+    s = np.zeros(v.shape, np.int64)
+    for b in range(16):
+        s += a >= (np.int64(1) << b)
+    return s
+
+
+def _mag_fields(v: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """Vectorized magnitude bits: v for positive, v + 2^s - 1 for
+    negative, masked to s bits (the scalar encoders' fused-mag rule)."""
+    full = (np.int64(1) << s) - 1
+    return np.where(v > 0, v, v + full) & full
+
+
+def _encode_scan_fields(
+    bw: _JpegBitWriter,
+    blocks: np.ndarray,
+    comp: np.ndarray,
+    dc_tabs: list[tuple[np.ndarray, np.ndarray]] | None,
+    ac_tabs: list[tuple[np.ndarray, np.ndarray]] | None,
+    lo: int = 1,
+    hi: int = 63,
+) -> None:
+    """Entropy-encode one whole scan VECTORIZED across blocks: given the
+    scan's blocks in scan order (n, 64) with per-slot component indexes,
+    emit every (code, length) field of the scan in a handful of numpy
+    passes — DC difference chains per component, AC run/size pairs with
+    ZRL and EOB — byte-for-byte the sequence the per-block scalar
+    encoders (`_encode_block` / `_encode_dc_only` / `_encode_ac_band`)
+    produce, which remain for direct callers and as the readable spec.
+    ``dc_tabs=None`` skips DC (a progressive AC band scan, band
+    [lo..hi]); ``ac_tabs=None`` skips AC (the progressive DC scan).
+    Entropy coding has no serial dependency until bit packing (which
+    `_JpegBitWriter.flush` already does in one pass), so the per-block
+    Python loop was pure interpreter overhead — at media-table block
+    counts (~250 blocks/doc) this pass is the encoder's hot path."""
+    n = blocks.shape[0]
+    if not n:
+        return
+    dcp = 1 if dc_tabs is not None else 0
+    if dcp:
+        dc = blocks[:, 0].astype(np.int64)
+        diff = np.empty(n, np.int64)
+        for ci in range(int(comp.max()) + 1 if n else 0):
+            idx = np.flatnonzero(comp == ci)
+            if idx.size:
+                vals = dc[idx]
+                diff[idx] = vals - np.concatenate(([0], vals[:-1]))
+        s = _cat_vec(diff)
+        dcodes = np.stack([t[0] for t in dc_tabs])
+        dlens = np.stack([t[1] for t in dc_tabs])
+        gl = dlens[comp, s]
+        if not gl.all():
+            raise KeyError(int(s[np.argmin(gl)]))
+        dc_code = (dcodes[comp, s] << s) | _mag_fields(diff, s)
+        dc_len = gl + s
+    if ac_tabs is None:
+        bw.write_fields(dc_code, dc_len)
+        return
+    band_len = hi - lo + 1
+    ac = blocks[:, lo : hi + 1]
+    bi, pos = np.nonzero(ac)  # row-major == (block, zigzag) scan order
+    v = ac[bi, pos].astype(np.int64)
+    ncomp = comp[bi]
+    first = np.empty(bi.shape, bool)
+    first[:1] = True
+    first[1:] = bi[1:] != bi[:-1]
+    prev = np.empty_like(pos)
+    prev[:1] = 0
+    prev[1:] = pos[:-1]
+    run = np.where(first, pos, pos - prev - 1).astype(np.int64)
+    nzrl, rem = run >> 4, run & 15
+    s = _cat_vec(v)
+    acodes = np.stack([t[0] for t in ac_tabs])
+    alens = np.stack([t[1] for t in ac_tabs])
+    sym = (rem << 4) | s
+    gl = alens[ncomp, sym]
+    if bi.size and not gl.all():
+        raise KeyError(int(sym[np.argmin(gl)]))
+    ac_code = (acodes[ncomp, sym] << s) | _mag_fields(v, s)
+    ac_len = gl + s
+    # per-block slot accounting: [DC?] then per nonzero (ZRL*nzrl, field)
+    # then [EOB?]; un-scattered slots are exactly the ZRL slots
+    nnz = np.bincount(bi, minlength=n)
+    zrl_blk = (
+        np.bincount(bi, weights=nzrl.astype(np.float64), minlength=n).astype(np.int64)
+        if bi.size
+        else np.zeros(n, np.int64)
+    )
+    lastrel = np.full(n, -1, np.int64)
+    lastrel[bi] = pos  # duplicate-index assign keeps the last (max) pos
+    has_eob = lastrel < band_len - 1
+    nslots = dcp + nnz + zrl_blk + has_eob
+    starts = np.concatenate(([0], np.cumsum(nslots)[:-1]))
+    slot_comp = np.repeat(comp, nslots)
+    out_code = acodes[slot_comp, 0xF0].copy()
+    out_len = alens[slot_comp, 0xF0].copy()
+    if dcp:
+        out_code[starts], out_len[starts] = dc_code, dc_len
+    if bi.size:
+        width = nzrl + 1
+        before = np.cumsum(width) - width
+        fidx = np.searchsorted(bi, bi, "left")
+        ac_slot = starts[bi] + dcp + (before - before[fidx]) + nzrl
+        out_code[ac_slot], out_len[ac_slot] = ac_code, ac_len
+    eidx = np.flatnonzero(has_eob)
+    eslot = starts[eidx] + nslots[eidx] - 1
+    out_code[eslot] = acodes[comp[eidx], 0x00]
+    out_len[eslot] = alens[comp[eidx], 0x00]
+    bw.write_fields(out_code, out_len)
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 75,
@@ -836,58 +993,57 @@ def encode_jpeg(
         ph, pw = -h % 16, -w % 16
         if ph or pw:
             planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
-        hh, ww = planes[0].shape
-        planes[1:] = [
-            np.round(
-                p.reshape(hh // 2, 2, ww // 2, 2).astype(np.float64).mean(axis=(1, 3))
-            ).astype(np.uint8)
-            for p in planes[1:]
-        ]
+        def _mean2x2(p: np.ndarray) -> np.ndarray:
+            # integer 2x2 mean replicating np.round's half-to-even on
+            # the exact .5 case (sum % 4 == 2): all-int, no float pass
+            s = (
+                p[0::2, 0::2].astype(np.int64)
+                + p[0::2, 1::2]
+                + p[1::2, 0::2]
+                + p[1::2, 1::2]
+            )
+            base = s >> 2
+            return np.where((s & 3) == 2, base + (base & 1), (s + 2) >> 2).astype(np.uint8)
+
+        planes[1:] = [_mean2x2(p) for p in planes[1:]]
 
     comp_q = [ql] if gray else [ql, qc, qc]
     zz = [_quantized_blocks(p, q) for p, q in zip(planes, comp_q)]
 
-    dc_l = _huff_encode_table(*_JPEG_DC_LUMA)
-    ac_l = _huff_encode_table(*_JPEG_AC_LUMA)
-    dc_c = _huff_encode_table(*_JPEG_DC_CHROMA)
-    ac_c = _huff_encode_table(*_JPEG_AC_CHROMA)
-    comp_codes = [(dc_l, ac_l)] if gray else [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    dcl_a, acl_a, dcc_a, acc_a = _jpeg_enc_arrays()
+    dc_tabs = [dcl_a] if gray else [dcl_a, dcc_a, dcc_a]
+    ac_tabs = [acl_a] if gray else [acl_a, acc_a, acc_a]
+
+    # the whole scan's blocks in scan order + per-slot component index —
+    # the vectorized scan encoder replaces the per-block Python loops
+    # (`_encode_block` and friends stay as the readable per-block spec
+    # for direct callers/tests; byte-identity is pinned by
+    # test_jpeg_vectorized_encoder_matches_scalar)
+    if gray:
+        order = zz[0][0].reshape(-1, 64)
+        comp = np.zeros(order.shape[0], np.int64)
+    elif subsample == "4:4:4":
+        by, bx = zz[0][1], zz[0][2]
+        order = np.stack([z[0] for z in zz], axis=2).reshape(-1, 64)
+        comp = np.tile(np.arange(3, dtype=np.int64), by * bx)
+    else:  # 4:2:0: 4 luma blocks (row-major in the MCU) then Cb, Cr
+        mby, mbx = zz[1][1], zz[1][2]  # chroma block grid == MCU grid
+        luma4 = (
+            zz[0][0]
+            .reshape(mby, 2, mbx, 2, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(mby, mbx, 4, 64)
+        )
+        order = np.concatenate(
+            [luma4, zz[1][0][:, :, None, :], zz[2][0][:, :, None, :]], axis=2
+        ).reshape(-1, 64)
+        comp = np.tile(np.array([0, 0, 0, 0, 1, 2], np.int64), mby * mbx)
 
     ncomp = 1 if gray else 3
     scans: list[bytes] = []
     if not progressive:
         bw = _JpegBitWriter()
-        preds = [0] * len(planes)
-        # last-AC index per block (zigzag position, 0 = DC-only),
-        # vectorized once per component: rel-to-1 index + 1
-        lasts = [
-            [[v + 1 for v in row] for row in _last_nonzero(blocks, 1, 63)]
-            for (blocks, _, _) in zz
-        ]
-        if gray or subsample == "4:4:4":
-            by, bx = zz[0][1], zz[0][2]
-            for r0 in range(by):
-                for c0 in range(bx):
-                    for ci, (blocks, _, _) in enumerate(zz):
-                        preds[ci] = _encode_block(
-                            bw, blocks[r0, c0], preds[ci], *comp_codes[ci],
-                            last=lasts[ci][r0][c0],
-                        )
-        else:
-            mby, mbx = zz[1][1], zz[1][2]  # chroma block grid == MCU grid
-            for r0 in range(mby):
-                for c0 in range(mbx):
-                    for dy in (0, 1):  # 4 luma blocks, left-right top-bottom
-                        for dx in (0, 1):
-                            preds[0] = _encode_block(
-                                bw, zz[0][0][2 * r0 + dy, 2 * c0 + dx], preds[0], dc_l, ac_l,
-                                last=lasts[0][2 * r0 + dy][2 * c0 + dx],
-                            )
-                    for ci in (1, 2):
-                        preds[ci] = _encode_block(
-                            bw, zz[ci][0][r0, c0], preds[ci], dc_c, ac_c,
-                            last=lasts[ci][r0][c0],
-                        )
+        _encode_scan_fields(bw, order, comp, dc_tabs, ac_tabs, 1, 63)
         sos_body = bytes([ncomp])
         for ci in range(ncomp):
             sos_body += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -896,26 +1052,7 @@ def encode_jpeg(
     else:
         # scan 1: DC, all components interleaved (Ss=Se=0, Ah=Al=0)
         bw = _JpegBitWriter()
-        preds = [0] * len(planes)
-        if gray or subsample == "4:4:4":
-            by, bx = zz[0][1], zz[0][2]
-            for r0 in range(by):
-                for c0 in range(bx):
-                    for ci, (blocks, _, _) in enumerate(zz):
-                        preds[ci] = _encode_dc_only(
-                            bw, int(blocks[r0, c0][0]), preds[ci], comp_codes[ci][0]
-                        )
-        else:
-            mby, mbx = zz[1][1], zz[1][2]
-            for r0 in range(mby):
-                for c0 in range(mbx):
-                    for dy in (0, 1):
-                        for dx in (0, 1):
-                            preds[0] = _encode_dc_only(
-                                bw, int(zz[0][0][2 * r0 + dy, 2 * c0 + dx][0]), preds[0], dc_l
-                            )
-                    for ci in (1, 2):
-                        preds[ci] = _encode_dc_only(bw, int(zz[ci][0][r0, c0][0]), preds[ci], dc_c)
+        _encode_scan_fields(bw, order, comp, dc_tabs, None)
         sos_body = bytes([ncomp])
         for ci in range(ncomp):
             sos_body += bytes([ci + 1, (0x00 if ci == 0 else 0x11) & 0xF0])  # DC table only
@@ -934,15 +1071,18 @@ def encode_jpeg(
                 nby, nbx = -(-h // 8), -(-w // 8)
             else:  # 4:2:0 chroma: ceil(ceil(dim/2)/8) == the MCU grid
                 nby, nbx = gby, gbx
+            band_blocks = blocks[:nby, :nbx].reshape(-1, 64)
             for ss_, se_ in ((1, 5), (6, 63)):
                 bw = _JpegBitWriter()
-                band_last = _last_nonzero(blocks, ss_, se_)
-                for r0 in range(nby):
-                    for c0 in range(nbx):
-                        _encode_ac_band(
-                            bw, blocks[r0, c0], ss_, se_, comp_codes[ci][1],
-                            last=band_last[r0][c0],
-                        )
+                _encode_scan_fields(
+                    bw,
+                    band_blocks,
+                    np.zeros(band_blocks.shape[0], np.int64),
+                    None,
+                    [ac_tabs[ci]],
+                    ss_,
+                    se_,
+                )
                 sos_body = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
                 sos_body += bytes([ss_, se_, 0])
                 scans.append(_seg(0xDA, sos_body) + bw.flush())
