@@ -826,9 +826,36 @@ def _jpeg_enc_arrays() -> tuple:
     return _JPEG_ENC_ARRAYS
 
 
+_STACKED_TABS: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _stacked_tabs(tabs: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+    """Stack per-component (codes, lens) gather arrays into 2-D gather
+    tables, cached by content — `_scan_fields` runs up to 7 times per
+    progressive image, and the per-call np.stack was measurable at
+    media-table image counts."""
+    key = tuple(t[0].tobytes() + t[1].tobytes() for t in tabs)
+    v = _STACKED_TABS.get(key)
+    if v is None:
+        v = (np.stack([t[0] for t in tabs]), np.stack([t[1] for t in tabs]))
+        _STACKED_TABS[key] = v
+    return v
+
+
+_CAT_LUT = None
+
+
 def _cat_vec(v: np.ndarray) -> np.ndarray:
-    """Vectorized magnitude category (bit length of |v|, T.81 F.1.2)."""
+    """Vectorized magnitude category (bit length of |v|, T.81 F.1.2):
+    one LUT gather for the 8-bit-sample coefficient range (|DC diff|
+    <= 2 * 8 * 127 and |AC| <= 2040 under any 1..255 quant), with a
+    bit-count fallback for out-of-range direct-caller values."""
+    global _CAT_LUT
+    if _CAT_LUT is None:
+        _CAT_LUT = np.array([int(x).bit_length() for x in range(4096)], np.int64)
     a = np.abs(v)
+    if a.size and int(a.max()) < 4096:
+        return _CAT_LUT[a]
     s = np.zeros(v.shape, np.int64)
     for b in range(16):
         s += a >= (np.int64(1) << b)
@@ -851,6 +878,20 @@ def _encode_scan_fields(
     lo: int = 1,
     hi: int = 63,
 ) -> None:
+    codes, lens, _ = _scan_fields(blocks, comp, dc_tabs, ac_tabs, lo, hi)
+    if codes.size:
+        bw.write_fields(codes, lens)
+
+
+def _scan_fields(
+    blocks: np.ndarray,
+    comp: np.ndarray,
+    dc_tabs: list[tuple[np.ndarray, np.ndarray]] | None,
+    ac_tabs: list[tuple[np.ndarray, np.ndarray]] | None,
+    lo: int = 1,
+    hi: int = 63,
+    iv: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
     """Entropy-encode one whole scan VECTORIZED across blocks: given the
     scan's blocks in scan order (n, 64) with per-slot component indexes,
     emit every (code, length) field of the scan in a handful of numpy
@@ -863,10 +904,14 @@ def _encode_scan_fields(
     Entropy coding has no serial dependency until bit packing (which
     `_JpegBitWriter.flush` already does in one pass), so the per-block
     Python loop was pure interpreter overhead — at media-table block
-    counts (~250 blocks/doc) this pass is the encoder's hot path."""
+    counts (~250 blocks/doc) this pass is the encoder's hot path.
+    ``iv`` (restart-interval id per block, non-decreasing) resets the
+    DC prediction chains at interval boundaries and is propagated to a
+    per-field interval array for `_pack_entropy`'s RSTn insertion."""
     n = blocks.shape[0]
+    empty = np.empty(0, np.int64)
     if not n:
-        return
+        return empty, empty, (empty if iv is not None else None)
     dcp = 1 if dc_tabs is not None else 0
     if dcp:
         dc = blocks[:, 0].astype(np.int64)
@@ -875,18 +920,23 @@ def _encode_scan_fields(
             idx = np.flatnonzero(comp == ci)
             if idx.size:
                 vals = dc[idx]
-                diff[idx] = vals - np.concatenate(([0], vals[:-1]))
+                d = vals - np.concatenate(([0], vals[:-1]))
+                if iv is not None:
+                    ivc = iv[idx]
+                    restart_first = np.empty(idx.size, bool)
+                    restart_first[:1] = True
+                    restart_first[1:] = ivc[1:] != ivc[:-1]
+                    d = np.where(restart_first, vals, d)
+                diff[idx] = d
         s = _cat_vec(diff)
-        dcodes = np.stack([t[0] for t in dc_tabs])
-        dlens = np.stack([t[1] for t in dc_tabs])
+        dcodes, dlens = _stacked_tabs(dc_tabs)
         gl = dlens[comp, s]
         if not gl.all():
             raise KeyError(int(s[np.argmin(gl)]))
         dc_code = (dcodes[comp, s] << s) | _mag_fields(diff, s)
         dc_len = gl + s
     if ac_tabs is None:
-        bw.write_fields(dc_code, dc_len)
-        return
+        return dc_code, dc_len, (iv.astype(np.int64) if iv is not None else None)
     band_len = hi - lo + 1
     ac = blocks[:, lo : hi + 1]
     bi, pos = np.nonzero(ac)  # row-major == (block, zigzag) scan order
@@ -901,8 +951,7 @@ def _encode_scan_fields(
     run = np.where(first, pos, pos - prev - 1).astype(np.int64)
     nzrl, rem = run >> 4, run & 15
     s = _cat_vec(v)
-    acodes = np.stack([t[0] for t in ac_tabs])
-    alens = np.stack([t[1] for t in ac_tabs])
+    acodes, alens = _stacked_tabs(ac_tabs)
     sym = (rem << 4) | s
     gl = alens[ncomp, sym]
     if bi.size and not gl.all():
@@ -937,7 +986,55 @@ def _encode_scan_fields(
     eslot = starts[eidx] + nslots[eidx] - 1
     out_code[eslot] = acodes[comp[eidx], 0x00]
     out_len[eslot] = alens[comp[eidx], 0x00]
-    bw.write_fields(out_code, out_len)
+    slot_iv = np.repeat(iv.astype(np.int64), nslots) if iv is not None else None
+    return out_code, out_len, slot_iv
+
+
+def _pack_entropy(codes: np.ndarray, lens: np.ndarray, slot_iv: np.ndarray, rst_from: int = 0) -> bytes:
+    """Pack a scan's (code, length) fields into entropy bytes with
+    RESTART intervals: each interval's bits are 1-padded to a byte
+    boundary (T.81 F.1.2.3), stuffing is applied globally, and RSTn
+    markers (cycling D0..D7 from ``rst_from``) separate consecutive
+    intervals — the whole pack stays one vectorized pass plus one
+    cheap per-interval splice."""
+    niv = int(slot_iv[-1]) + 1 if slot_iv.size else 0
+    if niv <= 1:
+        bw = _JpegBitWriter()
+        bw.write_fields(codes, lens)
+        return bw.flush()
+    # insert a pad field after each interval's last slot
+    counts = np.bincount(slot_iv, minlength=niv)
+    bits_iv = np.bincount(slot_iv, weights=lens.astype(np.float64), minlength=niv).astype(np.int64)
+    pad = (-bits_iv) % 8
+    ends = np.cumsum(counts)
+    codes = np.insert(codes, ends, (np.int64(1) << pad) - 1)
+    lens = np.insert(lens, ends, pad)
+    total = int(lens.sum())
+    vals = codes & ((np.int64(1) << lens) - 1)
+    cends = np.cumsum(lens)
+    fi = np.repeat(np.arange(lens.size), lens)
+    bits = (vals[fi] >> (cends[fi] - 1 - np.arange(total))) & 1
+    by = np.packbits(bits.astype(np.uint8))
+    # per-interval byte boundaries BEFORE stuffing
+    bound = np.cumsum((bits_iv + pad) >> 3)
+    ff = by == 0xFF
+    if ff.any():
+        out = np.zeros(by.size + int(ff.sum()), dtype=np.uint8)
+        out[np.arange(by.size) + np.cumsum(ff) - ff] = by
+        pf = np.concatenate(([0], np.cumsum(ff)))
+        sbound = bound + pf[bound]
+        by = out
+    else:
+        sbound = bound
+    raw = by.tobytes()
+    parts = []
+    prev = 0
+    for k in range(niv):
+        parts.append(raw[prev : sbound[k]])
+        if k < niv - 1:
+            parts.append(bytes((0xFF, 0xD0 + ((rst_from + k) % 8))))
+        prev = sbound[k]
+    return b"".join(parts)
 
 
 def encode_jpeg(
@@ -947,6 +1044,7 @@ def encode_jpeg(
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
     progressive: bool = False,
+    restart_interval: int | None = None,
 ) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 -> a real JPEG file (T.81
     interchange format: SOI/APP0/DQT/SOF/DHT/SOS/EOI, Annex-K Huffman
@@ -958,7 +1056,13 @@ def encode_jpeg(
     spectral-selection file — one interleaved DC scan, then per-
     component AC band scans (1-5, 6-63), each its own byte-aligned
     entropy segment; the quantized coefficients are IDENTICAL to the
-    baseline file's, only their scan order differs."""
+    baseline file's, only their scan order differs.
+    ``restart_interval`` (MCUs) emits a DRI segment and RSTn markers in
+    EVERY scan — each interval is an independently decodable bitstream
+    (byte-aligned, DC predictions and EOB runs reset), which is what
+    lets `_decode_jpeg_batch` entropy-decode all intervals in lockstep
+    instead of serially (the same property libjpeg-turbo and GPU
+    decoders exploit for parallel decode)."""
     import struct
 
     img = np.asarray(img, dtype=np.uint8)
@@ -1040,24 +1144,41 @@ def encode_jpeg(
         comp = np.tile(np.array([0, 0, 0, 0, 1, 2], np.int64), mby * mbx)
 
     ncomp = 1 if gray else 3
+    rst = restart_interval
+    if rst is not None and rst < 1:
+        raise ValueError(f"restart_interval must be >= 1 MCU, got {rst}")
+    bpm = 1 if gray else (3 if subsample == "4:4:4" else 6)
+    iv_inter = (
+        (np.arange(order.shape[0], dtype=np.int64) // bpm) // rst if rst else None
+    )
+
+    def _scan_bytes(blocks, comps, dct, act, lo, hi, iv_blocks):
+        codes, lens_, slot_iv = _scan_fields(blocks, comps, dct, act, lo, hi, iv_blocks)
+        if iv_blocks is not None:
+            return _pack_entropy(codes, lens_, slot_iv)
+        bw = _JpegBitWriter()
+        if codes.size:
+            bw.write_fields(codes, lens_)
+        return bw.flush()
+
     scans: list[bytes] = []
     if not progressive:
-        bw = _JpegBitWriter()
-        _encode_scan_fields(bw, order, comp, dc_tabs, ac_tabs, 1, 63)
         sos_body = bytes([ncomp])
         for ci in range(ncomp):
             sos_body += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
         sos_body += bytes([0, 63, 0])
-        scans.append(_seg(0xDA, sos_body) + bw.flush())
+        scans.append(
+            _seg(0xDA, sos_body) + _scan_bytes(order, comp, dc_tabs, ac_tabs, 1, 63, iv_inter)
+        )
     else:
         # scan 1: DC, all components interleaved (Ss=Se=0, Ah=Al=0)
-        bw = _JpegBitWriter()
-        _encode_scan_fields(bw, order, comp, dc_tabs, None)
         sos_body = bytes([ncomp])
         for ci in range(ncomp):
             sos_body += bytes([ci + 1, (0x00 if ci == 0 else 0x11) & 0xF0])  # DC table only
         sos_body += bytes([0, 0, 0])
-        scans.append(_seg(0xDA, sos_body) + bw.flush())
+        scans.append(
+            _seg(0xDA, sos_body) + _scan_bytes(order, comp, dc_tabs, None, 1, 63, iv_inter)
+        )
         # AC band scans, one component at a time, over the component's
         # NON-INTERLEAVED block grid (ceil(dim*sampling/hmax / 8)) —
         # 4:2:0 luma planes are padded to whole MCUs, so the grid can
@@ -1072,20 +1193,26 @@ def encode_jpeg(
             else:  # 4:2:0 chroma: ceil(ceil(dim/2)/8) == the MCU grid
                 nby, nbx = gby, gbx
             band_blocks = blocks[:nby, :nbx].reshape(-1, 64)
+            # non-interleaved scan: MCU = one block, so the restart
+            # interval counts single blocks here (T.81 B.2.4.4)
+            iv_band = (
+                np.arange(band_blocks.shape[0], dtype=np.int64) // rst if rst else None
+            )
             for ss_, se_ in ((1, 5), (6, 63)):
-                bw = _JpegBitWriter()
-                _encode_scan_fields(
-                    bw,
-                    band_blocks,
-                    np.zeros(band_blocks.shape[0], np.int64),
-                    None,
-                    [ac_tabs[ci]],
-                    ss_,
-                    se_,
-                )
                 sos_body = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
                 sos_body += bytes([ss_, se_, 0])
-                scans.append(_seg(0xDA, sos_body) + bw.flush())
+                scans.append(
+                    _seg(0xDA, sos_body)
+                    + _scan_bytes(
+                        band_blocks,
+                        np.zeros(band_blocks.shape[0], np.int64),
+                        None,
+                        [ac_tabs[ci]],
+                        ss_,
+                        se_,
+                        iv_band,
+                    )
+                )
 
     app0 = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
     dqt = _seg(0xDB, b"\x00" + bytes(ql[_JPEG_ZIGZAG].tolist()))
@@ -1100,12 +1227,14 @@ def encode_jpeg(
     if not gray:
         dht += _seg(0xC4, bytes([0x01] + _JPEG_DC_CHROMA[0]) + bytes(_JPEG_DC_CHROMA[1]))
         dht += _seg(0xC4, bytes([0x11] + _JPEG_AC_CHROMA[0]) + bytes(_JPEG_AC_CHROMA[1]))
+    dri = _seg(0xDD, struct.pack(">H", rst)) if rst else b""
     return (
         b"\xff\xd8"
         + _seg(0xE0, app0)
         + dqt
         + _seg(0xC2 if progressive else 0xC0, sof_body)
         + dht
+        + dri
         + b"".join(scans)
         + b"\xff\xd9"
     )
@@ -1698,7 +1827,16 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         # else: APPn / COM / unknown — skipped via seglen
     if n_scans == 0:
         raise ValueError("JPEG has no SOS scan")
+    return _jpeg_reconstruct(frame, quant, grids)
 
+
+def _jpeg_reconstruct(
+    frame: dict, quant: dict[int, np.ndarray], grids: dict[int, np.ndarray]
+) -> np.ndarray:
+    """Coefficient grids -> pixels: dequant, batched-matmul IDCT, plane
+    assembly, chroma upsample, YCbCr->RGB — shared by the sequential
+    per-payload decoder and the lockstep batch decoder (which differ
+    only in how the entropy-coded coefficients were obtained)."""
     # dequant + vectorized IDCT per component, then plane assembly
     t = _dct_matrix()
     comps = frame["comps"]
@@ -1740,6 +1878,685 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+_MALLOC_TUNED = False
+
+
+def _tune_worker_malloc() -> None:
+    """Raise glibc's mmap threshold once per worker process: the batch
+    codec paths churn multi-MB numpy buffers per Arrow batch, and with
+    32 worker processes the default allocator serves them as
+    mmap/munmap pairs — freshly faulted pages every batch plus
+    cross-process mmap-lock contention (measured: intermittent
+    multi-second stalls in otherwise sub-100ms numpy passes).  Routing
+    large blocks through the heap free-list trades bounded per-worker
+    RSS (~peak working set) for allocation reuse.  No-op where glibc
+    is unavailable."""
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return
+    _MALLOC_TUNED = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 28)  # M_MMAP_THRESHOLD = -3
+    except Exception:
+        pass
+
+
+_LUT16_CACHE: dict[bytes, np.ndarray] = {}
+
+
+def _jpeg_lut16(bits: list[int], vals: list[int]) -> np.ndarray:
+    """Full 16-bit Huffman decode LUT: ``lut[next 16 bits] =
+    (symbol << 8) | code_length``, 0 = invalid prefix.  Every T.81 code
+    is <= 16 bits, so ONE gather resolves any symbol — the lockstep
+    decoder's whole per-symbol cost.  256 slice-fills to build, cached
+    by table content (the standard tables repeat across every payload
+    of a batch)."""
+    key = bytes(bits) + b"|" + bytes(vals)
+    lut = _LUT16_CACHE.get(key)
+    if lut is None:
+        lut = np.zeros(65536, np.int32)
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                lut[lo : lo + (1 << (16 - length))] = (vals[k] << 8) | length
+                code += 1
+                k += 1
+            code <<= 1
+        _LUT16_CACHE[key] = lut
+    return lut
+
+
+def _jpeg_split_intervals(arr: np.ndarray, start: int):
+    """Split one scan's entropy bytes (payload[start:] up to the next
+    real marker) into destuffed restart-interval byte runs in ONE
+    masked copy: stuffed 0x00s and the RSTn marker pairs are deleted
+    together, leaving the intervals tiled contiguously; boundaries are
+    recovered by subtracting the deletion counts.  Returns (destuffed
+    uint8 array, interval start offsets incl. end sentinel, absolute
+    end position of the scan) or None when the stream is malformed or
+    the RSTn cycle is broken (the caller falls back to the scalar
+    decoder, which raises the descriptive error)."""
+    sub = arr[start:]
+    ffp = np.flatnonzero(sub == 0xFF)
+    if ffp.size == 0 or ffp[-1] == sub.size - 1:
+        return None  # no end marker / dangling 0xFF
+    nxt = sub[ffp + 1]
+    stuffed = nxt == 0x00
+    rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    endm = ~stuffed & ~rst
+    if not endm.any():
+        return None
+    end_rel = int(ffp[endm][0])
+    cut = ffp < end_rel
+    rstp = ffp[rst & cut]
+    if not np.array_equal(sub[rstp + 1].astype(np.int64), 0xD0 + (np.arange(rstp.size) % 8)):
+        return None
+    stuffp = ffp[stuffed & cut] + 1  # the inserted 0x00s
+    del_idx = np.sort(np.concatenate([stuffp, rstp, rstp + 1]))
+    keep = np.ones(end_rel, bool)
+    keep[del_idx] = False
+    destuffed = sub[:end_rel][keep]
+    bounds_src = np.concatenate(([0], rstp + 2, [end_rel]))
+    bounds = bounds_src - np.searchsorted(del_idx, bounds_src)
+    return destuffed, bounds.astype(np.int64), start + end_rel
+
+
+def _parse_jpeg_lockstep(payload: bytes):
+    """Marker walk deciding lockstep eligibility WITHOUT decoding any
+    entropy data.  Eligible payloads are the restart-interval shapes the
+    lockstep machines handle: SOF0/1 single interleaved scan, or SOF2
+    whose scans are all DC-first / AC-first (Ah=0) — each scan split
+    into independently decodable intervals.  ANY deviation (no DRI,
+    refinement scans, unusual structure, malformed segment) returns
+    None and the payload takes the scalar `_decode_jpeg` path, so the
+    fast path can never change decode semantics — only speed."""
+    import struct
+
+    arr = np.frombuffer(payload, np.uint8)
+    if payload[:2] != b"\xff\xd8":
+        return None
+    quant: dict[int, np.ndarray] = {}
+    tables: dict[tuple[int, int], tuple[tuple, np.ndarray]] = {}
+    frame = None
+    restart = 0
+    scans = []
+    pos = 2
+    n = len(payload)
+    try:
+        while pos < n:
+            if payload[pos] != 0xFF or pos + 1 >= n:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+                continue
+            if pos + 2 > n:
+                return None
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            if seglen < 2 or pos + seglen > n:
+                return None
+            body = payload[pos + 2 : pos + seglen]
+            pos += seglen
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    if pq != 0 or i + 65 > len(body):
+                        return None
+                    tab = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                    quant[tq] = tab[_JPEG_UNZIGZAG]
+                    i += 65
+            elif marker in (0xC0, 0xC1, 0xC2):
+                prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8 or nc not in (1, 3) or fh < 1 or fw < 1:
+                    return None
+                if fh * fw > _JPEG_MAX_PIXELS:
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                    ch, cv = hv >> 4, hv & 0x0F
+                    if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                        return None
+                    comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                    return None
+                mcux = -(-fw // (8 * hmax))
+                mcuy = -(-fh // (8 * vmax))
+                if sum(mcuy * c["v"] * mcux * c["h"] * 64 for c in comps) > 2 * _JPEG_MAX_PIXELS:
+                    return None
+                frame = {
+                    "h": fh,
+                    "w": fw,
+                    "comps": comps,
+                    "progressive": marker == 0xC2,
+                    "mcux": mcux,
+                    "mcuy": mcuy,
+                }
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    bits = list(body[i + 1 : i + 17])
+                    nb = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + nb])
+                    if len(vals) != nb:
+                        return None
+                    tables[(tc, th)] = ((tuple(bits), tuple(vals)), _jpeg_lut16(bits, vals))
+                    i += 17 + nb
+            elif marker == 0xDD:
+                (restart,) = struct.unpack_from(">H", body, 0)
+            elif marker == 0xDA:
+                if frame is None or restart == 0:
+                    return None
+                ns = body[0]
+                scomps = []
+                for si in range(ns):
+                    cs, tda = body[1 + 2 * si : 3 + 2 * si]
+                    match = [c for c in frame["comps"] if c["id"] == cs]
+                    if not match:
+                        return None
+                    scomps.append((match[0], tda >> 4, tda & 0x0F))
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                prog = frame["progressive"]
+                if not prog and (ss, se, ah, al) != (0, 63, 0, 0):
+                    return None
+                if prog and ah != 0:
+                    return None  # refinement scans: scalar path
+                if not prog and ns != len(frame["comps"]):
+                    return None
+                if prog and ss == 0 and (se != 0 or ns != len(frame["comps"])):
+                    return None
+                if prog and ss > 0 and ns != 1:
+                    return None
+                split = _jpeg_split_intervals(arr, pos)
+                if split is None:
+                    return None
+                destuffed, bounds, end = split
+                machine = "seq" if not prog else ("dc" if ss == 0 else "ac")
+                scans.append(
+                    {
+                        "machine": machine,
+                        "scomps": scomps,
+                        "ss": ss,
+                        "se": se,
+                        "al": al,
+                        "data": destuffed,
+                        "bounds": bounds,
+                        "tabs": dict(tables),
+                        "restart": restart,
+                    }
+                )
+                pos = end
+        if frame is None or not scans:
+            return None
+        if not frame["progressive"] and len(scans) != 1:
+            return None
+        for c in frame["comps"]:
+            if c["tq"] not in quant:
+                return None
+        return {"frame": frame, "quant": quant, "scans": scans}
+    except (struct.error, IndexError, ValueError, OverflowError):
+        return None
+
+
+def _lockstep_scan_run(
+    flat: np.ndarray,
+    base_bit: np.ndarray,
+    end_bit: np.ndarray,
+    nblk: np.ndarray,
+    maxblk: int,
+    luts: np.ndarray,
+    pat_dc: np.ndarray,
+    pat_ac: np.ndarray,
+    pat_comp: np.ndarray,
+    ncomp: int,
+    mode: str,
+    ss: int = 0,
+    se: int = 63,
+    al: int = 0,
+):
+    """Entropy-decode S independent restart intervals IN LOCKSTEP: one
+    step decodes one Huffman symbol in EVERY still-active interval via
+    numpy gathers (16-bit peek -> full-table LUT -> magnitude bits ->
+    coefficient scatter), so the per-symbol Python cost is amortized
+    across the whole batch — the restart-marker parallelism that
+    libjpeg-turbo and GPU decoders exploit, applied batch-wide.
+    ``mode``: 'seq' (baseline interleaved DC+AC), 'dc' (progressive
+    DC-first), 'ac' (progressive AC-first band [ss..se] with EOB runs).
+    Returns (coef (S, maxblk, 64) int64, err (S,) bool); an errored
+    stream poisons only its own payload (the caller re-decodes it on
+    the scalar path for the descriptive ValueError)."""
+    S = base_bit.size
+    # int32 is plenty (|coefficient| < 2^26 even after Al shifts) and
+    # halves the batch's largest allocation
+    coef = np.zeros((S, maxblk, 64), np.int32)
+    coef_flat = coef.reshape(-1)
+    bp = base_bit.astype(np.int64).copy()
+    blk = np.zeros(S, np.int64)
+    k = np.full(S, ss if mode == "ac" else 0, np.int64)
+    pred = np.zeros(S * ncomp, np.int64)
+    err = np.zeros(S, bool)
+    fl = flat
+    bpm = pat_comp.size
+    one = np.int64(1)
+    guard = 70 * maxblk + 80  # any valid block decodes in <= ~68 symbols
+    for _ in range(guard):
+        act = np.flatnonzero(~err & (blk < nblk))
+        if act.size == 0:
+            break
+        bpa = bp[act]
+        b0 = bpa >> 3
+        w = (
+            (fl[b0].astype(np.int64) << 16)
+            | (fl[b0 + 1].astype(np.int64) << 8)
+            | fl[b0 + 2]
+        )
+        w = (w >> (8 - (bpa & 7))) & 0xFFFF
+        slot = blk[act] % bpm
+        if mode == "seq":
+            isdc = k[act] == 0
+            lid = np.where(isdc, pat_dc[slot], pat_ac[slot])
+        elif mode == "dc":
+            lid = pat_dc[slot]
+        else:
+            lid = pat_ac[slot]
+        e = luts[lid, w]
+        ln = (e & 0xFF).astype(np.int64)
+        sym = (e >> 8).astype(np.int64)
+        bad = ln == 0
+        bp1 = bpa + ln
+        b1 = bp1 >> 3
+        w2 = (
+            (fl[b1].astype(np.int64) << 16)
+            | (fl[b1 + 1].astype(np.int64) << 8)
+            | fl[b1 + 2]
+        )
+        w2 = (w2 >> (8 - (bp1 & 7))) & 0xFFFF
+        tgt0 = (act * maxblk + blk[act]) * 64
+        if mode == "dc":
+            s = sym
+            bad |= s > 11
+            s = np.where(bad, 0, s)
+            mag = w2 >> (16 - s)
+            half = one << np.maximum(s - 1, 0)
+            ext = np.where(s > 0, np.where(mag >= half, mag, mag - (one << s) + 1), 0)
+            pidx = act * ncomp + pat_comp[slot]
+            newpred = pred[pidx] + ext
+            good = ~bad
+            pred[pidx[good]] = newpred[good]
+            coef_flat[tgt0[good]] = newpred[good] << al
+            bp2 = bp1 + s
+            blk[act] += good
+        elif mode == "seq":
+            r = np.where(isdc, 0, sym >> 4)
+            s = np.where(isdc, sym, sym & 15)
+            bad |= isdc & (s > 11)
+            s = np.where(bad, 0, s)
+            mag = w2 >> (16 - s)
+            half = one << np.maximum(s - 1, 0)
+            ext = np.where(s > 0, np.where(mag >= half, mag, mag - (one << s) + 1), 0)
+            bp2 = bp1 + s
+            kk = k[act]
+            dcm = isdc & ~bad
+            pidx = act * ncomp + pat_comp[slot]
+            newpred = pred[pidx] + ext
+            pred[pidx[dcm]] = newpred[dcm]
+            coef_flat[tgt0[dcm]] = newpred[dcm]
+            kk = np.where(dcm, 1, kk)
+            acm = ~isdc & ~bad
+            val = acm & (s > 0)
+            knew = kk + r
+            overrun = val & (knew > 63)
+            bad |= overrun
+            val &= ~overrun
+            coef_flat[(tgt0 + knew)[val]] = ext[val]
+            kk = np.where(val, knew + 1, kk)
+            zrl = acm & (s == 0) & (r == 15)
+            kk = np.where(zrl, kk + 16, kk)
+            eobm = acm & (s == 0) & (r != 15)
+            bdone = eobm | (val & (kk > 63)) | (zrl & (kk >= 64))
+            blk[act] += bdone
+            kk = np.where(bdone, 0, kk)
+            k[act] = kk
+        else:  # mode == "ac"
+            r = sym >> 4
+            s = sym & 15
+            kk = k[act]
+            val = (s > 0) & ~bad
+            zrl = (s == 0) & (r == 15) & ~bad
+            eobm = (s == 0) & (r != 15) & ~bad
+            magv = w2 >> (16 - s)  # s<=15
+            half = one << np.maximum(s - 1, 0)
+            ext = np.where(s > 0, np.where(magv >= half, magv, magv - (one << s) + 1), 0)
+            rr = np.where(eobm, r, 0)
+            magr = w2 >> (16 - rr)
+            bp2 = bp1 + np.where(val, s, rr)
+            knew = kk + np.where(val, r, 0)
+            overrun = val & (knew > se)
+            bad |= overrun
+            val &= ~overrun
+            coef_flat[(tgt0 + knew)[val]] = ext[val] << al
+            kk = np.where(val, knew + 1, kk)
+            kk = np.where(zrl, kk + 16, kk)
+            nskip = np.where(eobm, (one << rr) - 1 + magr, 0)
+            bdone = eobm | ((val | zrl) & (kk > se))
+            blk[act] += np.where(eobm, 1 + nskip, bdone.astype(np.int64))
+            kk = np.where(bdone, ss, kk)
+            k[act] = kk
+        bad |= bp2 > end_bit[act]
+        err[act] |= bad
+        bp[act] = bp2
+    else:
+        err[np.flatnonzero(blk < nblk)] = True  # runaway: corrupt streams
+    # a finished interval must have consumed all its bytes (only the
+    # <8 padding bits may remain) — the scalar decoder enforces this
+    # via its RST byte-alignment, so an under-consuming stream (a
+    # corruption symptom) is handed back to the scalar path, which
+    # raises the descriptive error or accepts, authoritatively
+    err |= (blk >= nblk) & (end_bit - bp >= 8)
+    return coef, err
+
+
+def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
+    """Decode MANY JPEG payloads at once: every restart interval of
+    every eligible scan of every payload becomes one lockstep stream,
+    grouped by scan shape (machine, MCU pattern, Huffman tables, band,
+    grid width) so a whole mapInPandas batch entropy-decodes in a few
+    hundred numpy passes instead of a Python loop per coefficient.
+    Ineligible or errored payloads transparently fall back to the
+    scalar `_decode_jpeg` (identical semantics, including its
+    descriptive ValueErrors), so this is a pure fast path."""
+    import time as _time
+
+    _t = {"parse": 0.0, "group": 0.0, "assemble": 0.0, "step": 0.0, "scatter": 0.0, "recon": 0.0}
+    _t0 = _time.perf_counter()
+    _tune_worker_malloc()
+    results: list = [None] * len(payloads)
+    parsed = []
+    for i, p in enumerate(payloads):
+        pr = _parse_jpeg_lockstep(p)
+        parsed.append(pr)
+    _t["parse"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+
+    # group streams across payloads: key -> stream metadata
+    groups: dict[tuple, dict] = {}
+    for i, pr in enumerate(parsed):
+        if pr is None:
+            continue
+        frame = pr["frame"]
+        comps = frame["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux, mcuy = frame["mcux"], frame["mcuy"]
+        for si, sc in enumerate(pr["scans"]):
+            machine = sc["machine"]
+            restart = sc["restart"]
+            # per-slot MCU pattern + resolved tables
+            if machine in ("seq", "dc"):
+                pat_comp, pat_dy, pat_dx, tabkeys = [], [], [], []
+                ok = True
+                for cidx, (c, td, ta) in enumerate(sc["scomps"]):
+                    dct = sc["tabs"].get((0, td))
+                    act = sc["tabs"].get((1, ta)) if machine == "seq" else None
+                    if dct is None or (machine == "seq" and act is None):
+                        ok = False
+                        break
+                    for dy in range(c["v"]):
+                        for dx in range(c["h"]):
+                            pat_comp.append(cidx)
+                            pat_dy.append(dy)
+                            pat_dx.append(dx)
+                            tabkeys.append((dct[0], act[0] if act else None))
+                if not ok:
+                    parsed[i] = None
+                    break
+                n_mcu = mcux * mcuy
+                bpm = len(pat_comp)
+                gw = tuple((c["h"], c["v"]) for c, _, _ in sc["scomps"])
+                key = (
+                    machine,
+                    tuple(pat_comp),
+                    tuple(tabkeys),
+                    sc["ss"],
+                    sc["se"],
+                    sc["al"],
+                    mcux,
+                    gw,
+                )
+                g = groups.setdefault(
+                    key,
+                    {
+                        "machine": machine,
+                        "pat_comp": np.array(pat_comp, np.int64),
+                        "pat_dy": np.array(pat_dy, np.int64),
+                        "pat_dx": np.array(pat_dx, np.int64),
+                        "tabs": [
+                            (sc["tabs"][(0, td)][1], sc["tabs"][(1, ta)][1] if machine == "seq" else None)
+                            for c, td, ta in sc["scomps"]
+                        ],
+                        "ss": sc["ss"],
+                        "se": sc["se"],
+                        "al": sc["al"],
+                        "mcux": mcux,
+                        "ncomp": len(sc["scomps"]),
+                        "chunks": [],
+                        "streams": [],
+                    },
+                )
+                nstream = len(sc["bounds"]) - 1
+                mcu0 = np.arange(nstream, dtype=np.int64) * restart
+                nmcu = np.minimum(restart, n_mcu - mcu0)
+                if nmcu.size and (nmcu[:-1] != restart).any() or (nmcu < 1).any() or nstream != -(-n_mcu // restart):
+                    parsed[i] = None
+                    break
+                g["chunks"].append(sc["data"])
+                g["streams"].append(
+                    {
+                        "payload": i,
+                        "scan": si,
+                        "bounds": sc["bounds"],
+                        "mcu0": mcu0,
+                        "nblk": nmcu * bpm,
+                    }
+                )
+            else:  # "ac": single component, non-interleaved block grid
+                c, td, ta = sc["scomps"][0]
+                act = sc["tabs"].get((1, ta))
+                if act is None:
+                    parsed[i] = None
+                    break
+                fh, fw = frame["h"], frame["w"]
+                nby = -(-(fh * c["v"] // vmax + ((fh * c["v"]) % vmax > 0)) // 8)
+                nbx = -(-(fw * c["h"] // hmax + ((fw * c["h"]) % hmax > 0)) // 8)
+                nb = nby * nbx
+                key = ("ac", act[0], sc["ss"], sc["se"], sc["al"], nbx)
+                g = groups.setdefault(
+                    key,
+                    {
+                        "machine": "ac",
+                        "pat_comp": np.zeros(1, np.int64),
+                        "pat_dy": np.zeros(1, np.int64),
+                        "pat_dx": np.zeros(1, np.int64),
+                        "tabs": [(None, act[1])],
+                        "ss": sc["ss"],
+                        "se": sc["se"],
+                        "al": sc["al"],
+                        "mcux": nbx,
+                        "ncomp": 1,
+                        "chunks": [],
+                        "streams": [],
+                    },
+                )
+                nstream = len(sc["bounds"]) - 1
+                blk0 = np.arange(nstream, dtype=np.int64) * restart
+                nblk = np.minimum(restart, nb - blk0)
+                if nblk.size and (nblk[:-1] != restart).any() or (nblk < 1).any() or nstream != -(-nb // restart):
+                    parsed[i] = None
+                    break
+                g["chunks"].append(sc["data"])
+                g["streams"].append(
+                    {"payload": i, "scan": si, "bounds": sc["bounds"], "mcu0": blk0, "nblk": nblk}
+                )
+
+    _t["group"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+    # run each group's lockstep machine and scatter into payload grids
+    grids_by_payload: dict[int, dict[int, np.ndarray]] = {}
+    failed: set[int] = set()
+    for i, pr in enumerate(parsed):
+        if pr is None:
+            continue
+        frame = pr["frame"]
+        grids_by_payload[i] = {
+            c["id"]: np.zeros(
+                (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64), dtype=np.int64
+            )
+            for c in frame["comps"]
+        }
+    for g in groups.values():
+        if not g["streams"]:
+            continue
+        # assemble the flat byte array + per-stream bit ranges
+        sizes = [ch.size for ch in g["chunks"]]
+        offs = np.concatenate(([0], np.cumsum(sizes)))
+        flat = np.concatenate(g["chunks"] + [np.zeros(4, np.uint8)])
+        base, end, nblk, pay, mcu0, meta = [], [], [], [], [], []
+        for ci, st in enumerate(g["streams"]):
+            b = st["bounds"]
+            if parsed[st["payload"]] is None:
+                continue
+            base.append((offs[ci] + b[:-1]) * 8)
+            end.append((offs[ci] + b[1:]) * 8)
+            nblk.append(st["nblk"])
+            mcu0.append(st["mcu0"])
+            pay.append(np.full(st["nblk"].size, st["payload"], np.int64))
+            meta.append(np.full(st["nblk"].size, ci, np.int64))
+        if not base:
+            continue
+        base = np.concatenate(base)
+        end = np.concatenate(end)
+        nblk = np.concatenate(nblk)
+        mcu0 = np.concatenate(mcu0)
+        pay = np.concatenate(pay)
+        meta = np.concatenate(meta)
+        maxblk = int(nblk.max())
+        ntab = len(g["tabs"])
+        pat_dc = np.zeros(g["pat_comp"].size, np.int64)
+        pat_ac = np.zeros(g["pat_comp"].size, np.int64)
+        luts = []
+        for t_dc, t_ac in g["tabs"]:
+            luts.append(t_dc if t_dc is not None else np.zeros(65536, np.int32))
+            luts.append(t_ac if t_ac is not None else np.zeros(65536, np.int32))
+        luts = np.stack(luts)
+        for ci in range(ntab):
+            pat_dc[g["pat_comp"] == ci] = 2 * ci
+            pat_ac[g["pat_comp"] == ci] = 2 * ci + 1
+        _t["assemble"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        coef, err = _lockstep_scan_run(
+            flat,
+            base,
+            end,
+            nblk,
+            maxblk,
+            luts,
+            pat_dc,
+            pat_ac,
+            g["pat_comp"],
+            g["ncomp"],
+            g["machine"],
+            g["ss"],
+            g["se"],
+            g["al"],
+        )
+        _t["step"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        for p_i in np.unique(pay[err]):
+            failed.add(int(p_i))
+        # scatter: block j of stream s lands at mcu = mcu0 + j//bpm,
+        # slot j%bpm -> (comp, dy, dx) -> grid (mcu//mcux*v+dy, ...)
+        bpm = g["pat_comp"].size
+        okm = ~err
+        sidx = np.flatnonzero(okm)
+        if sidx.size == 0:
+            continue
+        nb_ok = nblk[sidx]
+        stream_of = np.repeat(sidx, nb_ok)
+        csum = np.concatenate(([0], np.cumsum(nb_ok)))
+        j = np.arange(int(nb_ok.sum()), dtype=np.int64) - csum[:-1].repeat(nb_ok)
+        mcu = mcu0[stream_of] + j // bpm
+        slot = j % bpm
+        metas = meta[stream_of]  # nondecreasing: streams appended in ci order
+        blocks = coef[stream_of, j]  # (N, 64)
+        seg_lo = np.searchsorted(metas, np.arange(len(g["streams"])), "left")
+        seg_hi = np.searchsorted(metas, np.arange(len(g["streams"])), "right")
+        for mi, st in enumerate(g["streams"]):
+            if seg_lo[mi] == seg_hi[mi]:
+                continue
+            i = st["payload"]
+            pr = parsed[i]
+            if pr is None or i in failed:
+                continue
+            frame = pr["frame"]
+            sl = slice(seg_lo[mi], seg_hi[mi])
+            scan_ref = pr["scans"][st["scan"]]
+            if g["machine"] == "ac":
+                c = scan_ref["scomps"][0][0]
+                grid = grids_by_payload[i][c["id"]]
+                b_ = mcu[sl]
+                gy, gx = b_ // g["mcux"], b_ % g["mcux"]
+                lo, hi = g["ss"], g["se"]
+                grid[gy, gx, lo : hi + 1] = blocks[sl, lo : hi + 1]
+            else:
+                slot_s = slot[sl]
+                mcu_s = mcu[sl]
+                blk_s = blocks[sl]
+                for cidx, (c, _, _) in enumerate(scan_ref["scomps"]):
+                    cm = g["pat_comp"][slot_s] == cidx
+                    if not cm.any():
+                        continue
+                    grid = grids_by_payload[i][c["id"]]
+                    mc = mcu_s[cm]
+                    gy = (mc // frame["mcux"]) * c["v"] + g["pat_dy"][slot_s[cm]]
+                    gx = (mc % frame["mcux"]) * c["h"] + g["pat_dx"][slot_s[cm]]
+                    if g["machine"] == "dc":
+                        grid[gy, gx, 0] = blk_s[cm, 0]
+                    else:
+                        grid[gy, gx] = blk_s[cm]
+        _t["scatter"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+
+    _t["scatter"] += _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+    # reconstruct stays PER PAYLOAD on purpose: a single payload's
+    # planes fit in L2, so the float64 dequant/IDCT/color passes never
+    # stream DRAM — a row-concatenated batch variant measured 3-6x
+    # SLOWER under 32 concurrent workers (memory-bandwidth-bound),
+    # while the per-payload numpy call overhead parallelizes cleanly
+    for i, pr in enumerate(parsed):
+        if pr is None or i in failed:
+            results[i] = _decode_jpeg(payloads[i])
+        else:
+            results[i] = _jpeg_reconstruct(pr["frame"], pr["quant"], grids_by_payload[i])
+    _t["recon"] = _time.perf_counter() - _t0
+    import os
+
+    if os.environ.get("JPEG_BATCH_TIMING"):
+        print("batch phases:", {k: round(v, 3) for k, v in _t.items()})
+    return results
 
 
 # magic bytes for the compressed formats (both decoded WITHOUT any
@@ -2039,6 +2856,7 @@ def encode_media_jpeg(docs: DataFrame) -> DataFrame:
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ones = np.ones((8, 8), dtype=np.uint8)
+        _tune_worker_malloc()
         for pdf in batches:
             ids, containers, payloads = [], [], []
             for mid, text in zip(pdf["doc_id"], pdf["text"]):
@@ -2047,9 +2865,16 @@ def encode_media_jpeg(docs: DataFrame) -> DataFrame:
                 if usable < JPEG_BYTES_PER_GROUP:
                     continue
                 m = int(mid) % 3
+                # gray emits one restart interval per 32px row (4
+                # one-block MCUs), so its decode exercises the lockstep
+                # batch path IN-QUERY; the 16px-wide color variants
+                # stay marker-free — their interval would be a single
+                # MCU, and the measured per-MCU marker overhead exceeds
+                # the lockstep gain at this host's memory bandwidth
+                # (SCALE.md, round 11)
                 if m == 0:
                     img = np.kron(vals[:usable].reshape(-1, 4), ones)
-                    payload = encode_jpeg(img, quant_luma=_JPEG_Q8)
+                    payload = encode_jpeg(img, quant_luma=_JPEG_Q8, restart_interval=4)
                     container = "jpeg-gray"
                 else:
                     gray = np.kron(vals[:usable].reshape(-1, 2), ones)
@@ -2168,11 +2993,21 @@ def decode_real_stats(media: DataFrame) -> DataFrame:
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # JPEG payloads decode TOGETHER through the lockstep batch
+            # decoder (restart intervals across the whole Arrow batch in
+            # a few numpy passes); every other container stays on the
+            # per-payload magic dispatch
+            raw = [bytes(p) for p in pdf["payload"]]
+            jpeg_ix = [i for i, p in enumerate(raw) if p[: len(_JPEG_MAGIC)] == _JPEG_MAGIC]
+            decoded: dict[int, np.ndarray] = {}
+            if len(jpeg_ix) > 1:
+                for i, arr in zip(jpeg_ix, decode_jpeg_batch([raw[i] for i in jpeg_ix])):
+                    decoded[i] = arr
             ids, containers, counts, sums = [], [], [], []
-            for mid, container, payload in zip(
-                pdf["media_id"], pdf["container"], pdf["payload"]
-            ):
-                arr = decode_real(bytes(payload))
+            for i, (mid, container) in enumerate(zip(pdf["media_id"], pdf["container"])):
+                arr = decoded.get(i)
+                if arr is None:
+                    arr = decode_real(raw[i])
                 ids.append(int(mid))
                 containers.append(container)
                 counts.append(int(arr.size))

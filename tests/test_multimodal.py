@@ -776,3 +776,232 @@ def test_png_is_actually_compressed():
     png = encode_png(vals, 100, color_type=0)
     assert len(png) < 1_000, f"10 KB of constant pixels became {len(png)} bytes"
     np.testing.assert_array_equal(decode_real(png).reshape(-1), vals)
+
+
+def test_jpeg_vectorized_encoder_matches_scalar():
+    """The vectorized whole-scan entropy encoder must emit byte-for-byte
+    what the per-block scalar encoders (`_encode_block`,
+    `_encode_dc_only`, `_encode_ac_band` — kept as the readable T.81
+    spec) produce for the same blocks in the same scan order, including
+    ZRL runs, EOB placement, and per-component DC prediction chains.
+    Rebuilds each scan's entropy bytes independently from the scalar
+    functions and compares against the segments inside the emitted
+    file."""
+    from politician_etl_project_spark.operators.multimodal import (
+        _JPEG_AC_CHROMA,
+        _JPEG_AC_LUMA,
+        _JPEG_DC_CHROMA,
+        _JPEG_DC_LUMA,
+        _encode_ac_band,
+        _encode_block,
+        _encode_dc_only,
+        _huff_encode_table,
+        _JpegBitWriter,
+        _quantized_blocks,
+        encode_jpeg,
+    )
+
+    def entropy_segments(payload: bytes) -> list[bytes]:
+        """Every SOS segment's raw entropy bytes (header skipped)."""
+        import struct
+
+        segs, pos = [], 2
+        while pos < len(payload) - 1:
+            assert payload[pos] == 0xFF
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                break
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            if marker != 0xDA:
+                pos += seglen
+                continue
+            pos += seglen  # entropy data starts after the SOS header
+            start = pos
+            while pos < len(payload) - 1 and not (
+                payload[pos] == 0xFF and payload[pos + 1] not in (0x00,)
+            ):
+                pos += 1
+            segs.append(payload[start:pos])
+        return segs
+
+    dc_l = _huff_encode_table(*_JPEG_DC_LUMA)
+    ac_l = _huff_encode_table(*_JPEG_AC_LUMA)
+    dc_c = _huff_encode_table(*_JPEG_DC_CHROMA)
+    ac_c = _huff_encode_table(*_JPEG_AC_CHROMA)
+    rng = np.random.default_rng(23)
+
+    # gray sequential: blocks row-major, one DC chain
+    g = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    blocks, by, bx = _quantized_blocks(g.astype(np.float64), np.full(64, 8, np.int64))
+    bw = _JpegBitWriter()
+    pred = 0
+    for r0 in range(by):
+        for c0 in range(bx):
+            pred = _encode_block(bw, blocks[r0, c0], pred, dc_l, ac_l)
+    assert entropy_segments(encode_jpeg(g, quant_luma=np.full(64, 8, np.int64))) == [bw.flush()]
+
+    # 4:2:0 sequential AND progressive: MCU-interleaved scan order
+    c = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    payload = encode_jpeg(c, subsample="4:2:0", quality=40)
+    # derive the planes exactly as the encoder does
+    r_, g_, b_ = (c[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+    ph, pw = -24 % 16, -24 % 16
+    planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
+    hh, ww = planes[0].shape
+    planes[1:] = [
+        np.round(p.reshape(hh // 2, 2, ww // 2, 2).astype(np.float64).mean(axis=(1, 3))).astype(
+            np.uint8
+        )
+        for p in planes[1:]
+    ]
+    from politician_etl_project_spark.operators.multimodal import _jpeg_scaled_quant
+    from politician_etl_project_spark.operators.multimodal import (
+        _JPEG_QUANT_CHROMA,
+        _JPEG_QUANT_LUMA,
+    )
+
+    ql = _jpeg_scaled_quant(_JPEG_QUANT_LUMA, 40)
+    qc = _jpeg_scaled_quant(_JPEG_QUANT_CHROMA, 40)
+    zz = [_quantized_blocks(p, q) for p, q in zip(planes, [ql, qc, qc])]
+    mby, mbx = zz[1][1], zz[1][2]
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for r0 in range(mby):
+        for c0 in range(mbx):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    preds[0] = _encode_block(
+                        bw, zz[0][0][2 * r0 + dy, 2 * c0 + dx], preds[0], dc_l, ac_l
+                    )
+            for ci in (1, 2):
+                preds[ci] = _encode_block(bw, zz[ci][0][r0, c0], preds[ci], dc_c, ac_c)
+    assert entropy_segments(payload) == [bw.flush()]
+
+    prog = encode_jpeg(c, subsample="4:2:0", quality=40, progressive=True)
+    segs = entropy_segments(prog)
+    assert len(segs) == 7  # DC + 2 bands x 3 comps
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for r0 in range(mby):
+        for c0 in range(mbx):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    preds[0] = _encode_dc_only(bw, int(zz[0][0][2 * r0 + dy, 2 * c0 + dx][0]), preds[0], dc_l)
+            for ci in (1, 2):
+                preds[ci] = _encode_dc_only(bw, int(zz[ci][0][r0, c0][0]), preds[ci], dc_c)
+    assert segs[0] == bw.flush()
+    # luma band scans over the non-interleaved grid (3x3 blocks for 24px)
+    k = 1
+    for ci, act in ((0, ac_l), (1, ac_c), (2, ac_c)):
+        nby, nbx = (3, 3) if ci == 0 else (mby, mbx)
+        for ss_, se_ in ((1, 5), (6, 63)):
+            bw = _JpegBitWriter()
+            for r0 in range(nby):
+                for c0 in range(nbx):
+                    _encode_ac_band(bw, zz[ci][0][r0, c0], ss_, se_, act)
+            assert segs[k] == bw.flush()
+            k += 1
+
+
+def test_jpeg_restart_interval_encode_roundtrip():
+    """`encode_jpeg(restart_interval=N)` emits DRI + a correct RSTn
+    cycle in EVERY scan (sequential AND progressive), each interval an
+    independently decodable byte-aligned bitstream — the scalar decoder
+    (whose DRI handling predates the encoder's) must reproduce the
+    no-restart decode bit-for-bit."""
+    from politician_etl_project_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(31)
+    for variant in range(4):
+        img = (
+            rng.integers(0, 256, (40, 28), dtype=np.uint8)
+            if variant % 2
+            else rng.integers(0, 256, (40, 28, 3), dtype=np.uint8)
+        )
+        kw = {} if variant % 2 else {"subsample": "4:2:0"}
+        if variant >= 2:
+            kw["progressive"] = True
+        base = _decode_jpeg(encode_jpeg(img, quality=55, **kw))
+        for rst in (1, 2, 5):
+            p = encode_jpeg(img, quality=55, restart_interval=rst, **kw)
+            assert b"\xff\xdd" in p  # DRI segment present
+            np.testing.assert_array_equal(_decode_jpeg(p), base)
+
+
+def test_jpeg_lockstep_batch_matches_scalar():
+    """decode_jpeg_batch is a pure fast path: for a mixed batch —
+    restart-interval files (lockstep-eligible: sequential gray/4:2:0/
+    4:4:4 and progressive spectral-selection), no-restart files
+    (ineligible -> scalar fallback), and every quality level — the
+    decoded pixels must equal `_decode_jpeg`'s exactly."""
+    from politician_etl_project_spark.operators.multimodal import (
+        _decode_jpeg,
+        decode_jpeg_batch,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(47)
+    payloads = []
+    for i in range(24):
+        h, w = int(rng.integers(8, 60)), int(rng.integers(8, 60))
+        q = int(rng.integers(20, 95))
+        r = int(rng.integers(1, 7))
+        if i % 4 == 0:
+            payloads.append(encode_jpeg(rng.integers(0, 256, (h, w), np.uint8), quality=q, restart_interval=r))
+        elif i % 4 == 1:
+            payloads.append(
+                encode_jpeg(rng.integers(0, 256, (h, w, 3), np.uint8), subsample="4:2:0", quality=q, restart_interval=r)
+            )
+        elif i % 4 == 2:
+            payloads.append(
+                encode_jpeg(
+                    rng.integers(0, 256, (h, w, 3), np.uint8),
+                    subsample="4:2:0" if h % 2 else "4:4:4",
+                    quality=q,
+                    progressive=True,
+                    restart_interval=r,
+                )
+            )
+        else:  # no DRI: must fall back to the scalar path
+            payloads.append(encode_jpeg(rng.integers(0, 256, (h, w, 3), np.uint8), subsample="4:4:4", quality=q))
+    batch = decode_jpeg_batch(payloads)
+    for p, got in zip(payloads, batch):
+        np.testing.assert_array_equal(got, _decode_jpeg(p))
+
+
+def test_jpeg_lockstep_corrupt_payloads_match_scalar_contract():
+    """Corrupt restart-interval payloads through decode_jpeg_batch must
+    behave EXACTLY like `_decode_jpeg`: raise ValueError when scalar
+    raises, decode to identical pixels when scalar accepts — the
+    lockstep machine hands any anomalous stream (bad code, over- or
+    under-consumed interval) back to the scalar path, so corruption
+    can never produce silently different pixels."""
+    from politician_etl_project_spark.operators.multimodal import (
+        _decode_jpeg,
+        decode_jpeg_batch,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    base = encode_jpeg(img, subsample="4:2:0", restart_interval=2)
+    for _ in range(60):
+        b = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        b = bytes(b)
+        try:
+            want = _decode_jpeg(b)
+            want_exc = None
+        except ValueError:
+            want_exc = True
+        if want_exc:
+            with pytest.raises(ValueError):
+                decode_jpeg_batch([b])
+        else:
+            np.testing.assert_array_equal(decode_jpeg_batch([b])[0], want)
