@@ -1005,3 +1005,128 @@ def test_jpeg_lockstep_corrupt_payloads_match_scalar_contract():
                 decode_jpeg_batch([b])
         else:
             np.testing.assert_array_equal(decode_jpeg_batch([b])[0], want)
+
+
+def test_jpeg_lockstep_422_with_restarts():
+    """The lockstep seq machine claims GENERIC (h,v) MCU layouts, but
+    the encoder never emits 4:2:2 — so assemble one: a 16x32 4:2:2
+    file (4 MCUs of [Y,Y,Cb,Cr]) with DRI=2 whose intervals were
+    entropy-coded by the SCALAR per-block encoder, then decode through
+    BOTH paths.  Eligibility is asserted explicitly (a silent fallback
+    would void the test), and both decodes must also match the no-DRI
+    file built from the same coefficients."""
+    import struct
+
+    from politician_etl_project_spark.operators.multimodal import (
+        _JPEG_AC_CHROMA,
+        _JPEG_AC_LUMA,
+        _JPEG_DC_CHROMA,
+        _JPEG_DC_LUMA,
+        _JPEG_ZIGZAG,
+        _decode_jpeg,
+        _encode_block,
+        _huff_encode_table,
+        _JpegBitWriter,
+        _parse_jpeg_lockstep,
+        _quantized_blocks,
+        decode_jpeg_batch,
+    )
+
+    rng = np.random.default_rng(61)
+    y = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    cb = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    cr = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    q8 = np.full(64, 8, np.int64)
+    zy, _, _ = _quantized_blocks(y, q8)
+    zcb, _, _ = _quantized_blocks(cb, q8)
+    zcr, _, _ = _quantized_blocks(cr, q8)
+    dc_l = _huff_encode_table(*_JPEG_DC_LUMA)
+    ac_l = _huff_encode_table(*_JPEG_AC_LUMA)
+    dc_c = _huff_encode_table(*_JPEG_DC_CHROMA)
+    ac_c = _huff_encode_table(*_JPEG_AC_CHROMA)
+
+    def entropy(restart):
+        # MCU order (2x2 grid): per MCU [Y(r,2c), Y(r,2c+1), Cb(r,c), Cr(r,c)]
+        mcus = [(r, c) for r in range(2) for c in range(2)]
+        chunks, bw, preds, n = [], _JpegBitWriter(), [0, 0, 0], 0
+        for r, c in mcus:
+            if restart and n and n % restart == 0:
+                chunks.append(bw.flush())
+                bw, preds = _JpegBitWriter(), [0, 0, 0]
+            preds[0] = _encode_block(bw, zy[r, 2 * c], preds[0], dc_l, ac_l)
+            preds[0] = _encode_block(bw, zy[r, 2 * c + 1], preds[0], dc_l, ac_l)
+            preds[1] = _encode_block(bw, zcb[r, c], preds[1], dc_c, ac_c)
+            preds[2] = _encode_block(bw, zcr[r, c], preds[2], dc_c, ac_c)
+            n += 1
+        chunks.append(bw.flush())
+        out = b""
+        for k, ch in enumerate(chunks):
+            if k:
+                out += bytes((0xFF, 0xD0 + ((k - 1) % 8)))
+            out += ch
+        return out
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    q8b = bytes(q8[_JPEG_ZIGZAG].tolist())
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + q8b)
+        + seg(0xDB, b"\x01" + q8b)
+        + seg(0xC0, struct.pack(">BHHB", 8, 16, 32, 3) + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        + seg(0xC4, bytes([0x00] + _JPEG_DC_LUMA[0]) + bytes(_JPEG_DC_LUMA[1]))
+        + seg(0xC4, bytes([0x10] + _JPEG_AC_LUMA[0]) + bytes(_JPEG_AC_LUMA[1]))
+        + seg(0xC4, bytes([0x01] + _JPEG_DC_CHROMA[0]) + bytes(_JPEG_DC_CHROMA[1]))
+        + seg(0xC4, bytes([0x11] + _JPEG_AC_CHROMA[0]) + bytes(_JPEG_AC_CHROMA[1]))
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    plain = head + sos + entropy(0) + b"\xff\xd9"
+    with_dri = head + seg(0xDD, struct.pack(">H", 2)) + sos + entropy(2) + b"\xff\xd9"
+
+    assert _parse_jpeg_lockstep(with_dri) is not None, "4:2:2 DRI file must be lockstep-eligible"
+    base = _decode_jpeg(plain)
+    assert base.shape == (16, 32, 3)
+    np.testing.assert_array_equal(_decode_jpeg(with_dri), base)
+    np.testing.assert_array_equal(decode_jpeg_batch([with_dri])[0], base)
+
+
+def test_jpeg_lockstep_property_matches_scalar():
+    """Hypothesis sweep of the lockstep fast path: random image shape,
+    gray/4:2:0/4:4:4 x sequential/progressive, quality and restart
+    width — decode_jpeg_batch must equal `_decode_jpeg` exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from politician_etl_project_spark.operators.multimodal import (
+        _decode_jpeg,
+        decode_jpeg_batch,
+        encode_jpeg,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        h=st.integers(8, 48),
+        w=st.integers(8, 48),
+        variant=st.sampled_from(["gray", "420", "444"]),
+        progressive=st.booleans(),
+        quality=st.integers(10, 95),
+        restart=st.integers(1, 6),
+        seed=st.integers(0, 2**16),
+    )
+    def check(h, w, variant, progressive, quality, restart, seed):
+        rng = np.random.default_rng(seed)
+        if variant == "gray":
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            kw = {}
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            kw = {"subsample": "4:2:0" if variant == "420" else "4:4:4"}
+        p = encode_jpeg(img, quality=quality, progressive=progressive, restart_interval=restart, **kw)
+        np.testing.assert_array_equal(decode_jpeg_batch([p])[0], _decode_jpeg(p))
+
+    check()
