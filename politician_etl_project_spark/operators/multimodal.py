@@ -2015,6 +2015,12 @@ def _parse_jpeg_lockstep(payload: bytes):
                     quant[tq] = tab[_JPEG_UNZIGZAG]
                     i += 65
             elif marker in (0xC0, 0xC1, 0xC2):
+                if frame is not None:
+                    # a second SOF reallocates the scalar decoder's
+                    # grids mid-file (dropping prior scans) — a shape
+                    # the lockstep grid assembly does not model; let
+                    # the scalar path own such files entirely
+                    return None
                 prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
                 if prec != 8 or nc not in (1, 3) or fh < 1 or fw < 1:
                     return None
