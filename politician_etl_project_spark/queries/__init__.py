@@ -38,13 +38,16 @@ DRIVER_WINDOW = [
     # q_media_decode_jpeg (codec rewrite: bulk-refill bit reader,
     # 8-bit-LUT Huffman decode, vectorized bit-pack encoder, matmul
     # DCT/IDCT — r10 verdict #3 + both ADVICE fixes).
-    # Slots 5-27: the remaining 23 round-6-stale names (alphabetical)
-    # — the r6 floor clears entirely (r10 verdict #4).
-    # Slots 28-50: the alphabetically-first 23 round-7-stale names.
+    # Slots 5-28: ALL 24 round-6-stale names (alphabetical) — the r6
+    # floor clears entirely (r10 verdict #4).  q_segment_dedup_digest
+    # is among them: its r11 restoration under the historical name
+    # (bench/oracle entries are never removed or renamed) carries r6
+    # evidence, so the stalest-first rule puts it here.
+    # Slots 29-50: the alphabetically-first 22 round-7-stale names.
     # ROUND-12 PLAN (keep rotation mechanical, r8 verdict #8): head =
-    # any new/rewritten queries + the 21 remaining r7-stale names
-    # (q_pivot_status_matrix, q_range_join, q_repetition_filter,
-    # q_retention_cohorts .. q_watermark_latedrop, alphabetical) + the
+    # any new/rewritten queries + the 22 remaining r7-stale names
+    # (q_pii_scrub, q_pivot_status_matrix, q_range_join,
+    # q_repetition_filter .. q_watermark_latedrop, alphabetical) + the
     # alphabetically-first r8-stale names to fill 50.
     # tests/test_window.py asserts this composition mechanically
     # (never-checked ⊆ head; non-sentinel verified head slots no
@@ -72,6 +75,7 @@ DRIVER_WINDOW = [
     "q_recent_n",
     "q_salted_agg",
     "q_scalar_kitchen",
+    "q_segment_dedup_digest",
     "q_semi_join",
     "q_src_jdbc",
     "q_topk_customers",
@@ -98,7 +102,6 @@ DRIVER_WINDOW = [
     "q_near_dup_pairs",
     "q_ngram_jaccard_pairs",
     "q_percentiles",
-    "q_pii_scrub",
     "q_media_decode_real",
     "q_media_decode_png",
     "q_domain_stats",
@@ -240,6 +243,7 @@ DRIVER_WINDOW = [
     "q_gap_fill",
     "q_hybrid_rrf",
     "q_inverted_index",
+    "q_pii_scrub",
     "q_pivot_status_matrix",
     "q_range_join",
     "q_repetition_filter",

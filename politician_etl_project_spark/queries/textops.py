@@ -1800,3 +1800,25 @@ def q_segment_dedup_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(docs, "doc_id", "text", seg_tokens=3, key="direct").orderBy(
         "doc_id"
     )
+
+
+@declared_query(
+    "q_segment_dedup_digest",
+    oracle=_SEGMENT_DEDUP_ORACLE,
+    ops=("DEDUP-segment", "A14", "U2"),
+    doc="The digest-keyed segment dedup under its HISTORICAL NAME "
+    "(driver-checked r6, benched every round since): when r11 made "
+    "the digest plan q_segment_dedup's default, this name kept its "
+    "exact pre-r11 computation and plan (segment_dedup(key='digest')) "
+    "— bench/oracle entries are never removed or renamed, so the "
+    "round-over-round per-query delta baseline stays unbroken.  Same "
+    "shared oracle as both twins; its plan is now identical to "
+    "q_segment_dedup's.",
+)
+def q_segment_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from politician_etl_project_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, "doc_id", "text", seg_tokens=3, key="digest").orderBy(
+        "doc_id"
+    )
