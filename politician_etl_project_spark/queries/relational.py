@@ -354,6 +354,21 @@ ORDER BY s_suppkey
 def q_fuzzy_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     cust = load_table(spark, sf_dir, "customer")
+    # Spread the STREAMED side of the blocked scoring join: at bench
+    # scale the customer table is a single ~300 KB parquet split, so
+    # the ~600k-pair levenshtein + sort + partial winner aggregate
+    # otherwise all run as ONE task (r11 measured: 2.97 s isolated
+    # before, 0.73 s after — the whole stage was that task).  The
+    # repartition fires ONLY when the scan is narrower than the
+    # session's parallelism — the regime where the shuffled table is
+    # by definition tiny; at cluster scale the scan is already wide
+    # and the plan is untouched (an unconditional repartition would
+    # add a full shuffle of the streamed side, the §8 anti-pattern).
+    # Keyed on c_custkey (hundreds of distinct keys per partition) so
+    # the spread is deterministic and collision-proof.
+    n_cores = spark.sparkContext.defaultParallelism
+    if cust.rdd.getNumPartitions() < n_cores:
+        cust = cust.repartition(n_cores, "c_custkey")
     scored = (
         supp.join(cust, supp.s_nationkey == cust.c_nationkey)
         .withColumn("dist", F.levenshtein("s_name", "c_name"))
