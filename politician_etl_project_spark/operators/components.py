@@ -109,7 +109,19 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             StructField("component", e.schema["v"].dataType, False),
         ]
     )
-    return e.sparkSession.createDataFrame(out, schema)
+    df = F.broadcast(e.sparkSession.createDataFrame(out, schema))
+    # The assignment's exact row count is KNOWN here (it is a local
+    # list — the edges were already collected to the driver), but the
+    # optimizer sees an un-estimable ExistingRDD and would pick a
+    # sort-merge join for every join-back, shuffling the CORPUS side
+    # by doc_id just to attach a driver-small table (guide §3.1:
+    # estimates are wrong after opaque ops — hint when the size is
+    # known).  The hint is inherently size-gated: this path only runs
+    # at <= driver_threshold edges (<= 2x that in nodes, ~32 MB of
+    # longs at the 1M default — the driver already held the edge
+    # list), so the distributed regime can never pick it up.
+    df._cc_driver_rows = len(out)
+    return df
 
 
 def connected_components(
@@ -196,11 +208,17 @@ def duplicate_clusters(
     ``filter(doc_id == cluster_id)``."""
     comp = connected_components(pairs, id_a, id_b)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        comp.join(sizes, "component")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("component").alias("cluster_id"),
-            "cluster_size",
-        )
+    out = comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
     )
+    if getattr(comp, "_cc_driver_rows", None) is not None:
+        # Driver-path components: the cluster table is exactly as
+        # small as the assignment (one row per clustered doc), so the
+        # callers' join-back to the corpus should broadcast it instead
+        # of shuffling the corpus by doc_id.  Size-gated by
+        # construction — the distributed-CC regime never sets the
+        # marker, so at-scale cluster tables keep the shuffled join.
+        out = F.broadcast(out)
+    return out

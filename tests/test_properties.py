@@ -420,6 +420,56 @@ def test_connected_components_strategies_agree_on_random_graph(spark):
     assert driver == dist and len(driver) > 100
 
 
+def test_cluster_joinback_broadcasts_only_on_driver_path(spark):
+    """r11: when the size-adaptive CC ran its driver union-find, the
+    component table's exact size is known, so duplicate_clusters tags
+    its output with a broadcast hint — a corpus join-back must then be
+    a BroadcastHashJoin (no corpus shuffle by doc_id).  The distributed
+    path must NOT be tagged: at scale the cluster table can be huge and
+    the shuffled join is the only safe plan.  Results are identical on
+    both paths (strategy-agreement tests above); this pins the PLAN."""
+    from politician_etl_project_spark.operators.components import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(1, 40)], "doc_id bigint, source string"
+    )
+
+    def joined_plan(driver_threshold: int) -> str:
+        comp = connected_components(pairs, driver_threshold=driver_threshold)
+        assert (getattr(comp, "_cc_driver_rows", None) is not None) == (
+            driver_threshold > 0
+        )
+        clusters = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+        # duplicate_clusters re-runs CC internally; pin its path too
+        return (
+            corpus.join(clusters, "doc_id", "left")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    driver_plan = joined_plan(10**6)
+    assert "BroadcastHashJoin" in driver_plan and "SortMergeJoin" not in driver_plan
+    import os
+
+    old = os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES")
+    os.environ["SPARK_GRAFT_CC_DRIVER_EDGES"] = "0"
+    try:
+        dist_plan = joined_plan(0)
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_CC_DRIVER_EDGES", None)
+        else:
+            os.environ["SPARK_GRAFT_CC_DRIVER_EDGES"] = old
+    assert "SortMergeJoin" in dist_plan and "BroadcastHashJoin" not in dist_plan
+
+
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 12), st.integers(0, 12), st.integers(1, 5)),
