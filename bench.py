@@ -130,6 +130,83 @@ def bench_etl(spark, n_rows: int = 500_000) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 3), n_out
 
 
+def _scaling_probe_frames(spark, sf_dir: str):
+    """The two scaling-probe DataFrames (r11 verdict #2).
+
+    Every registry query at sf0.1 sits on a ~1-2 s fixed floor (planning,
+    job scheduling, Python-worker pool) that cores cannot shrink, so the
+    driver's 8-vs-32-core comparison measured overhead, not parallelism,
+    and flagged `suspect_cpus_ignored`.  These two probes carry enough
+    work above the floor that their 8-vs-32 ratio tracks cores:
+
+    - ``probe_scaling_cpu``: embarrassingly parallel per-row hash-chain
+      over lineitem fanned out to 4x defaultParallelism — pure codegen
+      compute, the shape that MUST scale ~linearly with cores.
+    - ``probe_scaling_shuffle``: high-cardinality two-level aggregation
+      over the fanned-out rows — map-side partial agg + one exchange +
+      final agg, the scan->shuffle->reduce shape.
+
+    Both derive every row from the round's parquet inputs at bench time
+    (no generated sidecar corpus, nothing persisted), size their fan-out
+    from ``defaultParallelism`` so the probe is scale-adaptive rather
+    than tuned to local[32], and are listed in ``total_excludes`` so the
+    headline total stays comparable round-over-round."""
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    fan = li.repartition(4 * par).withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(95)))
+    )
+    h = F.xxhash64("l_orderkey", "l_partkey", "l_suppkey", "rep")
+    chained = h
+    for _ in range(60):
+        chained = F.xxhash64(chained, h)
+    # pmod before the sum: ANSI mode is on and summing raw 64-bit hashes
+    # overflows long
+    cpu = fan.select(F.pmod(chained, F.lit(1_000_000_007)).alias("h")).agg(
+        F.sum("h").alias("s"), F.count("*").alias("n")
+    )
+    # map side gets a short hash chain so its partial-agg work is real
+    # compute, not just row shoveling — shuffle write/read alone is
+    # partly page-cache I/O that hides the core ratio (measured 1.78x
+    # at rep=48 with a bare key; the chain lifts it past 2x)
+    sk = F.xxhash64("l_orderkey", "rep")
+    for _ in range(8):
+        sk = F.xxhash64(sk, "l_suppkey")
+    shuffle = (
+        fan.groupBy(F.pmod(sk, F.lit(2_000_000)).alias("k"))
+        .agg(F.sum("l_partkey").alias("s"), F.count("*").alias("n"))
+        .agg(F.sum("s").alias("ss"), F.sum("n").alias("nn"), F.count("*").alias("groups"))
+    )
+    return {"probe_scaling_cpu": cpu, "probe_scaling_shuffle": shuffle}
+
+
+def _bench_scaling_probes(spark, sf_dir: str) -> dict[str, float]:
+    """Time each scaling probe with the suite's own discipline (one
+    discarded warm-up, min of 2 timed collects, clearCache between).
+    The frame is REBUILT for every run — re-collecting one DataFrame
+    object lets AQE reuse its materialized shuffle stages and times
+    nothing (measured: 4.3 s cold vs 0.05 s on the reused object)."""
+    times: dict[str, float] = {}
+    for name in _scaling_probe_frames(spark, sf_dir):
+        spark.sparkContext.setJobDescription(name)
+        _scaling_probe_frames(spark, sf_dir)[name].collect()  # warm-up
+        spark.catalog.clearCache()
+        runs = []
+        for _ in range(2):
+            df = _scaling_probe_frames(spark, sf_dir)[name]
+            t0 = time.perf_counter()
+            df.collect()
+            runs.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        times[name] = min(runs)
+        spark.sparkContext.setJobDescription(None)
+    return times
+
+
 def _bench_bundle_parts(spark, sf_dir: str) -> float:
     """Sum-of-parts twin of q_metrics_bundle_e2e: collect each metric
     frame of the three bundles SEQUENTIALLY (9 actions — the reference's
@@ -230,6 +307,7 @@ def main() -> None:
     # clearCache() between runs keeps persist()-using queries
     # (q_curation_funnel) from getting a free pass off cache blocks.
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     overrides = _bench_sf_override()
     # external-contention watch (round 9, r8 verdict #5): baseline the
     # single-core probe at suite start; any query whose pre-block probe
@@ -275,6 +353,10 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
         times[name] = min(runs)
+        # r11 verdict "what's wrong" #4: min-of-N absorbs sub-25% true
+        # regressions for a round; publish the median too (sidecar only)
+        # so drift stays visible even when the min flatters it
+        medians[name] = sorted(runs)[len(runs) // 2]
     for name in contended:
         q_dir = overrides.get(name, sf_dir)
         t0 = time.perf_counter()
@@ -304,6 +386,12 @@ def main() -> None:
     # The e2e/parts ratio is the consolidation win a migrating FastAPI
     # user asks about first.
     times["metrics_bundle_parts_sum"] = _bench_bundle_parts(spark, sf_dir)
+
+    # Core-scaling probes (r11 verdict #2) — measured on derived-at-bench-
+    # time fan-out data, excluded from the headline total, EXPECTED to
+    # move with $SPARK_GRAFT_CPUS (so also excluded from the delta
+    # requeue, which exists to catch fixed-protocol regressions).
+    times.update(_bench_scaling_probes(spark, sf_dir))
 
     # Round-10 (r9 verdict #1): delta-triggered requeue.  The r9 artifact
     # carried phantom regressions up to 3.8x on UNTOUCHED code that the
@@ -346,7 +434,11 @@ def main() -> None:
     # different input than the rest of the suite — both stay in
     # `queries` for per-query deltas but are listed in
     # `total_excludes` and left out of `value`.
-    total_excludes = sorted(set(overrides) & set(times)) + ["metrics_bundle_parts_sum"]
+    total_excludes = sorted(set(overrides) & set(times)) + [
+        "metrics_bundle_parts_sum",
+        "probe_scaling_cpu",
+        "probe_scaling_shuffle",
+    ]
     total = round(sum(v for n, v in times.items() if n not in total_excludes), 3)
     # The driver records only the LAST 2000 bytes of stdout (BENCH_r02
     # lesson: a single ~2.5 KB line got front-clipped → parsed: null), so
@@ -390,6 +482,13 @@ def main() -> None:
         "timing_passes": 2,
         "queries_benched": len(names),
         "queries_not_benched": sorted(BENCH_EXCLUDED),
+        # r11 verdict #2: make the effective parallelism legible on the
+        # line so a low-core capture is distinguishable from a bench
+        # that ignored $SPARK_GRAFT_CPUS
+        "cpus_env": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+        "master": spark.sparkContext.master,
         # measured but NOT summed into `value` (twin / override-corpus
         # entries — see comment above total)
         "total_excludes": total_excludes,
@@ -412,45 +511,65 @@ def main() -> None:
         "delta_requeue_detail": delta_requeue_detail,
         "delta_requeue_vs_round": prev["_round"] if prev else None,
     }
-    write_sidecar(out)
+    # medians ride in the sidecar only — the tail line's byte budget is
+    # spent on the min map the driver compares round-over-round
+    sidecar = dict(out)
+    sidecar["queries_median"] = medians
+    write_sidecar(sidecar)
     print(summary_line(out, times))
     spark.stop()
 
 
 def summary_line(out: dict, times: dict[str, float], budget: int = 1900) -> str:
-    """Render the headline JSON line, self-truncating the per-query map
-    to the slowest 40 when the full map would outgrow the driver's
-    2000-byte stdout tail capture (BENCH_r02 lesson: a ~2.5 KB line got
-    front-clipped and parsed as null).  Factored out of main() so the
-    budget invariant is testable against the real registry size."""
+    """Render the headline JSON line, self-truncating to fit the
+    driver's 2000-byte stdout tail capture (BENCH_r02 lesson: a ~2.5 KB
+    line got front-clipped and parsed as null).  Factored out of main()
+    so the budget invariant is testable against the real registry size.
+
+    r11 verdict #1: the r11 line's 34-entry delta_requeue_detail map ate
+    the byte budget and the per-query map self-truncated to the slowest
+    20, so the driver's round-over-round comparison saw 9% of the
+    registry.  Truncation order is now fixed: (1) requeue DETAIL
+    collapses to adjudication COUNTS, (2) requeue name lists collapse to
+    a 4-name sample + count, (3) only then does the per-query map shrink
+    — and never below the 40-query floor; if 40 still does not fit, the
+    list samples drop to counts alone (every full record lives in the
+    BENCH_r{N}_full sidecar either way)."""
     line = json.dumps(out, separators=(",", ":"))
     if len(line) <= budget:
         return line
     slim = dict(out)
     if slim.get("delta_requeue_detail"):
         # the per-mover numbers + adjudications live uncapped in the
-        # sidecar; the tail line keeps only the adjudication tags
+        # sidecar; the tail line keeps only the tag COUNTS — at r11's 34
+        # movers even a name->tag map was ~850 bytes, which is what
+        # squeezed the query map down to 20
+        tags = [d.get("adjudication", "?") for d in slim["delta_requeue_detail"].values()]
         slim["delta_requeue_detail"] = {
-            n: d.get("adjudication", "?") for n, d in slim["delta_requeue_detail"].items()
+            "n_cleared": tags.count("cleared"),
+            "n_variance": tags.count("variance"),
+            "n_source_changed": tags.count("source_changed"),
         }
     for key in ("contended_requeued", "delta_requeued"):
-        if len(slim.get(key, [])) > 8:
-            # a noisy round can flag scores of names; the full lists
-            # alone can outgrow the capture — collapse each to a
-            # sample + count (the full lists live in the
-            # BENCH_r{N}_full.json sidecar)
-            slim[key] = sorted(slim[key])[:8]
+        if len(slim.get(key, [])) > 4:
+            # a noisy round can flag scores of names; collapse each to a
+            # sample + count BEFORE touching the query map
+            slim[key] = sorted(slim[key])[:4]
             slim[key + "_n"] = len(out[key])
     # shrink the per-query map to the slowest N, stepping down until the
-    # line fits (40 has fit every real round; the floor guards the
-    # pathological all-names-requeued worst case in the tests)
-    for cap in (40, 35, 30, 25, 20):
+    # line fits — HARD FLOOR at 40: the driver's PERF comparison needs
+    # >=40 per-query times no matter how pathological the requeue load
+    for cap in (64, 56, 48, 40):
         slim["queries"] = {n: times[n] for n in sorted(times, key=times.get, reverse=True)[:cap]}
         slim["queries_truncated_to_slowest"] = cap
         line = json.dumps(slim, separators=(",", ":"))
         if len(line) <= budget:
-            break
-    return line
+            return line
+    # last resort below the floor: drop the list samples to counts only
+    for key in ("contended_requeued", "delta_requeued"):
+        if slim.get(key + "_n") is not None:
+            slim[key] = []
+    return json.dumps(slim, separators=(",", ":"))
 
 
 def _delta_movers(times: dict[str, float], prev: dict | None, ratio: float = 1.25) -> list[str]:
@@ -460,7 +579,14 @@ def _delta_movers(times: dict[str, float], prev: dict | None, ratio: float = 1.2
     if not prev:
         return []
     return sorted(
-        n for n in times if prev["queries"].get(n) and times[n] > ratio * prev["queries"][n]
+        n
+        for n in times
+        if prev["queries"].get(n)
+        and times[n] > ratio * prev["queries"][n]
+        # scaling probes are EXPECTED to move with $SPARK_GRAFT_CPUS —
+        # the driver's low-core run is exactly the capture where they
+        # must read slower, so they are regression-exempt by design
+        and not n.startswith("probe_scaling_")
     )
 
 
@@ -593,8 +719,21 @@ def write_sidecar(out: dict, root: Path | None = None) -> Path:
     list to 8 names to fit the driver's 2000-byte stdout tail, which
     left the full requeue story recoverable only from stderr).  The
     sidecar carries every per-query time and both requeue lists in
-    full, so adjudication never depends on a truncated line."""
-    path = (root or Path(__file__).resolve().parent) / f"BENCH_r{next_round()}_full.json"
+    full, so adjudication never depends on a truncated line.
+
+    r11 verdict "what's wrong" #3: numbering off existing BENCH_rN.json
+    let the driver's own end-of-round runs clobber the builder's
+    committed clean sidecar (and drop an r12-named file before round 12
+    existed).  A sidecar now NEVER overwrites: the first capture of a
+    round owns BENCH_r{N}_full.json, later captures land in
+    BENCH_r{N}_full.<k>.json with the next free counter."""
+    base = root or Path(__file__).resolve().parent
+    n = next_round()
+    path = base / f"BENCH_r{n}_full.json"
+    k = 2
+    while path.exists():
+        path = base / f"BENCH_r{n}_full.{k}.json"
+        k += 1
     path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     print(json.dumps({"sidecar_written": str(path)}), file=sys.stderr)
     return path

@@ -237,13 +237,23 @@ def test_handwritten_docs_registry_counts():
 
 def test_bench_summary_line_fits_driver_capture():
     """The driver records only the LAST 2000 bytes of bench stdout; the
-    summary line must stay under that with the REAL registry's names
-    and worst-case float widths, via the slowest-40 self-truncation."""
+    summary line must stay under that with the REAL registry's names and
+    worst-case float widths — and (r11 verdict #1, after the 34-entry
+    requeue-detail map squeezed the query map to 20 entries and PERF_r11
+    could compare only 9% of the registry) the per-query map must NEVER
+    drop below 40 entries, no matter how pathological the requeue load:
+    requeue detail collapses to counts and the name lists to samples
+    BEFORE the query map shrinks."""
     import json
 
     import bench
 
-    names = list(load_all()) + ["etl_fec_500k", "metrics_bundle_parts_sum"]
+    names = list(load_all()) + [
+        "etl_fec_500k",
+        "metrics_bundle_parts_sum",
+        "probe_scaling_cpu",
+        "probe_scaling_shuffle",
+    ]
     times = {n: 12.345 for n in names}  # worst-case width: 6 chars each
     out = {
         "metric": "headline_query_suite_total",
@@ -256,27 +266,47 @@ def test_bench_summary_line_fits_driver_capture():
         "timing_passes": 2,
         "queries_benched": len(names),
         "queries_not_benched": sorted(bench.BENCH_EXCLUDED),
-        "total_excludes": ["q_near_dup_pairs", "metrics_bundle_parts_sum"],
+        "cpus_env": 32,
+        "default_parallelism": 32,
+        "shuffle_partitions": 32,
+        "master": "local[32]",
+        "total_excludes": [
+            "q_near_dup_pairs",
+            "metrics_bundle_parts_sum",
+            "probe_scaling_cpu",
+            "probe_scaling_shuffle",
+        ],
         "load_avg_1m": 1.0,
         "load_avg_start": 1.0,
         "load_gate_ok": True,
         # worst case: every name requeued (external contention all run)
         "contended_requeued": sorted(times),
-        # worst case for the r10 delta requeue too: all names moved
+        # worst case for the r10 delta requeue too: all names moved,
+        # each with a full detail record (the r11 failure mode)
         "delta_requeued": sorted(times),
+        "delta_requeue_detail": {
+            n: {"original": 12.345, "remeasured": 12.345, "prev": 1.0, "adjudication": "variance"}
+            for n in sorted(times)
+        },
         "delta_requeue_vs_round": 9,
     }
     line = bench.summary_line(out, times)
     assert len(line) <= 1900, f"summary line {len(line)} bytes would be front-clipped"
     parsed = json.loads(line)
     cap = parsed.get("queries_truncated_to_slowest")
-    assert cap is not None and 20 <= cap <= 40
-    assert len(parsed["queries"]) == cap
-    # worst-case requeue lists collapse to a sample + count
+    assert cap is not None and cap >= 40, f"query map truncated below the 40 floor: {cap}"
+    assert len(parsed["queries"]) >= 40
+    # worst-case requeue lists collapse to a sample + count, and the
+    # detail map to adjudication counts
     assert parsed["contended_requeued_n"] == len(names)
-    assert len(parsed["contended_requeued"]) == 8
+    assert len(parsed["contended_requeued"]) <= 4
     assert parsed["delta_requeued_n"] == len(names)
-    assert len(parsed["delta_requeued"]) == 8
+    assert len(parsed["delta_requeued"]) <= 4
+    assert parsed["delta_requeue_detail"] == {
+        "n_cleared": 0,
+        "n_variance": len(names),
+        "n_source_changed": 0,
+    }
 
 
 def test_bench_sidecar_uncapped_and_round_numbered(tmp_path, monkeypatch):
@@ -307,6 +337,25 @@ def test_bench_sidecar_uncapped_and_round_numbered(tmp_path, monkeypatch):
     assert len(data["queries"]) == data["queries_benched"] + 2
     assert data["contended_requeued"] == sorted(times)  # uncapped
     assert data["delta_requeued"] == sorted(times)
+    # r11 verdict #3: a later capture of the same round must NOT clobber
+    # the committed sidecar — it takes the next free counter suffix
+    assert bench.write_sidecar(out, root=tmp_path).name == "BENCH_r99_full.2.json"
+    assert bench.write_sidecar(out, root=tmp_path).name == "BENCH_r99_full.3.json"
+    assert json.loads((tmp_path / "BENCH_r99_full.json").read_text()) == data
+
+
+def test_every_driver_checked_name_still_registered():
+    """r11 verdict #8 (the f02721c near-miss, promoted to a test): a
+    query name that EVER appeared in a committed CORRECTNESS_r*.json is
+    driver history — renaming or deleting it reads as a disappearance
+    to the driver's oracle re-run and makes the round an automatic
+    REGRESSION.  Names may only be added."""
+    specs = load_all()
+    gone = sorted(_driver_checked_names() - set(specs))
+    assert not gone, (
+        f"driver-verified query names missing from the registry: {gone} — "
+        "restore each under its historical name with its prior computation"
+    )
 
 
 def test_sweep_log_matches_registry():
