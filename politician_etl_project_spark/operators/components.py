@@ -34,6 +34,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Hard row-count cap on the driver-path broadcast hint, independent of
+# the $SPARK_GRAFT_CC_DRIVER_EDGES override (r11 ADVICE #1): a
+# (node:int64, component:int64) assignment at 4M rows is ~64 MB raw —
+# comfortably inside executor memory and far under Spark's 8 GB /
+# 512M-row broadcast-relation caps — while an operator-raised driver
+# threshold could otherwise force a multi-GB broadcast.
+_CC_BROADCAST_ROW_CAP = 4_000_000
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For every node u: connect each strictly-larger neighbor to
@@ -109,17 +117,21 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             StructField("component", e.schema["v"].dataType, False),
         ]
     )
-    df = F.broadcast(e.sparkSession.createDataFrame(out, schema))
+    df = e.sparkSession.createDataFrame(out, schema)
     # The assignment's exact row count is KNOWN here (it is a local
     # list — the edges were already collected to the driver), but the
     # optimizer sees an un-estimable ExistingRDD and would pick a
     # sort-merge join for every join-back, shuffling the CORPUS side
     # by doc_id just to attach a driver-small table (guide §3.1:
     # estimates are wrong after opaque ops — hint when the size is
-    # known).  The hint is inherently size-gated: this path only runs
-    # at <= driver_threshold edges (<= 2x that in nodes, ~32 MB of
-    # longs at the 1M default — the driver already held the edge
-    # list), so the distributed regime can never pick it up.
+    # known).  The broadcast hint is applied by consumers
+    # (duplicate_clusters) gated on the recorded row count staying
+    # under _CC_BROADCAST_ROW_CAP — a FIXED constant, so an operator
+    # overriding $SPARK_GRAFT_CC_DRIVER_EDGES upward can raise the
+    # driver-path threshold without also forcing an arbitrarily large
+    # broadcast to every executor (r11 ADVICE #1).
+    if len(out) <= _CC_BROADCAST_ROW_CAP:
+        df = F.broadcast(df)
     df._cc_driver_rows = len(out)
     return df
 
@@ -164,6 +176,18 @@ def connected_components(
     non-eager: the signature aggregate that immediately follows is the
     materializing action, so each round costs ONE job, not two
     (checkpoint + sig were separate jobs before round 8).
+
+    SINGLE-HOP MARKER CONTRACT (r11 ADVICE #2): on the driver path the
+    returned DataFrame carries a ``_cc_driver_rows`` int attribute (the
+    exact assignment row count) that :func:`duplicate_clusters` reads
+    to decide its broadcast hint.  It is a plain Python attribute on
+    THIS object only — any transformation (``select``/``filter``/
+    ``persist``/...) returns a new DataFrame without it, so the signal
+    survives exactly one hop.  That is deliberate and safe-by-default:
+    a wrapper that loses the marker falls back to the shuffled join
+    (correct at any size), never to a wrong broadcast.  Callers needing
+    the strategy downstream must re-check the attribute immediately on
+    the object this function returns.
     """
     import os
 
@@ -213,12 +237,15 @@ def duplicate_clusters(
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
-    if getattr(comp, "_cc_driver_rows", None) is not None:
+    rows = getattr(comp, "_cc_driver_rows", None)
+    if rows is not None and rows <= _CC_BROADCAST_ROW_CAP:
         # Driver-path components: the cluster table is exactly as
         # small as the assignment (one row per clustered doc), so the
         # callers' join-back to the corpus should broadcast it instead
-        # of shuffling the corpus by doc_id.  Size-gated by
-        # construction — the distributed-CC regime never sets the
-        # marker, so at-scale cluster tables keep the shuffled join.
+        # of shuffling the corpus by doc_id.  Size-gated twice: the
+        # distributed-CC regime never sets the marker, and the recorded
+        # row count must clear the fixed _CC_BROADCAST_ROW_CAP (r11
+        # ADVICE #1 — the env override must not be able to force an
+        # arbitrarily large broadcast).
         out = F.broadcast(out)
     return out

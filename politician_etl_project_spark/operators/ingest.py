@@ -423,18 +423,33 @@ class DedupIngestTable:
             # Stage 4: near-dups vs store (band-key equi-join,
             # partition-pruned, Jaccard-verified, self excluded — replay
             # of a doc whose bands committed but fps didn't), reusing
-            # the persisted whole-batch bands narrowed to no_exact
+            # the persisted whole-batch bands narrowed to no_exact.
+            # LEFT SEMI, not inner+distinct (r12, guide §3): the stage
+            # only needs "does ANY stored doc qualify", and on a dense
+            # corpus the inner join enumerated every match (measured
+            # 1.8M band pairs / 801k qualifying for a 500-doc batch at
+            # sf0.1 — 1.34 s) where the semi probe stops at each band
+            # row's first qualifying match (0.37 s, same distinct-id
+            # result by construction).  At scale this also defuses the
+            # hot-band-key blowup: a boilerplate band key shared by
+            # millions of stored docs costs one probe hit per batch
+            # row, not a millions-wide intermediate.
             batch_bands = bands_ne
             stored_bands = self._pruned("bands", "bkp", bkp).select(
-                "band_id",
-                "band_key",
+                F.col("band_id").alias("_sband_id"),
+                F.col("band_key").alias("_sband_key"),
                 F.col(id_col).alias("_sid"),
                 F.col("toks").alias("_stoks"),
             )
             near_store_ids = (
-                batch_bands.join(stored_bands, ["band_id", "band_key"])
-                .filter(F.col("_sid") != F.col(id_col))
-                .filter(jaccard("toks", "_stoks") >= self.min_jaccard)
+                batch_bands.join(
+                    stored_bands,
+                    (F.col("band_id") == F.col("_sband_id"))
+                    & (F.col("band_key") == F.col("_sband_key"))
+                    & (F.col("_sid") != F.col(id_col))
+                    & (jaccard("toks", "_stoks") >= self.min_jaccard),
+                    "left_semi",
+                )
                 .select(id_col)
                 .distinct()
             )

@@ -27,34 +27,77 @@ import os
 from politician_etl_project_spark.queries.registry import REGISTRY, QuerySpec, declared_query
 
 DRIVER_WINDOW = [
-    # --- ROUND-11 WINDOW (driver checks [:50]) ---
-    # Slot 1: q_segment_dedup_direct — NEW NAME (the string-keyed
-    # segment-dedup twin, formerly q_segment_dedup_digest whose digest
-    # plan is now the DEFAULT; never driver-checked under this name).
-    # Slots 2-4: sentinels, all REWRITTEN this round — q_segment_dedup
-    # (digest-keyed winner exchange is now the default plan, r10
-    # verdict #5), q_dedup_incremental (manifest-backed store probes +
-    # one-file-per-prefix store layout, r10 verdict #1),
-    # q_media_decode_jpeg (codec rewrite: bulk-refill bit reader,
-    # 8-bit-LUT Huffman decode, vectorized bit-pack encoder, matmul
-    # DCT/IDCT — r10 verdict #3 + both ADVICE fixes).
-    # Slots 5-28: ALL 24 round-6-stale names (alphabetical) — the r6
-    # floor clears entirely (r10 verdict #4).  q_segment_dedup_digest
-    # is among them: its r11 restoration under the historical name
-    # (bench/oracle entries are never removed or renamed) carries r6
-    # evidence, so the stalest-first rule puts it here.
-    # Slots 29-50: the alphabetically-first 22 round-7-stale names.
-    # ROUND-12 PLAN (keep rotation mechanical, r8 verdict #8): head =
-    # any new/rewritten queries + the 22 remaining r7-stale names
-    # (q_pii_scrub, q_pivot_status_matrix, q_range_join,
-    # q_repetition_filter .. q_watermark_latedrop, alphabetical) + the
-    # alphabetically-first r8-stale names to fill 50.
+    # --- ROUND-12 WINDOW (driver checks [:50]) ---
+    # Slots 1-6: sentinels — implementation changed THIS round, so their
+    # prior green predates the edit (see WINDOW_SENTINELS):
+    # q_dedup_incremental (store-probe left-semi near join + the
+    # parallel-listing threshold fix), q_etl_run_all / q_etl_incremental
+    # (build_donors first-wins window -> min_by aggregate),
+    # q_stateful_totals_live / q_stream_interval_join_live /
+    # q_watermark_latedrop (throwaway stream checkpoints moved to tmpfs).
+    # Slots 7-27: the 21 remaining r7-stale names (alphabetical;
+    # q_watermark_latedrop is the 22nd but already holds a sentinel
+    # slot) — exactly the ROUND-12 PLAN the r11 window comment carried.
+    # Slots 28-50: the alphabetically-first 23 r8-stale names.
+    # ROUND-13 PLAN (keep rotation mechanical): head = any new/rewritten
+    # queries + the 23 remaining r8-stale names (q_event_paths ..
+    # q_window_running_sum, alphabetical) + the alphabetically-first
+    # r9-stale names to fill 50.
     # tests/test_window.py asserts this composition mechanically
-    # (never-checked ⊆ head; non-sentinel verified head slots no
+    # (never-checked subset of head; non-sentinel verified head slots no
     # fresher than any verified name outside, judged boundary-aware).
+    "q_dedup_incremental",
+    "q_etl_run_all",
+    "q_etl_incremental",
+    "q_stateful_totals_live",
+    "q_stream_interval_join_live",
+    "q_watermark_latedrop",
+    "q_pii_scrub",
+    "q_pivot_status_matrix",
+    "q_range_join",
+    "q_repetition_filter",
+    "q_retention_cohorts",
+    "q_rolling_fingerprint",
+    "q_rollup_hierarchy",
+    "q_scd2_history",
+    "q_sequence_packing",
+    "q_session_windows",
+    "q_simhash",
+    "q_sliding_window",
+    "q_src_bills_xml",
+    "q_src_members",
+    "q_stats_prune",
+    "q_surrogate_ids",
+    "q_token_stats",
+    "q_train_shuffle",
+    "q_tumbling_window",
+    "q_vector_norms",
+    "q_watermark_cutoff",
+    "q_abtest_lift",
+    "q_ann_index_extend",
+    "q_ann_pq",
+    "q_ann_recall_eval",
+    "q_bloom_prune",
+    "q_bm25_index_extend",
+    "q_bpe_train_merges",
+    "q_bpe_vocab_stats",
+    "q_bucketed_join",
+    "q_calendar_spine",
+    "q_cdc_apply",
+    "q_committee_roster_e2e",
+    "q_correlation",
+    "q_countmin_sketch",
+    "q_dashboard_stats_e2e",
+    "q_data_profile",
+    "q_dedup_multi_policy",
+    "q_dedup_survivors",
+    "q_dpp_prune",
+    "q_dq_constraints",
+    "q_dup_clusters",
+    "q_embed_dup_clusters",
+    "q_embed_quantize",
     "q_segment_dedup_direct",
     "q_segment_dedup",
-    "q_dedup_incremental",
     "q_media_decode_jpeg",
     "q_except",
     "q_exists_probe",
@@ -150,12 +193,8 @@ DRIVER_WINDOW = [
     "q_dedup_keep_first",
     "q_dedup_keep_last",
     "q_dynamic_filters",
-    "q_etl_run_all",
-    "q_etl_incremental",
     "q_compaction_maintenance",
     "q_semantic_search_e2e",
-    "q_stateful_totals_live",
-    "q_stream_interval_join_live",
     "q_lm_quality_score",
     "q_moments_mergeable",
     "q_negative_sampling",
@@ -198,16 +237,10 @@ DRIVER_WINDOW = [
     "q_date_roundtrip",
     "q_dedup_exact",
     "q_scope_metrics_e2e",
-    "q_dashboard_stats_e2e",
-    "q_committee_roster_e2e",
     "q_rollup_maintenance_live",
     "q_snapshot_append_live",
     "q_metrics_bundle_e2e",
-    "q_bm25_index_extend",
-    "q_dup_clusters",
-    "q_dedup_survivors",
     "q_funnel_clusters",
-    "q_embed_dup_clusters",
     "q_src_committees_yaml",
     "q_src_fec_csv",
     "q_stratified_sample",
@@ -219,23 +252,6 @@ DRIVER_WINDOW = [
     "q_window_ntile",
     "q_window_rank",
     "q_window_running_sum",
-    "q_abtest_lift",
-    "q_ann_index_extend",
-    "q_ann_pq",
-    "q_ann_recall_eval",
-    "q_bloom_prune",
-    "q_bpe_train_merges",
-    "q_bpe_vocab_stats",
-    "q_bucketed_join",
-    "q_calendar_spine",
-    "q_cdc_apply",
-    "q_correlation",
-    "q_countmin_sketch",
-    "q_data_profile",
-    "q_dedup_multi_policy",
-    "q_dpp_prune",
-    "q_dq_constraints",
-    "q_embed_quantize",
     "q_equidepth_histogram",
     "q_event_paths",
     "q_event_transitions",
@@ -243,28 +259,6 @@ DRIVER_WINDOW = [
     "q_gap_fill",
     "q_hybrid_rrf",
     "q_inverted_index",
-    "q_pii_scrub",
-    "q_pivot_status_matrix",
-    "q_range_join",
-    "q_repetition_filter",
-    "q_retention_cohorts",
-    "q_rolling_fingerprint",
-    "q_rollup_hierarchy",
-    "q_scd2_history",
-    "q_sequence_packing",
-    "q_session_windows",
-    "q_simhash",
-    "q_sliding_window",
-    "q_src_bills_xml",
-    "q_src_members",
-    "q_stats_prune",
-    "q_surrogate_ids",
-    "q_token_stats",
-    "q_train_shuffle",
-    "q_tumbling_window",
-    "q_vector_norms",
-    "q_watermark_cutoff",
-    "q_watermark_latedrop",
 ]
 
 
@@ -272,9 +266,16 @@ DRIVER_WINDOW = [
 # THIS round (their prior green predates the edit) — exempt from the
 # stalest-first head rule, bounded to keep rotation honest.
 WINDOW_SENTINELS = [
-    "q_segment_dedup",  # r11: digest-keyed winner exchange became the default plan
-    "q_dedup_incremental",  # r11: manifest-backed probes + one-file-per-prefix store
-    "q_media_decode_jpeg",  # r11: codec rewrite (LUT Huffman, bulk refill, vector bit-pack, matmul)
+    # r12: stage-4 store probe rewritten inner+distinct -> left-semi;
+    # store reads no longer launch a parallel-listing job
+    "q_dedup_incremental",
+    # r12: build_donors first-wins row_number window -> min_by aggregate
+    "q_etl_run_all",
+    "q_etl_incremental",
+    # r12: throwaway streaming checkpoints moved to tmpfs (ephemeral_ckpt)
+    "q_stateful_totals_live",
+    "q_stream_interval_join_live",
+    "q_watermark_latedrop",
 ]
 
 _ORACLE_TABLES = (

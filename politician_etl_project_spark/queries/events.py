@@ -811,9 +811,9 @@ def q_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = windowed_totals(stream, window="1 hour", slide=None, watermark="1 hour")
     qname = f"wm_latedrop_{uuid.uuid4().hex[:8]}"
-    import tempfile
+    from politician_etl_project_spark.streaming.sources import _ephemeral_ckpt
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt-latedrop-")
+    ckpt = _ephemeral_ckpt("ckpt-latedrop-")
     try:
         # conf stays pinned through awaitTermination: start() is async,
         # and the partition count is only captured into the offset-log

@@ -47,6 +47,18 @@ def get_spark(app_name: str = "politician-etl-spark") -> SparkSession:
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(2 * 1024 * 1024)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Partition-pruned store probes (ingest fps/bands, ANN indexes)
+        # pass up to ~512 explicit directory paths; above this threshold
+        # Spark launches a DISTRIBUTED LISTING JOB per read, which costs
+        # ~0.5-0.9 s of pure job scheduling to list <1 MB of local files
+        # (measured: probe DataFrame creation 0.86 s -> 0.11 s at 1024).
+        # Local/HDFS metadata stats are microseconds-to-ms so the driver
+        # loop wins by orders of magnitude; on an object-store cluster
+        # where LIST calls are slow, lower it via the env override.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PARALLEL_DISCOVERY_THRESHOLD", "1024"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

@@ -84,12 +84,21 @@ def build_donors(donations: DataFrame) -> DataFrame:
     natural key, never monotonically_increasing_id — SURVEY §7 hard-part 2)."""
     from politician_etl_project_spark.operators.upsert import surrogate_ids
 
-    w = Window.partitionBy("donor_uid").orderBy("fec_filing_id")
+    # first-wins as ONE aggregate (min_by over the unique fec_filing_id),
+    # not a row_number window + filter (r12, guide §2.3 aggregate-before-
+    # shuffle): the window sorts every donor_uid partition in full before
+    # discarding all but one row per key, while the aggregate partial-
+    # combines map-side — at a billion-donor dimension the pre-shuffle
+    # row count drops from |facts| to |distinct donors per map task|.
+    # Row-identical (filing ids are unique, so the min_by winner is the
+    # window's rn=1 row; measured byte-equal at 337810 rows, 1.14 ->
+    # 0.94 s on the bench macro's donors stage).
+    attrs = ["donor_name", "donor_type", "city", "state", "zip_code",
+             "employer", "occupation"]
     distinct = (
-        donations.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("donor_uid", "donor_name", "donor_type", "city", "state", "zip_code",
-                "employer", "occupation")
+        donations.groupBy("donor_uid")
+        .agg(F.min_by(F.struct(*attrs), "fec_filing_id").alias("_w"))
+        .select("donor_uid", *[F.col(f"_w.{c}").alias(c) for c in attrs])
     )
     # surrogate_ids = row_number over donor_uid order, computed via the
     # prefix-bucketed two-level plan — no single-task global sort on a

@@ -30,6 +30,28 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+def ephemeral_ckpt_base() -> str | None:
+    """Base directory for THROWAWAY stream checkpoints (r12, guide §6):
+    a checkpoint that is deleted when the run ends buys nothing from
+    durable storage, but its offset-log/commit-log/state-snapshot
+    renames fsync on every micro-batch — measured 4.09 s -> 3.57 s for
+    the 3-batch stateful-totals run moving the checkpoint from disk
+    /tmp to tmpfs.  Durable checkpoints (caller-passed paths) are
+    untouched.  Override with $SPARK_GRAFT_EPHEMERAL_CKPT_DIR (point it
+    at reliable storage to make even throwaway runs resumable); returns
+    None (tempfile's default) when no tmpfs is available."""
+    import os
+
+    base = os.environ.get("SPARK_GRAFT_EPHEMERAL_CKPT_DIR")
+    if base:
+        return base
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+
+
+def _ephemeral_ckpt(prefix: str = "ckpt-") -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir=ephemeral_ckpt_base())
+
+
 @contextmanager
 def owned_checkpoint(checkpoint_dir: str | None):
     """Yield a usable checkpoint path; a caller passing None gets a
@@ -39,7 +61,7 @@ def owned_checkpoint(checkpoint_dir: str | None):
     rely on run_foreach_batch's internal fallback — without this, each
     anonymous run leaked one /tmp/ckpt-* directory."""
     own = checkpoint_dir is None
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    ckpt = checkpoint_dir or _ephemeral_ckpt()
     try:
         yield ckpt
     finally:
@@ -92,7 +114,7 @@ def run_to_memory(
     """
     spark = sdf.sparkSession
     own_ckpt = checkpoint_dir is None
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    ckpt = checkpoint_dir or _ephemeral_ckpt()
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -122,7 +144,7 @@ def run_foreach_batch(
     the run) and exactly-once tracking only WITHIN the run — callers
     whose ``fn`` is not replay-idempotent must pass a durable one."""
     own_ckpt = checkpoint_dir is None
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    ckpt = checkpoint_dir or _ephemeral_ckpt()
     try:
         q = (
             sdf.writeStream.foreachBatch(fn)

@@ -440,34 +440,64 @@ def test_cluster_joinback_broadcasts_only_on_driver_path(spark):
         [(i, f"s{i % 3}") for i in range(1, 40)], "doc_id bigint, source string"
     )
 
+    import os
+
     def joined_plan(driver_threshold: int) -> str:
-        comp = connected_components(pairs, driver_threshold=driver_threshold)
-        assert (getattr(comp, "_cc_driver_rows", None) is not None) == (
-            driver_threshold > 0
-        )
-        clusters = duplicate_clusters(pairs).select("doc_id", "cluster_id")
-        # duplicate_clusters re-runs CC internally; pin its path too
-        return (
-            corpus.join(clusters, "doc_id", "left")
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+        # pin the env var for BOTH halves (r11 ADVICE #3): the internal
+        # duplicate_clusters CC call reads the ambient environment, so
+        # a CI job exporting SPARK_GRAFT_CC_DRIVER_EDGES=0 would
+        # otherwise flip the driver-path half spuriously
+        old = os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES")
+        os.environ["SPARK_GRAFT_CC_DRIVER_EDGES"] = str(driver_threshold)
+        try:
+            comp = connected_components(pairs, driver_threshold=driver_threshold)
+            assert (getattr(comp, "_cc_driver_rows", None) is not None) == (
+                driver_threshold > 0
+            )
+            clusters = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+            return (
+                corpus.join(clusters, "doc_id", "left")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            if old is None:
+                os.environ.pop("SPARK_GRAFT_CC_DRIVER_EDGES", None)
+            else:
+                os.environ["SPARK_GRAFT_CC_DRIVER_EDGES"] = old
 
     driver_plan = joined_plan(10**6)
     assert "BroadcastHashJoin" in driver_plan and "SortMergeJoin" not in driver_plan
-    import os
-
-    old = os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES")
-    os.environ["SPARK_GRAFT_CC_DRIVER_EDGES"] = "0"
-    try:
-        dist_plan = joined_plan(0)
-    finally:
-        if old is None:
-            os.environ.pop("SPARK_GRAFT_CC_DRIVER_EDGES", None)
-        else:
-            os.environ["SPARK_GRAFT_CC_DRIVER_EDGES"] = old
+    dist_plan = joined_plan(0)
     assert "SortMergeJoin" in dist_plan and "BroadcastHashJoin" not in dist_plan
+
+
+def test_cc_broadcast_hint_capped_by_fixed_row_count(spark, monkeypatch):
+    """r11 ADVICE #1: the driver-path broadcast hint must be gated by a
+    FIXED row-count constant, not only by the env-overridable driver
+    threshold — a raised $SPARK_GRAFT_CC_DRIVER_EDGES must not be able
+    to force an arbitrarily large broadcast."""
+    from politician_etl_project_spark.operators import components as C
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(1, 40)], "doc_id bigint, source string"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "1000000")
+    monkeypatch.setattr(C, "_CC_BROADCAST_ROW_CAP", 2)  # 5 assignment rows > 2
+    comp = C.connected_components(pairs)
+    assert getattr(comp, "_cc_driver_rows", None) == 5  # driver path ran
+    clusters = C.duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    plan = (
+        corpus.join(clusters, "doc_id", "left")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan  # over-cap: no forced broadcast
 
 
 @given(
